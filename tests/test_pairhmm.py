@@ -1,0 +1,137 @@
+"""Pair-HMM (mode A) kernel vs the float64 oracle transcribed from
+src/SeqAlignment/HapAligner.cpp:236-343."""
+
+import numpy as np
+import pytest
+
+from longtr_tpu.ops.pairhmm import (
+    AlignmentParams, BAND_FAIL_SCORE, IMPOSSIBLE, encode_seq,
+    pairhmm_batch, pairhmm_score_oracle)
+
+RNG = np.random.default_rng(1234)
+BASES = np.array(list("ACGT"))
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(BASES, size=n))
+
+
+def mutate(seq, sub=0.01, ind=0.005):
+    out = []
+    for ch in seq:
+        r = RNG.random()
+        if r < ind / 2:
+            continue  # deletion
+        if r < ind:
+            out.append(ch)
+            out.append(str(RNG.choice(BASES)))  # insertion
+            continue
+        if r < ind + sub:
+            out.append(str(RNG.choice(BASES)))
+        else:
+            out.append(ch)
+    return "".join(out) or "A"
+
+
+def batch_from_pairs(pairs, full_lens=None):
+    n_max = max(len(h) for h, _ in pairs)
+    m_max = max(len(r) for _, r in pairs)
+    H = np.stack([encode_seq(h, n_max) for h, _ in pairs])
+    R = np.stack([encode_seq(r, m_max) for _, r in pairs])
+    hl = np.array([len(h) for h, _ in pairs], dtype=np.int32)
+    rl = np.array([len(r) for _, r in pairs], dtype=np.int32)
+    if full_lens is None:
+        full_lens = hl + 60
+    return H, hl, R, rl, np.asarray(full_lens, dtype=np.int32)
+
+
+def check_pairs(pairs, full_lens=None, tol=2e-2):
+    H, hl, R, rl, fl = batch_from_pairs(pairs, full_lens)
+    got = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+    want = np.array([
+        pairhmm_score_oracle(h, r, full_hap_len=int(f))
+        for (h, r), f in zip(pairs, fl)])
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+
+
+def test_identical_sequences():
+    seq = rand_seq(80)
+    check_pairs([(seq, seq)])
+
+
+def test_identity_score_close_to_match_sum():
+    seq = rand_seq(100)
+    score = pairhmm_score_oracle(seq, seq)
+    assert score == pytest.approx(100 * -0.000100005 + 99 * -0.00005800168, abs=1e-6)
+
+
+def test_substitutions_and_indels():
+    pairs = []
+    for n in (40, 73, 128, 200):
+        hap = rand_seq(n)
+        pairs.append((hap, mutate(hap)))
+        pairs.append((hap, mutate(hap, sub=0.05, ind=0.02)))
+        pairs.append((hap, rand_seq(n)))  # unrelated → likely band fail
+    check_pairs(pairs)
+
+
+def test_mixed_lengths_in_one_batch():
+    pairs = [(rand_seq(n), mutate(rand_seq(n))) for n in (12, 30, 64, 150, 301)]
+    # include a hap/read identical pair and length-mismatched pair
+    s = rand_seq(90)
+    pairs.append((s, s))
+    pairs.append((s, s[:40]))
+    check_pairs(pairs)
+
+
+def test_length_difference_shortcut():
+    hap, read = rand_seq(700), rand_seq(80)
+    assert pairhmm_score_oracle(hap, read) == BAND_FAIL_SCORE
+    H, hl, R, rl, fl = batch_from_pairs([(hap, read)])
+    assert np.asarray(pairhmm_batch(H, hl, R, rl, fl))[0] == BAND_FAIL_SCORE
+
+
+def test_short_haplotype_gate():
+    hap, read = rand_seq(10), rand_seq(10)
+    assert pairhmm_score_oracle(hap, read, full_hap_len=60) == IMPOSSIBLE
+    H, hl, R, rl, fl = batch_from_pairs([(hap, read)], full_lens=[60])
+    assert np.asarray(pairhmm_batch(H, hl, R, rl, fl))[0] == IMPOSSIBLE
+
+
+def test_band_abort_on_garbage():
+    hap = rand_seq(300)
+    read = rand_seq(295)
+    want = pairhmm_score_oracle(hap, read)
+    H, hl, R, rl, fl = batch_from_pairs([(hap, read)])
+    got = float(np.asarray(pairhmm_batch(H, hl, R, rl, fl))[0])
+    if want == BAND_FAIL_SCORE:
+        assert got == BAND_FAIL_SCORE
+    else:
+        assert got == pytest.approx(want, abs=2e-2)
+
+
+def test_single_base_read_band_fails():
+    # m == 1 leaves the band row-max at IMPOSSIBLE → -700 (HapAligner.cpp:300)
+    hap = rand_seq(50)
+    assert pairhmm_score_oracle(hap, "A") == BAND_FAIL_SCORE
+    H, hl, R, rl, fl = batch_from_pairs([(hap, "A")])
+    assert np.asarray(pairhmm_batch(H, hl, R, rl, fl))[0] == BAND_FAIL_SCORE
+
+
+def test_custom_alignment_params():
+    params = AlignmentParams.from_list([-2.0, -0.3, -1.5, -0.25, -0.0001, -8.0, -9.0])
+    hap = rand_seq(60)
+    read = mutate(hap, sub=0.03, ind=0.01)
+    H, hl, R, rl, fl = batch_from_pairs([(hap, read)])
+    got = float(np.asarray(pairhmm_batch(H, hl, R, rl, fl, params))[0])
+    want = pairhmm_score_oracle(hap, read, params)
+    assert got == pytest.approx(want, abs=2e-2)
+
+
+def test_large_random_batch():
+    pairs = []
+    for _ in range(64):
+        n = int(RNG.integers(20, 180))
+        hap = rand_seq(n)
+        pairs.append((hap, mutate(hap, sub=0.02, ind=0.01)))
+    check_pairs(pairs)
