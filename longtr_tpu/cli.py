@@ -1,0 +1,236 @@
+"""LongTR-compatible command-line interface.
+
+Reference: src/hipstr_main.cpp (option table at :142-198).  Same option names
+and defaults; behaviours preserved include the inverted --skip-assembly flag
+and the always-on default stutter model (see longtr_tpu.config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from longtr_tpu.config import Config
+from longtr_tpu.version import __version__
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="longtr",
+        description="TPU-native tandem repeat genotyper (LongTR capabilities)")
+    p.add_argument("--bams", dest="bams", default="",
+                   help="Comma separated list of BAM/CRAM files")
+    p.add_argument("--bam-files", dest="bam_files", default="",
+                   help="File containing BAM/CRAM files to analyze, one per line")
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--regions", required=True, help="BED file of TR regions")
+    p.add_argument("--tr-vcf", dest="tr_vcf", default="",
+                   help="Bgzipped VCF output path")
+    p.add_argument("--ref-vcf", dest="ref_vcf", default="")
+    p.add_argument("--snp-vcf", dest="snp_vcf", default="")
+    p.add_argument("--min-mean-qual", type=float, default=30)
+    p.add_argument("--min-mapq", type=float, default=20)
+    p.add_argument("--stutter-align-len", type=int, default=0)
+    p.add_argument("--phased-bam", action="store_true")
+    p.add_argument("--indel-flank-len", type=int, default=5)
+    p.add_argument("--alignment-params", default="")
+    p.add_argument("--stutter-in", default="")
+    p.add_argument("--stutter-out", default="")
+    p.add_argument("--log", default="")
+    p.add_argument("--viz-out", default="")
+    p.add_argument("--pass-bam", default="")
+    p.add_argument("--filt-bam", default="")
+    p.add_argument("--max-flank-indel", type=float, default=0.15)
+    p.add_argument("--hide-allreads", action="store_true")
+    p.add_argument("--hide-mallreads", action="store_true")
+    p.add_argument("--output-gls", action="store_true")
+    p.add_argument("--output-pls", action="store_true")
+    p.add_argument("--output-phased-gls", action="store_true")
+    p.add_argument("--output-filters", action="store_true")
+    p.add_argument("--bam-samps", default="")
+    p.add_argument("--bam-libs", default="")
+    p.add_argument("--lib-from-samp", action="store_true")
+    p.add_argument("--max-haps", type=int, default=1000)
+    p.add_argument("--max-hap-flanks", type=int, default=4)
+    p.add_argument("--min-flank-freq", type=float, default=0.01)
+    p.add_argument("--def-stutter-model", action="store_true", default=True)
+    p.add_argument("--no-def-stutter-model", dest="def_stutter_model",
+                   action="store_false",
+                   help="Disable the default stutter model (enables EM learning)")
+    p.add_argument("--chrom", default="")
+    p.add_argument("--haploid-chrs", default="")
+    p.add_argument("--hap-chr-file", default="")
+    p.add_argument("--min-reads", type=int, default=10)
+    p.add_argument("--max-reads", type=int, default=1_000_000)
+    p.add_argument("--max-tr-len", type=int, default=1000)
+    p.add_argument("--max-str-len", dest="max_tr_len", type=int)
+    p.add_argument("--max-mate-dist", type=int, default=1000)
+    p.add_argument("--sample-list", default="")
+    p.add_argument("--skip-assembly", action="store_true",
+                   help="NOTE: like the reference, this flag ENABLES flank "
+                        "assembly (the internal default skips it)")
+    p.add_argument("--skip-genotyping", action="store_true")
+    p.add_argument("--use-unpaired", action="store_true")
+    p.add_argument("--no-rmdup", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--silent", action="store_true")
+    p.add_argument("--version", action="version",
+                   version=f"LongTR-TPU {__version__}")
+    p.add_argument("--num-shards", type=int, default=0,
+                   help="Shard loci across JAX devices (0 = all local devices)")
+    return p
+
+
+def config_from_args(args) -> Config:
+    cfg = Config()
+    cfg.min_sum_qual_log_prob = args.min_mean_qual
+    cfg.min_mapq = args.min_mapq
+    cfg.switch_old_align_len = args.stutter_align_len
+    cfg.phased_bam = args.phased_bam
+    cfg.indel_flank_len = args.indel_flank_len
+    cfg.max_flank_indel_frac = args.max_flank_indel
+    cfg.output_allreads = not args.hide_allreads
+    cfg.output_mallreads = not args.hide_mallreads
+    cfg.output_gls = args.output_gls
+    cfg.output_pls = args.output_pls
+    cfg.output_phased_gls = args.output_phased_gls
+    cfg.output_filters = args.output_filters
+    cfg.max_total_haplotypes = args.max_haps
+    cfg.max_flank_haplotypes = args.max_hap_flanks
+    cfg.min_flank_freq = args.min_flank_freq
+    cfg.use_default_stutter_model = args.def_stutter_model and not args.stutter_in
+    cfg.min_total_reads = args.min_reads
+    cfg.max_total_reads = args.max_reads
+    cfg.max_str_length = args.max_tr_len
+    cfg.max_mate_dist = args.max_mate_dist
+    cfg.skip_assembly = not args.skip_assembly  # inverted, like the reference
+    cfg.stutter_in = args.stutter_in
+    cfg.stutter_out = args.stutter_out
+    if args.stutter_in:
+        cfg.use_default_stutter_model = False
+    if args.alignment_params:
+        vals = [float(x) for x in args.alignment_params.split(",")]
+        if len(vals) != 7:
+            sys.exit("ERROR: Number of alignment parameters is not correct")
+        if any(v >= 0 for v in vals):
+            sys.exit("ERROR: LOG values can not be positive")
+        cfg.alignment_params = vals
+    if args.haploid_chrs:
+        cfg.haploid_chroms = set(args.haploid_chrs.split(","))
+    if args.hap_chr_file:
+        with open(args.hap_chr_file) as fh:
+            cfg.haploid_chroms |= {ln.strip() for ln in fh if ln.strip()}
+    if args.sample_list:
+        with open(args.sample_list) as fh:
+            cfg.sample_set = {ln.strip() for ln in fh if ln.strip()}
+    if args.use_unpaired:
+        cfg.require_paired_reads = False
+    return cfg
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: locus shapes repeat across runs."""
+    import os
+
+    import jax
+    cache_dir = os.environ.get("LONGTR_XLA_CACHE",
+                               os.path.expanduser("~/.cache/longtr_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    _enable_compile_cache()
+    full_command = "LongTR-TPU-" + __version__ + " " + " ".join(argv or sys.argv[1:])
+
+    if not args.bams and not args.bam_files:
+        sys.exit("ERROR: You must specify either the --bams or --bam-files option")
+    if args.bams and args.bam_files:
+        sys.exit("ERROR: You can only specify one of --bams or --bam-files")
+    if not args.skip_genotyping and not args.tr_vcf:
+        sys.exit("ERROR: --tr-vcf option required")
+    if args.tr_vcf and not args.tr_vcf.endswith(".gz"):
+        sys.exit("ERROR: Path for TR VCF output file must end in .gz")
+
+    bam_files = (args.bams.split(",") if args.bams else
+                 [ln.strip() for ln in open(args.bam_files) if ln.strip()])
+
+    log_fh = open(args.log, "w") if args.log else sys.stderr
+
+    def full_logger(*msgs):
+        if not args.silent:
+            print(*msgs, file=log_fh)
+
+    def sel_logger(*msgs):
+        if not (args.quiet or args.silent):
+            print(*msgs, file=log_fh)
+
+    from longtr_tpu.io.bam import BamMultiReader
+    reader = BamMultiReader(bam_files, args.fasta)
+    full_logger(f"Detected {len(bam_files)} BAM/CRAM files")
+
+    # Read-group → sample/library maps (hipstr_main.cpp:461-516)
+    rg_to_sample = {}
+    rg_to_library = {}
+    rg_samples = set()
+    use_bam_rgs = not args.bam_samps
+    if args.bam_samps:
+        samps = args.bam_samps.split(",")
+        libs = (args.bam_libs.split(",") if args.bam_libs else
+                (samps if args.lib_from_samp else None))
+        if libs is None:
+            sys.exit("ERROR: --bam-libs option required when --bam-samps specified")
+        if len(samps) != len(bam_files) or len(libs) != len(bam_files):
+            sys.exit("ERROR: Number of BAM files and samples/libraries must match")
+        for path, s, l in zip(bam_files, samps, libs):
+            rg_to_sample[path] = s
+            rg_to_library[path] = l
+            rg_samples.add(s)
+    else:
+        for i, path in enumerate(bam_files):
+            rgs = reader.read_groups(i)
+            if not rgs:
+                sys.exit("ERROR: BAM files lack read groups and --bam-samps "
+                         "was not specified")
+            for rg in rgs:
+                if not rg.id or not rg.sample:
+                    sys.exit("ERROR: @RG lacks ID or SM tag")
+                lib = rg.sample if args.lib_from_samp else rg.library
+                if not args.lib_from_samp and not rg.library:
+                    sys.exit("ERROR: @RG lacks LB tag")
+                rg_to_sample[path + rg.id] = rg.sample
+                rg_to_library[path + rg.id] = lib
+                rg_samples.add(rg.sample)
+
+    cfg = config_from_args(args)
+    from longtr_tpu.pipeline.processor import GenotyperPipeline
+    pipeline = GenotyperPipeline(cfg, use_bam_rgs, full_logger, sel_logger)
+
+    if args.ref_vcf:
+        from longtr_tpu.io.vcf import VCFReader
+        pipeline.ref_vcf = VCFReader(args.ref_vcf)
+    if args.snp_vcf and not args.phased_bam:
+        from longtr_tpu.io.vcf import VCFReader
+        pipeline.snp_vcf = VCFReader(args.snp_vcf)
+
+    if not args.skip_genotyping:
+        samples = cfg.sample_set & rg_samples if cfg.sample_set else rg_samples
+        pipeline.set_output_vcf(args.tr_vcf, samples)
+
+    pipeline.process_regions(reader, args.regions, args.fasta, rg_to_sample,
+                             rg_to_library, full_command,
+                             max_regions=10_000_000, chrom=args.chrom)
+    pipeline.finish()
+    reader.close()
+    if args.log:
+        log_fh.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Edit-distance clustering of unexplained read sequences.
+
+Reference: HaplotypeGenerator.cpp:201-293 — a unit-cost global edit distance
+with per-row early abort at threshold T, greedy centroid clustering (max 15
+clusters), and POA-refined centroid merging.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def edit_distance_banded(a: str, b: str, T: int) -> int:
+    """Unit-cost NW edit distance; returns T+1 if it provably exceeds T.
+
+    Transcription of HaplotypeGenerator::needleman_wunsch
+    (HaplotypeGenerator.cpp:201-234), vectorized row-wise.
+    """
+    n, m = len(a), len(b)
+    if abs(n - m) > T:
+        return T + 1
+    av = np.frombuffer(a.encode(), dtype=np.uint8)
+    bv = np.frombuffer(b.encode(), dtype=np.uint8)
+    prev = np.arange(m + 1, dtype=np.int32)
+    jj = np.arange(1, m + 1, dtype=np.int32)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int32)
+        cur[0] = i
+        sub = prev[:-1] + (av[i - 1] != bv).astype(np.int32)
+        # dp recurrence with a sequential min along the row: compute via
+        # running minimum (cur[j] = min(sub[j], prev[j]+1, cur[j-1]+1)).
+        base = np.minimum(sub, prev[1:] + 1)
+        # cur[j] = min over k<=j of base[k] + (j-k); decayed running min:
+        run = np.minimum.accumulate(base - jj)
+        cur[1:] = np.minimum(base, run + jj)
+        # account for paths through cur[0]
+        cur[1:] = np.minimum(cur[1:], cur[0] + jj)
+        band = cur[1:] + np.abs((n - m) - (i - jj))
+        if band.min() > T:
+            return T + 1
+        prev = cur
+    return int(prev[m])
+
+
+def greedy_clustering(seqs, threshold: int):
+    """Greedy centroid clustering (HaplotypeGenerator.cpp:237-268).
+
+    Returns dict centroid -> member list, or None if >15 clusters formed.
+    """
+    clusters = {seqs[0]: [seqs[0]]}
+    centroids = [seqs[0]]
+    for s in seqs[1:]:
+        best_score, best = None, None
+        for c in centroids:
+            score = edit_distance_banded(s, c, threshold)
+            if score < threshold and (best_score is None or score < best_score):
+                best_score, best = score, c
+        if best is not None:
+            clusters[best].append(s)
+        else:
+            centroids.append(s)
+            if len(centroids) > 15:
+                return None
+            clusters[s] = [s]
+    return clusters
+
+
+def merge_clusters(new_centroids, clusters, threshold: int) -> bool:
+    """Merge clusters whose centroids are within threshold
+    (HaplotypeGenerator.cpp:271-293). Mutates ``clusters``; returns True if
+    anything merged."""
+    updated = False
+    for i in range(len(new_centroids)):
+        for j in range(1, len(new_centroids)):
+            ci, cj = new_centroids[i], new_centroids[j]
+            if i == j or ci not in clusters or cj not in clusters:
+                continue
+            score = edit_distance_banded(ci, cj, threshold)
+            if score < threshold:
+                updated = True
+                clusters[ci].extend(clusters[cj])
+                del clusters[cj]
+    return updated

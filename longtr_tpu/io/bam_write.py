@@ -1,0 +1,164 @@
+"""BAM writing (reference: BamWriter in src/bam_io.h:580+).
+
+Used for --pass-bam / --filt-bam outputs and for building test fixtures.
+Also provides a BAI index builder so written BAMs support region queries.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from longtr_tpu.io.bam import BamRecord, CIGAR_OPS, SEQ_NT16
+from longtr_tpu.io.bgzf import BgzfWriter
+
+_NT16_CODE = {ch: i for i, ch in enumerate(SEQ_NT16)}
+_CIGAR_CODE = {ch: i for i, ch in enumerate(CIGAR_OPS)}
+
+
+def encode_record(rec: BamRecord) -> bytes:
+    name = rec.name.encode() + b"\x00"
+    parts = [struct.pack("<iiBBHHHiiii", rec.ref_id, rec.pos, len(name),
+                         rec.mapq, 0, len(rec.cigar), rec.flag, len(rec.seq),
+                         rec.mate_ref_id, rec.mate_pos, rec.tlen)]
+    parts.append(name)
+    for op, n in rec.cigar:
+        parts.append(struct.pack("<I", (n << 4) | _CIGAR_CODE[op]))
+    seq = rec.seq
+    packed = bytearray((len(seq) + 1) // 2)
+    for i, ch in enumerate(seq):
+        code = _NT16_CODE.get(ch.upper(), 15)
+        if i % 2 == 0:
+            packed[i >> 1] = code << 4
+        else:
+            packed[i >> 1] |= code
+    parts.append(bytes(packed))
+    parts.append(bytes((min(max(ord(q) - 33, 0), 93) for q in rec.qual)))
+    for tag, val in rec.tags.items():
+        if isinstance(val, str) and len(val) == 1 and tag in ("XT",):
+            parts.append(tag.encode() + b"A" + val.encode())
+        elif isinstance(val, str):
+            parts.append(tag.encode() + b"Z" + val.encode() + b"\x00")
+        elif isinstance(val, int):
+            parts.append(tag.encode() + b"i" + struct.pack("<i", val))
+        elif isinstance(val, float):
+            parts.append(tag.encode() + b"f" + struct.pack("<f", val))
+        elif isinstance(val, list):
+            parts.append(tag.encode() + b"B" + b"i"
+                         + struct.pack("<I", len(val))
+                         + struct.pack("<%di" % len(val), *val))
+    body = b"".join(parts)
+    return struct.pack("<i", len(body)) + body
+
+
+class BamWriter:
+    def __init__(self, path: str, header_text: str, ref_names, ref_lengths):
+        self._bgzf = BgzfWriter(path)
+        self.path = path
+        self.ref_names = list(ref_names)
+        self.ref_lengths = list(ref_lengths)
+        text = header_text.encode()
+        self._bgzf.write(b"BAM\x01" + struct.pack("<i", len(text)) + text)
+        self._bgzf.write(struct.pack("<i", len(ref_names)))
+        for name, length in zip(ref_names, ref_lengths):
+            nb = name.encode() + b"\x00"
+            self._bgzf.write(struct.pack("<i", len(nb)) + nb
+                             + struct.pack("<i", length))
+
+    def save_alignment(self, rec: BamRecord):
+        self._bgzf.write(encode_record(rec))
+
+    def close(self):
+        self._bgzf.close()
+
+
+def build_bai(bam_path: str, out_path: str | None = None):
+    """Build a .bai (binning + linear index) for a coordinate-sorted BAM."""
+    from longtr_tpu.io.bam import BamReader
+
+    out_path = out_path or bam_path + ".bai"
+    r = BamReader.__new__(BamReader)
+    from longtr_tpu.io.bgzf import BgzfReader
+    r._bgzf = BgzfReader(bam_path)
+    magic = r._bgzf.read(4)
+    assert magic == b"BAM\x01"
+    (l_text,) = struct.unpack("<i", r._bgzf.read(4))
+    r._bgzf.read(l_text)
+    (n_ref,) = struct.unpack("<i", r._bgzf.read(4))
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", r._bgzf.read(4))
+        r._bgzf.read(l_name + 4)
+
+    # per-ref: bins dict, linear intervals
+    refs = [[{}, []] for _ in range(n_ref)]
+
+    def reg2bin(beg, end):
+        end -= 1
+        if beg >> 14 == end >> 14:
+            return ((1 << 15) - 1) // 7 + (beg >> 14)
+        if beg >> 17 == end >> 17:
+            return ((1 << 12) - 1) // 7 + (beg >> 17)
+        if beg >> 20 == end >> 20:
+            return ((1 << 9) - 1) // 7 + (beg >> 20)
+        if beg >> 23 == end >> 23:
+            return ((1 << 6) - 1) // 7 + (beg >> 23)
+        if beg >> 26 == end >> 26:
+            return ((1 << 3) - 1) // 7 + (beg >> 26)
+        return 0
+
+    while True:
+        v_start = r._bgzf.virtual_offset
+        hdr = r._bgzf.read(4)
+        if len(hdr) < 4:
+            break
+        (block_size,) = struct.unpack("<i", hdr)
+        data = r._bgzf.read(block_size)
+        if len(data) < block_size:
+            break
+        v_end = r._bgzf.virtual_offset
+        ref_id, pos = struct.unpack_from("<ii", data, 0)
+        if ref_id < 0:
+            continue
+        n_cigar, = struct.unpack_from("<H", data, 12)
+        l_read_name = data[8]
+        ref_len = 0
+        off = 32 + l_read_name
+        for k in range(n_cigar):
+            (v,) = struct.unpack_from("<I", data, off + 4 * k)
+            if CIGAR_OPS[v & 0xF] in "MDN=X":
+                ref_len += v >> 4
+        end = pos + max(ref_len, 1)
+        b = reg2bin(pos, end)
+        bins, intervals = refs[ref_id]
+        bins.setdefault(b, []).append((v_start, v_end))
+        for win in range(pos >> 14, ((end - 1) >> 14) + 1):
+            while len(intervals) <= win:
+                intervals.append(0)
+            if intervals[win] == 0 or v_start < intervals[win]:
+                intervals[win] = v_start
+    r._bgzf.close()
+
+    with open(out_path, "wb") as fh:
+        fh.write(b"BAI\x01" + struct.pack("<i", n_ref))
+        for bins, intervals in refs:
+            fh.write(struct.pack("<i", len(bins)))
+            for b, chunks in bins.items():
+                # merge adjacent chunks
+                merged = []
+                for cb, ce in sorted(chunks):
+                    if merged and cb <= merged[-1][1]:
+                        merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+                    else:
+                        merged.append((cb, ce))
+                fh.write(struct.pack("<Ii", b, len(merged)))
+                for cb, ce in merged:
+                    fh.write(struct.pack("<QQ", cb, ce))
+            # fill linear index gaps with previous offsets
+            filled = []
+            prev = 0
+            for v in intervals:
+                prev = v if v else prev
+                filled.append(prev if prev else 0)
+            fh.write(struct.pack("<i", len(filled)))
+            for v in filled:
+                fh.write(struct.pack("<Q", v))
+    return out_path

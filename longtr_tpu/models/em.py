@@ -1,0 +1,206 @@
+"""Length-based EM stutter-model fitter.
+
+Reference: src/em_stutter_genotyper.{h,cpp}.  Alleles are the distinct
+read-vs-reference bp differences; the E step fills read×allele LLs from the
+stutter PMF and computes diplotype + read-phase posteriors; the M step
+re-estimates genotype priors and the six stutter parameters in closed form
+with pseudocounts (em_stutter_genotyper.cpp:63-127).
+
+Vectorized numpy implementation (the arrays are tiny — A is the number of
+distinct lengths); log-sum-exps are exact where the reference uses the
+term-dropping fast approximation (mathops.cpp:98-107) — a precision upgrade
+with no behavioural effect beyond float noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from longtr_tpu.models.stutter import StutterModel, _c_div
+from longtr_tpu.utils.mathops import LOG_ONE_HALF
+from longtr_tpu.ops.posterior import genotype_log_priors
+
+TOLERANCE = 1e-10
+
+
+def _lse(arr, axis=None):
+    arr = np.asarray(arr, dtype=np.float64)
+    m = arr.max(axis=axis, keepdims=True)
+    out = m + np.log(np.exp(arr - m).sum(axis=axis, keepdims=True))
+    return np.squeeze(out, axis=axis) if axis is not None else float(out)
+
+
+class EMStutterGenotyper:
+    def __init__(self, haploid: bool, motif: str, num_bps, log_p1s, log_p2s,
+                 sample_names, ref_allele: int = 0):
+        self.haploid = haploid
+        self.motif = motif
+        self.motif_len = len(motif)
+        self.sample_names = list(sample_names)
+        self.num_samples = len(sample_names)
+
+        sizes = sorted({d for sample in num_bps for d in sample} - {ref_allele})
+        self.bps_per_allele = np.array([ref_allele] + sizes, dtype=np.int64)
+        self.num_alleles = len(self.bps_per_allele)
+        size_index = {v: i for i, v in enumerate(self.bps_per_allele)}
+
+        self.allele_index = np.array(
+            [size_index[d] for sample in num_bps for d in sample], dtype=np.int64)
+        self.sample_label = np.array(
+            [i for i, sample in enumerate(num_bps) for _ in sample], dtype=np.int64)
+        self.log_p1 = np.array([p for s in log_p1s for p in s])
+        self.log_p2 = np.array([p for s in log_p2s for p in s])
+        self.reads_per_sample = np.array([len(s) for s in num_bps], dtype=np.int64)
+        self.num_reads = len(self.allele_index)
+        self.stutter_model = None
+        self.log_gt_priors = None
+        self.posteriors = None
+
+    # -- initialization -----------------------------------------------------
+    def _init_log_gt_priors(self):
+        """1-sample pseudocount + per-sample-normalized counts
+        (em_stutter_genotyper.cpp:10-19)."""
+        counts = np.ones(self.num_alleles)
+        np.add.at(counts, self.allele_index,
+                  1.0 / self.reads_per_sample[self.sample_label])
+        self.log_gt_priors = np.log(counts) - np.log(counts.sum())
+
+    # -- E step -------------------------------------------------------------
+    def _pmf_matrix(self):
+        """(R, A): log P(read diff | allele diff)."""
+        diffs = (self.bps_per_allele[self.allele_index][:, None]
+                 - self.bps_per_allele[None, :])
+        return self.stutter_model.log_pmf_table(diffs)
+
+    def _calc_posteriors(self, LL):
+        """Diplotype posteriors with population-frequency priors
+        (em_stutter_genotyper.cpp:129-144 + genotyper.cpp:45-83)."""
+        A, S = self.num_alleles, self.num_samples
+        if self.haploid:
+            prior = np.full((A, A), -1e30)
+            np.fill_diagonal(prior, self.log_gt_priors)
+        else:
+            prior = self.log_gt_priors[:, None] + self.log_gt_priors[None, :]
+        LLc = np.clip(LL, -600.0, None)
+        a = LLc + self.log_p1[:, None] + LOG_ONE_HALF
+        b = LLc + self.log_p2[:, None] + LOG_ONE_HALF
+        T = np.logaddexp(a[:, :, None], b[:, None, :])
+        P = np.tile(prior[None], (S, 1, 1))
+        np.add.at(P, self.sample_label, T)
+        totals = _lse(P.reshape(S, -1), axis=1)
+        P -= totals[:, None, None]
+        self.posteriors = P
+        self.sample_total_lls = totals
+        return float(totals.sum())
+
+    def _calc_read_phase_posteriors(self, LL):
+        """(R, A, A, 2) read-phase posteriors (em_stutter_genotyper.cpp:152-168)."""
+        # log_phase_one depends on allele 1; phase two on allele 2
+        one = LOG_ONE_HALF + self.log_p1[:, None, None] + LL[:, :, None]
+        two = LOG_ONE_HALF + self.log_p2[:, None, None] + LL[:, None, :]
+        total = np.logaddexp(one, two)
+        return np.stack([one - total, two - total], axis=-1)
+
+    # -- M step -------------------------------------------------------------
+    def _recalc_log_gt_priors(self):
+        """em_stutter_genotyper.cpp:21-56."""
+        P = self.posteriors
+        first = _lse(P, axis=2)        # (S, A): lse over second allele
+        c1 = _lse(first, axis=0)       # (A,)
+        c2 = _lse(_lse(P, axis=1), axis=0)
+        combined = np.logaddexp(c1, c2)
+        self.log_gt_priors = combined - _lse(combined)
+
+    def _recalc_stutter_model(self, phase_post):
+        """Closed-form re-estimates with pseudocounts (cpp:63-127)."""
+        R, A = self.num_reads, self.num_alleles
+        P = self.posteriors[self.sample_label]          # (R, A, A)
+        # factor[r, a1, a2, phase] = gt posterior + phase posterior
+        factor = P[..., None] + phase_post              # (R, A, A, 2)
+        # bp_diff depends on the phase-selected allele only
+        d1 = (self.bps_per_allele[self.allele_index][:, None]
+              - self.bps_per_allele[None, :])           # (R, A)
+        f_phase0 = _lse(factor[..., 0], axis=2)          # (R, A) sum over a2
+        f_phase1 = _lse(factor[..., 1], axis=1)          # (R, A) sum over a1
+        flat_f = np.concatenate([f_phase0.ravel(), f_phase1.ravel()])
+        flat_d = np.concatenate([d1.ravel(), d1.ravel()])
+
+        p = self.motif_len
+        in_frame = (flat_d % p) == 0
+        rep = _c_div(flat_d, p)
+        eff = flat_d - rep
+
+        in_up = [0.0]
+        in_down = [0.0]
+        in_eq = [0.0]
+        in_diffs = [0.0, np.log(1.1)]
+        out_up = [0.0]
+        out_down = [0.0]
+        out_diffs = [0.0, np.log(1.1)]
+
+        m = in_frame & (rep == 0)
+        if m.any():
+            in_eq.append(_lse(flat_f[m]))
+        m = in_frame & (rep > 0)
+        if m.any():
+            in_up.append(_lse(flat_f[m]))
+            in_diffs.append(_lse(flat_f[m] + np.log(np.abs(rep[m]))))
+        m = in_frame & (rep < 0)
+        if m.any():
+            in_down.append(_lse(flat_f[m]))
+            in_diffs.append(_lse(flat_f[m] + np.log(np.abs(rep[m]))))
+        m = ~in_frame & (flat_d > 0)
+        if m.any():
+            out_up.append(_lse(flat_f[m]))
+            out_diffs.append(_lse(flat_f[m] + np.log(np.abs(eff[m]))))
+        m = ~in_frame & (flat_d < 0)
+        if m.any():
+            out_down.append(_lse(flat_f[m]))
+            out_diffs.append(_lse(flat_f[m] + np.log(np.abs(eff[m]))))
+
+        in_tot_up = _lse(in_up)
+        in_tot_down = _lse(in_down)
+        in_tot_eq = _lse(in_eq)
+        in_tot_diffs = _lse(in_diffs)
+        out_tot_up = _lse(out_up)
+        out_tot_down = _lse(out_down)
+        out_tot_diffs = _lse(out_diffs)
+        out_tot = np.logaddexp(out_tot_up, out_tot_down)
+        in_pgeom = min(0.999, np.exp(np.logaddexp(in_tot_up, in_tot_down) - in_tot_diffs))
+        out_pgeom = min(0.999, np.exp(out_tot - out_tot_diffs))
+        log_total = np.logaddexp(_lse([in_tot_up, in_tot_down, in_tot_eq]), out_tot)
+        in_pup = np.exp(in_tot_up - log_total)
+        in_pdown = np.exp(in_tot_down - log_total)
+        out_pup = np.exp(out_tot_up - log_total)
+        out_pdown = np.exp(out_tot_down - log_total)
+        self.stutter_model = StutterModel(in_pgeom, in_pup, in_pdown,
+                                          out_pgeom, out_pup, out_pdown, self.motif)
+
+    # -- training loop ------------------------------------------------------
+    def train(self, max_iter=100, min_ll_abs=0.01, min_ll_frac=0.001,
+              logger=None) -> bool:
+        """em_stutter_genotyper.cpp:170-226."""
+        max_param_diff = 0.0001
+        self._init_log_gt_priors()
+        self.stutter_model = StutterModel(0.9, 0.1, 0.1, 0.8, 0.01, 0.01, self.motif)
+        LL = -np.inf
+        for it in range(1, max_iter + 1):
+            aln_LL = self._pmf_matrix()
+            new_LL = self._calc_posteriors(aln_LL)
+            phase_post = self._calc_read_phase_posteriors(aln_LL)
+            if logger:
+                logger(f"EM iteration {it}: LL = {new_LL}")
+            assert new_LL <= TOLERANCE
+            if new_LL < LL + TOLERANCE:
+                return True  # non-monotonic due to pseudocounts: accept
+            self._recalc_log_gt_priors()
+            prev = self.stutter_model
+            self._recalc_stutter_model(phase_post)
+            abs_change = new_LL - LL
+            frac_change = -(new_LL - LL) / LL if LL != -np.inf else np.inf
+            if abs_change < min_ll_abs and frac_change < min_ll_frac:
+                return True
+            if self.stutter_model.parameters_within_threshold(prev, max_param_diff):
+                return True
+            LL = new_LL
+        return False

@@ -184,10 +184,11 @@ def encode_seq(seq: str, length: int, pad_code: int = 0) -> np.ndarray:
     return arr
 
 
-@functools.partial(jax.jit, static_argnames=("n_max",))
-def _pairhmm_scan(hap, hap_len, read, read_len, full_hap_len, trans, n_max):
-    """Core scan. Shapes: hap (B, N), read (B, M); lens (B,). Returns (B,)."""
+def pairhmm_scan(hap, hap_len, read, read_len, full_hap_len, trans):
+    """Core scan (jit-friendly). Shapes: hap (B, N), read (B, M); lens (B,).
+    Returns (B,) float32 scores."""
     B, Mdim = read.shape
+    n_max = hap.shape[1]
     i2i, i2m, d2d, d2m, m2m, m2i, m2d = [trans[k] for k in range(7)]
     MA = jnp.float32(MATCH_EMIT)
     MI = jnp.float32(MISMATCH_EMIT)
@@ -208,7 +209,9 @@ def _pairhmm_scan(hap, hap_len, read, read_len, full_hap_len, trans, n_max):
         j_idx == 0,
         jnp.where(hap[:, 0:1] == r0, MA, MI),
         jnp.roll(Dk, 1, axis=-1) + d2m + emit_row0)
-    I0 = jnp.full((B, Mdim), NEG)
+    # Derive from inputs (not fresh constants) so the scan carry keeps the
+    # device-varying annotation under shard_map.
+    I0 = jnp.where(valid_j, NEG, NEG)
     M0 = jnp.where(valid_j, M0, NEG)
     D0 = jnp.where(valid_j, Dk, NEG)
 
@@ -265,7 +268,7 @@ def _pairhmm_scan(hap, hap_len, read, read_len, full_hap_len, trans, n_max):
         Dn = jnp.where(keep, Dn, Dp)
         return (Mn, In, Dn, out, bandfail), None
 
-    init = (M0, I0, D0, out0, jnp.zeros(B, dtype=bool))
+    init = (M0, I0, D0, out0, hap_len < 0)
     ii = jnp.arange(1, n_max, dtype=jnp.int32)
     (Mf, If, Df, out, bandfail), _ = jax.lax.scan(body, init, (ii, hap_rows[1:n_max]))
 
@@ -292,7 +295,10 @@ def pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens, full_hap_lens,
     ``align_seq_to_hap`` per pair.
     """
     trans = jnp.asarray(params.as_array())
-    n_max = int(hap_codes.shape[1])
-    return _pairhmm_scan(jnp.asarray(hap_codes), jnp.asarray(hap_lens, dtype=jnp.int32),
-                         jnp.asarray(read_codes), jnp.asarray(read_lens, dtype=jnp.int32),
-                         jnp.asarray(full_hap_lens, dtype=jnp.int32), trans, n_max)
+    return _pairhmm_scan_jit(
+        jnp.asarray(hap_codes), jnp.asarray(hap_lens, dtype=jnp.int32),
+        jnp.asarray(read_codes), jnp.asarray(read_lens, dtype=jnp.int32),
+        jnp.asarray(full_hap_lens, dtype=jnp.int32), trans)
+
+
+_pairhmm_scan_jit = jax.jit(pairhmm_scan)

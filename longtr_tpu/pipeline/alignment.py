@@ -1,0 +1,223 @@
+"""Left-aligned read representation + CIGAR expansion.
+
+Reference: src/SeqAlignment/AlignmentData.h (the ``Alignment`` value type with
+explicit =/X CIGARs and a '-'-for-deletion alignment string) and
+``GenotyperBamProcessor::left_align_reads`` (genotyper_bam_processor.cpp:38-168)
+which converts BAM records into these after trimming to region±FLANK_SIZE.
+
+Also hosts ``extract_cigar`` (src/extract_indels.cpp — net bp diff of a read
+vs the reference within a region, lobSTR-derived), used by EM stutter
+training and the ALLREADS field.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from longtr_tpu.io.bam import FLANK_SIZE
+
+
+@dataclass
+class Alignment:
+    start: int
+    stop: int                 # inclusive stop (reference: end_pos - 1)
+    rev_strand: bool
+    deleted: bool
+    name: str
+    base_qualities: str
+    sequence: str
+    alignment: str = ""       # bases with '-' for deletions
+    cigar: list = field(default_factory=list)   # (op, num) with '=' and 'X'
+    use_for_haps: list = field(default_factory=list)
+
+    def use_for_hap_generation(self, region_index: int) -> bool:
+        return bool(self.use_for_haps) and self.use_for_haps[region_index]
+
+    def cigar_string(self) -> str:
+        return "".join(f"{n}{op}" for op, n in self.cigar)
+
+    def check_cigar(self):
+        num = sum(n for op, n in self.cigar if op not in "DH")
+        assert num == len(self.sequence), \
+            f"CIGAR check failed for {self.name}: {num} vs {len(self.sequence)}"
+
+
+def expand_cigar_vs_ref(rec, chrom_seq: str):
+    """Expand a BAM record's CIGAR into explicit =/X ops against the reference.
+
+    Returns (Alignment, soft_clipped) — transcription of
+    genotyper_bam_processor.cpp:72-140.  The input record should already be
+    trimmed to the region window.
+    """
+    read_seq = rec.seq.upper()
+    aln = Alignment(rec.pos, rec.end_pos - 1, rec.is_reverse, rec.deleted,
+                    rec.name, rec.qual, read_seq)
+    seq_index = 0
+    ref_index = rec.pos
+    soft_clipped = False
+    out_cigar = []
+    aln_chunks = []
+
+    def push(op, num):
+        if num == 0:
+            return
+        if out_cigar and out_cigar[-1][0] == op:
+            out_cigar[-1][1] += num
+        else:
+            out_cigar.append([op, num])
+
+    for op, num in rec.cigar:
+        if op == "H":
+            continue
+        if op == "S":
+            push("S", num)
+            seq_index += num
+            soft_clipped = True
+        elif op == "I":
+            push("I", num)
+            aln_chunks.append(read_seq[seq_index: seq_index + num])
+            seq_index += num
+        elif op == "D":
+            push("D", num)
+            aln_chunks.append("-" * num)
+            ref_index += num
+        elif op in "M=X":
+            run_type = None
+            run_num = 0
+            for _ in range(num):
+                match = read_seq[seq_index] == chrom_seq[ref_index].upper()
+                t = "=" if match else "X"
+                if t == run_type:
+                    run_num += 1
+                else:
+                    if run_num:
+                        push(run_type, run_num)
+                    run_type, run_num = t, 1
+                aln_chunks.append(read_seq[seq_index])
+                seq_index += 1
+                ref_index += 1
+            if run_num:
+                push(run_type, run_num)
+        else:
+            raise ValueError("Invalid CIGAR op in expand_cigar_vs_ref: " + op)
+
+    aln.cigar = [(op, num) for op, num in out_cigar]
+    aln.alignment = "".join(aln_chunks)
+    return aln, soft_clipped
+
+
+def left_align_reads(region_group, chrom_seq: str, samples_reads,
+                     log_p1, log_p2, haplotype_tag="HP", logger=None):
+    """Trim + expand reads for all samples (genotyper_bam_processor.cpp:38-168).
+
+    Parameters
+    ----------
+    samples_reads : list[list[BamRecord]] — per-sample BAM records
+    log_p1, log_p2 : list[list[float]] — per-read phasing factors
+
+    Returns (left_alns, filt_log_p1, filt_log_p2, n_p1s, n_p2s) where
+    ``left_alns`` is a flat list of Alignment and filt_log_p* parallel the
+    per-sample structure of retained reads.
+    """
+    left_alns = []
+    filt_p1, filt_p2 = [], []
+    n_p1s, n_p2s = [], []
+    fail_count = 0
+    total = 0
+    for i, reads in enumerate(samples_reads):
+        filt_p1.append([])
+        filt_p2.append([])
+        n_p1 = n_p2 = 0
+        for j, rec in enumerate(reads):
+            total += 1
+            # Must fully overlap the repeat (genotyper_bam_processor.cpp:56-59)
+            if rec.pos > region_group.start or rec.end_pos < region_group.stop:
+                fail_count += 1
+                continue
+            rec.trim_alignment(
+                region_group.start - FLANK_SIZE if region_group.start > FLANK_SIZE else 1,
+                region_group.stop + FLANK_SIZE)
+            if rec.length == 0:
+                # Fully-deleted repeat -> <DEL> alignment
+                # (genotyper_bam_processor.cpp:62-71)
+                aln = Alignment(region_group.start, region_group.stop,
+                                rec.is_reverse, True, rec.name, "", "", "")
+                aln.use_for_haps = [True] * region_group.num_regions
+                left_alns.append(aln)
+                filt_p1[i].append(log_p1[i][j])
+                filt_p2[i].append(log_p2[i][j])
+                continue
+            aln, soft_clipped = expand_cigar_vs_ref(rec, chrom_seq)
+            if soft_clipped:
+                fail_count += 1
+                continue
+            hp = rec.get_tag(haplotype_tag)
+            if hp == 1:
+                n_p1 += 1
+            elif hp == 2:
+                n_p2 += 1
+            aln.check_cigar()
+            aln.use_for_haps = list(getattr(rec, "pass_two", None)
+                                    or [True] * region_group.num_regions)
+            left_alns.append(aln)
+            filt_p1[i].append(log_p1[i][j])
+            filt_p2[i].append(log_p2[i][j])
+        n_p1s.append(n_p1)
+        n_p2s.append(n_p2)
+    if logger and fail_count:
+        logger(f"Failed to trim align {fail_count} out of {total} reads")
+    return left_alns, filt_p1, filt_p2, n_p1s, n_p2s
+
+
+def extract_cigar(cigar, cigar_start: int, region_start: int, region_end: int):
+    """Net bp difference of a read vs the reference within a region.
+
+    Transcription of src/extract_indels.cpp:18-91.  Returns (ok, bp_diff).
+    """
+    assert cigar_start >= 0 and region_end >= region_start
+    ref_len = sum(n for op, n in cigar if op in "M=XD")
+    if region_start < cigar_start:
+        return False, 0
+    if region_end >= cigar_start + ref_len:
+        return False, 0
+
+    pos = cigar_start
+    start_index = 0
+    last_match = 0
+    i = 0
+    while pos < region_start and i < len(cigar):
+        op, n = cigar[i]
+        if op in "M=XD":
+            pos += n
+        if op in "M=X":
+            last_match = i
+        i += 1
+    start_index = last_match
+    if start_index == 0 and cigar[0][0] not in "M=X":
+        return False, 0
+
+    end_index = len(cigar) - 1
+    last_match = len(cigar) - 1
+    pos = cigar_start + ref_len
+    i = len(cigar) - 1
+    while pos > region_end:
+        op, n = cigar[i]
+        if op in "M=XD":
+            pos -= n
+        if op in "M=X":
+            last_match = i
+        if i == 0:
+            break
+        i -= 1
+    end_index = last_match
+    if end_index == len(cigar) - 1 and cigar[end_index][0] not in "M=X":
+        return False, 0
+
+    bp_diff = 0
+    for k in range(start_index, end_index + 1):
+        op, n = cigar[k]
+        if op == "D":
+            bp_diff -= n
+        elif op == "I":
+            bp_diff += n
+    return True, bp_diff

@@ -1,0 +1,275 @@
+"""The per-locus processing loop.
+
+Reference: the BamProcessor → SNPBamProcessor → GenotyperBamProcessor
+template-method chain (bam_processor.cpp:536-628;
+snp_bam_processor.cpp:35-124; genotyper_bam_processor.cpp:227-351), collapsed
+into one driver:
+
+per locus: FASTA chromosome load → padded BAM region seek → streaming read
+filter → phasing factors → stutter model selection (default / file / EM) →
+left-align → SeqStutterGenotyper (TPU pair-HMM + posteriors) → VCF record.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from longtr_tpu.config import Config
+from longtr_tpu.io.fasta import FastaReader
+from longtr_tpu.io.vcf import VCFWriter
+from longtr_tpu.models.em import EMStutterGenotyper
+from longtr_tpu.models.stutter import StutterModel, default_stutter_model
+from longtr_tpu.pipeline.alignment import extract_cigar, left_align_reads
+from longtr_tpu.pipeline.filters import read_and_filter_reads
+from longtr_tpu.pipeline.phasing import phased_bam_factors, unphased_factors
+from longtr_tpu.pipeline.seq_genotyper import SeqStutterGenotyper
+from longtr_tpu.pipeline.vcf_record import get_vcf_header, write_vcf_record
+from longtr_tpu.regions import RegionGroup, order_regions, read_regions
+from longtr_tpu.utils.timers import ProcessTimer
+
+
+@dataclass
+class RunStats:
+    num_too_long: int = 0
+    too_few_reads: int = 0
+    too_many_reads: int = 0
+    num_em_converge: int = 0
+    num_em_fail: int = 0
+    num_missing_models: int = 0
+    num_genotype_success: int = 0
+    num_genotype_fail: int = 0
+    loci_processed: int = 0
+
+
+class GenotyperPipeline:
+    def __init__(self, config: Config, use_bam_rgs: bool = True,
+                 full_logger=None, selective_logger=None):
+        self.config = config
+        self.use_bam_rgs = use_bam_rgs
+        self.full_log = full_logger or (lambda *a: None)
+        self.sel_log = selective_logger or (lambda *a: None)
+        self.vcf_writer = VCFWriter()
+        self.samples_to_genotype = []
+        self.stats = RunStats()
+        self.timer = ProcessTimer()
+        self.def_stutter_model = (default_stutter_model()
+                                  if config.use_default_stutter_model else None)
+        self.stutter_models_in = (StutterModel.read_models(config.stutter_in)
+                                  if config.stutter_in else None)
+        self.stutter_out_fh = (open(config.stutter_out, "w")
+                               if config.stutter_out else None)
+        self.ref_vcf = None
+        self.snp_vcf = None
+
+    def set_output_vcf(self, path: str, samples):
+        self.vcf_writer.open(path)
+        self.samples_to_genotype = sorted(samples)
+
+    # ------------------------------------------------------------------
+    def process_regions(self, reader, region_file: str, fasta_file: str,
+                        rg_to_sample, rg_to_library, full_command: str,
+                        max_regions: int = 10_000_000, chrom: str = ""):
+        regions = order_regions(read_regions(region_file, max_regions, chrom,
+                                             self.full_log))
+        fasta = FastaReader(fasta_file)
+
+        chroms = []
+        for r in regions:
+            if not chroms or chroms[-1] != r.chrom:
+                chroms.append(r.chrom)
+        for c in chroms:
+            if fasta.get_sequence_length(c) == -1:
+                raise RuntimeError(f"Chromosome {c} missing from FASTA")
+            if reader.header.ref_id(c) == -1:
+                raise RuntimeError(f"Chromosome {c} missing from BAM header")
+
+        if self.vcf_writer.is_open:
+            header = get_vcf_header(fasta_file, full_command,
+                                    fasta.contig_header_lines(),
+                                    self.samples_to_genotype,
+                                    self.config.output_flags())
+            self.vcf_writer.write_header(header)
+
+        cur_chrom = None
+        chrom_seq = ""
+        cfg = self.config
+        for region in regions:
+            self.full_log(f"Processing region {region.chrom} {region.start} "
+                          f"{region.stop}")
+            if region.stop - region.start > cfg.max_str_length:
+                self.stats.num_too_long += 1
+                self.full_log("Skipping region: reference allele too long")
+                continue
+            if region.chrom != cur_chrom:
+                cur_chrom = region.chrom
+                chrom_seq = fasta.get_sequence(cur_chrom)
+            if region.start < 50 or region.stop + 50 >= len(chrom_seq):
+                self.full_log("Skipping region within 50bp of the contig end")
+                continue
+
+            t0 = time.time()
+            reader.set_region(
+                region.chrom,
+                0 if region.start < cfg.max_mate_dist else region.start - cfg.max_mate_dist,
+                region.stop + cfg.max_mate_dist)
+            self.timer.add("BAM seek", time.time() - t0)
+
+            group = RegionGroup.single(region)
+            t0 = time.time()
+            rg_names, paired, mates, unpaired, counters = read_and_filter_reads(
+                reader, group, rg_to_sample, cfg, self.use_bam_rgs, self.sel_log)
+            self.timer.add("Read filtering", time.time() - t0)
+
+            if cfg.sample_set:
+                keep = [i for i, n in enumerate(rg_names) if n in cfg.sample_set]
+                rg_names = [rg_names[i] for i in keep]
+                paired = [paired[i] for i in keep]
+                mates = [mates[i] for i in keep]
+                unpaired = [unpaired[i] for i in keep]
+
+            if cfg.remove_pcr_dups:
+                from longtr_tpu.pipeline.pcr_duplicates import remove_pcr_duplicates
+                remove_pcr_duplicates(self.use_bam_rgs, rg_to_library,
+                                      paired, mates, unpaired, self.sel_log)
+
+            t0 = time.time()
+            if cfg.phased_bam:
+                alignments, log_p1s, log_p2s = phased_bam_factors(
+                    paired, mates, unpaired, rg_names,
+                    cfg.from_hap_ll, cfg.other_hap_ll, self.sel_log)
+            elif self.snp_vcf is not None:
+                from longtr_tpu.pipeline.snp_phasing import snp_vcf_factors
+                alignments, log_p1s, log_p2s = snp_vcf_factors(
+                    self.snp_vcf, paired, mates, unpaired, rg_names, group,
+                    cfg, self.sel_log)
+            else:
+                alignments, log_p1s, log_p2s = unphased_factors(paired, unpaired)
+            self.timer.add("SNP info extraction", time.time() - t0)
+
+            self._analyze_locus(alignments, log_p1s, log_p2s, rg_names, group,
+                                chrom_seq, counters)
+            self.stats.loci_processed += 1
+
+    # ------------------------------------------------------------------
+    def _learn_stutter_model(self, alignments, log_p1s, log_p2s, haploid,
+                             rg_names, region):
+        """genotyper_bam_processor.cpp:170-225."""
+        cfg = self.config
+        str_bp_lengths = [[] for _ in alignments]
+        str_p1s = [[] for _ in alignments]
+        str_p2s = [[] for _ in alignments]
+        inf_reads = 0
+        MAX_INF_READS = 10000
+        for i, reads in enumerate(alignments):
+            for j, rec in enumerate(reads):
+                ok, bp_diff = extract_cigar(rec.cigar, rec.pos,
+                                            region.start - region.period,
+                                            region.stop + region.period)
+                if ok:
+                    if bp_diff < -(region.stop - region.start + 1):
+                        continue
+                    inf_reads += 1
+                    str_bp_lengths[i].append(bp_diff)
+                    str_p1s[i].append(log_p1s[i][j] if log_p1s else 0.0)
+                    str_p2s[i].append(log_p2s[i][j] if log_p2s else 0.0)
+            if inf_reads > MAX_INF_READS:
+                break
+        if inf_reads < cfg.min_total_reads:
+            self.full_log(f"Skipping locus: too few informative reads for "
+                          f"stutter training ({inf_reads})")
+            self.stats.too_few_reads += 1
+            return None
+        em = EMStutterGenotyper(haploid, region.motif, str_bp_lengths,
+                                str_p1s, str_p2s, rg_names)
+        if em.train(cfg.max_em_iter, cfg.abs_ll_converge, cfg.frac_ll_converge):
+            self.stats.num_em_converge += 1
+            model = em.stutter_model.copy()
+            if self.stutter_out_fh:
+                self.stutter_out_fh.write(
+                    model.write_model_line(region.chrom, region.start,
+                                           region.stop) + "\n")
+            self.sel_log(f"Learned stutter model {model}")
+            return model
+        self.stats.num_em_fail += 1
+        self.full_log(f"Stutter model training failed for "
+                      f"{region.chrom}:{region.start}-{region.stop}")
+        return None
+
+    def _analyze_locus(self, alignments, log_p1s, log_p2s, rg_names, group,
+                       chrom_seq, counters):
+        """genotyper_bam_processor.cpp:227-351."""
+        cfg = self.config
+        total_reads = sum(len(a) for a in alignments)
+        if total_reads < cfg.min_total_reads:
+            self.full_log(f"Skipping locus with too few reads: "
+                          f"TOTAL={total_reads}, MIN={cfg.min_total_reads}")
+            self.stats.too_few_reads += 1
+            return
+        if counters.too_many_reads:
+            self.full_log("Skipping locus with too many reads")
+            self.stats.too_many_reads += 1
+            return
+
+        haploid = group.chrom in cfg.haploid_chroms
+        stutter_models = []
+        stutter_success = True
+        t0 = time.time()
+        for region in group.regions:
+            model = None
+            if self.def_stutter_model is not None:
+                model = self.def_stutter_model.with_period(region.period)
+            elif self.stutter_models_in is not None:
+                model = self.stutter_models_in.get(
+                    (region.chrom, region.start, region.stop))
+                if model is None:
+                    self.full_log(f"WARNING: No stutter model found for "
+                                  f"{region.chrom}:{region.start}-{region.stop}")
+                    self.stats.num_missing_models += 1
+            else:
+                model = self._learn_stutter_model(alignments, log_p1s, log_p2s,
+                                                  haploid, rg_names, region)
+            stutter_models.append(model)
+            stutter_success &= model is not None
+        self.timer.add("Stutter estimation", time.time() - t0)
+
+        if not (self.vcf_writer.is_open and stutter_success):
+            return
+
+        t0 = time.time()
+        left_alns, filt_p1s, filt_p2s, n_p1s, n_p2s = left_align_reads(
+            group, chrom_seq, alignments, log_p1s, log_p2s, logger=self.sel_log)
+        self.timer.add("Trimming alignment", time.time() - t0)
+
+        t0 = time.time()
+        gt = SeqStutterGenotyper(
+            group, haploid, left_alns, filt_p1s, filt_p2s, n_p1s, n_p2s,
+            rg_names, chrom_seq, stutter_models, ref_vcf=self.ref_vcf,
+            logger=self.sel_log, skip_assembly=cfg.skip_assembly,
+            indel_flank_len=cfg.indel_flank_len,
+            switch_old_align_len=cfg.switch_old_align_len,
+            alignment_params=cfg.alignment_params)
+        if gt.genotype(cfg.max_total_haplotypes, cfg.max_flank_haplotypes,
+                       cfg.min_flank_freq):
+            self.stats.num_genotype_success += 1
+            write_vcf_record(gt, self.samples_to_genotype,
+                             cfg.output_flags(), self.vcf_writer, self.sel_log)
+        else:
+            self.stats.num_genotype_fail += 1
+        self.timer.add("Genotyping", time.time() - t0)
+
+    # ------------------------------------------------------------------
+    def finish(self):
+        if self.vcf_writer.is_open:
+            self.vcf_writer.close()
+        if self.stutter_out_fh:
+            self.stutter_out_fh.close()
+        s = self.stats
+        self.full_log(
+            "\n------LongTR-TPU Execution Summary------\n"
+            f"Skipped {s.num_too_long} loci above the length threshold\n"
+            f"Skipped {s.too_many_reads} loci with too many reads\n"
+            f"Skipped {s.too_few_reads} loci with too few reads\n"
+            f"Genotyping succeeded for {s.num_genotype_success}/"
+            f"{s.num_genotype_success + s.num_genotype_fail} loci\n"
+            + self.timer.summary())
