@@ -27,7 +27,9 @@ def _lse(arr, axis=None):
     arr = np.asarray(arr, dtype=np.float64)
     m = arr.max(axis=axis, keepdims=True)
     out = m + np.log(np.exp(arr - m).sum(axis=axis, keepdims=True))
-    return np.squeeze(out, axis=axis) if axis is not None else float(out)
+    if axis is None:
+        return float(out.reshape(()))
+    return np.squeeze(out, axis=axis)
 
 
 class EMStutterGenotyper:

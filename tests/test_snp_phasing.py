@@ -1,0 +1,95 @@
+"""SNP-VCF phasing path: trees, per-read factors, and the e2e pipeline."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth import standard_fixture  # noqa: E402
+
+from longtr_tpu.io.bgzf import BgzfWriter  # noqa: E402
+from longtr_tpu.io.vcf import VCFReader  # noqa: E402
+from longtr_tpu.pipeline.snp_phasing import (SNP, SNPTree,  # noqa: E402
+                                             create_snp_trees)
+
+
+def test_snp_tree_queries():
+    snps = [SNP(10, "A", "G"), SNP(20, "C", "T"), SNP(30, "G", "A")]
+    tree = SNPTree(snps)
+    assert [s.pos for s in tree.find_contained(10, 30)] == [10, 20, 30]
+    assert [s.pos for s in tree.find_contained(11, 29)] == [20]
+    assert tree.find_contained(31, 40) == []
+
+
+def write_snp_vcf(path, genome, samples, rng, skip_span=None, spacing=(40, 120)):
+    """Phased het SNPs along chr1; hap1 carries ALT at every SNP for SAMP1."""
+    lines = ["##fileformat=VCFv4.1",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(samples)]
+    chrom_seq = genome["chr1"]
+    pos = 300
+    snp_positions = []
+    while pos < len(chrom_seq) - 300:
+        pos += int(rng.integers(*spacing))
+        if skip_span and skip_span[0] <= pos <= skip_span[1]:
+            continue
+        ref = chrom_seq[pos]  # 0-based
+        alt = "ACGT"[("ACGT".index(ref.upper()) + 1) % 4]
+        gts = "\t".join("1|0" for _ in samples)
+        lines.append(f"chr1\t{pos + 1}\tsnp{pos}\t{ref.upper()}\t{alt}\t.\t.\t.\tGT\t{gts}")
+        snp_positions.append(pos)
+    w = BgzfWriter(path)
+    w.write("\n".join(lines) + "\n")
+    w.close()
+    return snp_positions
+
+
+def test_create_snp_trees_and_factors(tmp_path):
+    rng = np.random.default_rng(11)
+    fx = standard_fixture(str(tmp_path), rng=rng)
+    snp_path = str(tmp_path / "snps.vcf.gz")
+    positions = write_snp_vcf(snp_path, fx["genome"],
+                              ["SAMP1", "SAMP2", "SAMP3"], rng)
+    vcf = VCFReader(snp_path)
+    from longtr_tpu.regions import Region, RegionGroup
+    region = Region("chr1", 1000, 1020, "AC", "STR_AC")
+    ok, sample_indices, trees = create_snp_trees(
+        "chr1", 0, 3000, [region], 15, vcf)
+    assert ok and set(sample_indices) == {"SAMP1", "SAMP2", "SAMP3"}
+    tree = trees[sample_indices["SAMP1"]]
+    # SNPs within 15bp of the TR are skipped
+    for s in tree.snps:
+        assert not (1000 - 15 <= s.pos + 1 <= 1020 + 15)
+
+
+def test_e2e_with_snp_vcf(tmp_path):
+    """Reads simulated from hap1/hap2 phase against a phased SNP VCF."""
+    rng = np.random.default_rng(21)
+    fx = standard_fixture(str(tmp_path), rng=rng)
+    # Build a SNP VCF where ALT is on hap1. Reads in the fixture don't carry
+    # SNP alleles (they're reference-derived), so phasing factors will favor
+    # hap2 for every read; the pipeline should still run end-to-end and
+    # produce DSNP>0.
+    snp_path = str(tmp_path / "snps.vcf.gz")
+    write_snp_vcf(snp_path, fx["genome"], ["SAMP1", "SAMP2", "SAMP3"], rng)
+    out = str(tmp_path / "calls_snp.vcf.gz")
+    from longtr_tpu.cli import main as cli_main
+    argv = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--tr-vcf", out, "--min-reads", "5",
+            "--snp-vcf", snp_path, "--quiet"]
+    assert cli_main(argv) == 0
+    vcf = VCFReader(out)
+    vcf.set_region("chr1", 0)
+    v = vcf.get_next_variant()
+    assert v is not None
+    assert int(v.get_info("DSNP")) > 0
+    # Genotypes still correct for the AC locus
+    for sample, g in fx["genotypes"].items():
+        gt = v.genotype(sample)
+        assert gt is not None
+        lens = tuple(sorted(len(v.alleles[a]) for a in gt[:2]))
+        ref_extra = len(v.ref) - 20
+        want = tuple(sorted(2 * c for c in g["STR_AC"]))
+        assert tuple(x - ref_extra for x in lens) == want
