@@ -43,7 +43,8 @@ def make_batch(rng, B, N, M):
 
 def main():
     rng = np.random.default_rng(0)
-    from longtr_tpu.ops.pairhmm import pairhmm_batch, pairhmm_score_oracle
+    from longtr_tpu.ops.pairhmm import pairhmm_batch_auto as pairhmm_batch
+    from longtr_tpu.ops.pairhmm import pairhmm_score_oracle
 
     # Device throughput: a production-shaped batch (many loci × pools × haps)
     B, N, M = 2048, 192, 192

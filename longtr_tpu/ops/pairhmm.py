@@ -302,3 +302,20 @@ def pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens, full_hap_lens,
 
 
 _pairhmm_scan_jit = jax.jit(pairhmm_scan)
+
+
+def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
+                       full_hap_lens, params: AlignmentParams = AlignmentParams()):
+    """Backend-adaptive batch scorer.
+
+    On TPU the Pallas kernel is a single device dispatch with the row loop
+    inside (the experimental axon backend serializes ``lax.scan`` steps with
+    host syncs, making the jnp scan ~1000x slower there); on CPU the jnp
+    scan compiles fast and Pallas interpret would be slow.
+    """
+    if jax.default_backend() in ("tpu", "axon"):
+        from longtr_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas
+        return pairhmm_batch_pallas(hap_codes, hap_lens, read_codes,
+                                    read_lens, full_hap_lens, params)
+    return pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens,
+                         full_hap_lens, params)

@@ -1,0 +1,217 @@
+"""Pallas TPU kernel for the mode-A pair-HMM.
+
+Same semantics as :func:`longtr_tpu.ops.pairhmm.pairhmm_scan` (see that
+module for the recurrence and the reference mapping to
+HapAligner.cpp:236-343), hand-scheduled for the VPU.
+
+Layout: TRANSPOSED — the batch axis rides the 128 lanes and the read axis
+rides sublanes, i.e. state tiles are (M, TILE_B) f32.  This makes
+
+* the per-row haplotype character a supported dynamic *sublane* slice
+  ``hap_t_ref[pl.ds(i, 1), :]`` broadcast against the whole (M, B) tile,
+* the within-row deletion recurrence (a decayed running max) a
+  Hillis–Steele scan of sublane rolls,
+* per-pair reductions (corner pick, band max) lane-preserving
+  ``max(axis=0)`` ops.
+
+Each grid program keeps its M/I/D rows resident in VMEM scratch across the
+whole row loop; the data-dependent band abort becomes a max-accumulated
+flag (same outputs as the reference's early return).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from longtr_tpu.ops.pairhmm import (AlignmentParams, BAND_FAIL_SCORE,
+                                    BAND_THRESH, IMPOSSIBLE, LEN_DIFF_LIMIT,
+                                    MATCH_EMIT, MIN_FULL_HAP_LEN, MISMATCH_EMIT)
+
+TILE_B = 128
+
+
+def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
+            out_ref, mrow, irow, drow, acc):
+    """One batch tile, transposed layout: hap (N, B), read (M, B)."""
+    Mdim, B = read_ref.shape
+    N = hap_ref.shape[0]
+    NEG = jnp.float32(IMPOSSIBLE)
+    MA = jnp.float32(MATCH_EMIT)
+    MI = jnp.float32(MISMATCH_EMIT)
+    i2i = trans_ref[0]
+    i2m = trans_ref[1]
+    d2d = trans_ref[2]
+    d2m = trans_ref[3]
+    m2m = trans_ref[4]
+    m2i = trans_ref[5]
+    m2d = trans_ref[6]
+
+    read = read_ref[:]                                  # (M, B) int32
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (Mdim, B), 0)
+    n = hl_ref[:]                                       # (1, B)
+    m = rl_ref[:]                                       # (1, B)
+    valid_j = j_idx < m
+
+    r0 = read[0:1, :]                                   # (1, B)
+    # Row-0 emission quirk: hap[j] vs read[0] (HapAligner.cpp:268)
+    if N >= Mdim:
+        hap_m = hap_ref[0:Mdim, :]
+    else:
+        hap_m = jnp.concatenate(
+            [hap_ref[:], jnp.zeros((Mdim - N, B), jnp.int32)], axis=0)
+    emit_row0 = jnp.where(hap_m == r0, MA, MI)
+    jf = j_idx.astype(jnp.float32)
+    Dk = jnp.where(j_idx >= 1, m2d + (jf - 1.0) * d2d, NEG)
+    Dk_shift = jnp.where(j_idx >= 2, m2d + (jf - 2.0) * d2d, NEG)
+    h0 = hap_ref[0:1, :]
+    M0 = jnp.where(j_idx == 0, jnp.where(h0 == r0, MA, MI),
+                   Dk_shift + d2m + emit_row0)
+    M0 = jnp.where(valid_j, M0, NEG)
+    D0 = jnp.where(valid_j, Dk, NEG)
+    I0 = jnp.where(valid_j, NEG, NEG)
+
+    mrow[:] = M0
+    irow[:] = I0
+    drow[:] = D0
+
+    col0_read = jnp.where(m > 1, read[1:2, :], read[0:1, :])   # (1, B)
+    col0_emit = jnp.where(h0 == col0_read, MA, MI)             # (1, B)
+
+    corner_mask = j_idx == (m - 1)
+    best0 = jnp.maximum(jnp.maximum(M0, I0), D0)
+    corner0 = jnp.max(jnp.where(corner_mask, best0, NEG), axis=0,
+                      keepdims=True)                           # (1, B)
+    acc[0:1, :] = jnp.where(n == 1, corner0, NEG)
+    acc[1:2, :] = jnp.zeros((1, B), jnp.float32)
+
+    log2_steps = max(1, (Mdim - 1).bit_length())
+
+    def row_body(i, _):
+        Mp = mrow[:]
+        Ip = irow[:]
+        Dp = drow[:]
+        hrow = hap_ref[pl.ds(i, 1), :]                        # (1, B)
+        emit = jnp.where(hrow == read, MA, MI)
+
+        def shift1(x):
+            y = pltpu.roll(x, 1, axis=0)
+            return jnp.where(j_idx == 0, NEG, y)
+
+        Mn = emit + jnp.maximum(jnp.maximum(shift1(Mp) + m2m, shift1(Dp) + d2m),
+                                shift1(Ip) + i2m)
+        In = MA + jnp.maximum(Mp + m2i, Ip + i2i)
+        M_col0 = Ip[0:1, :] + i2m + col0_emit
+        I_col0 = MA + m2i + (i.astype(jnp.float32) - 1.0) * i2i
+        Mn = jnp.where(j_idx == 0, M_col0, Mn)
+        In = jnp.where(j_idx == 0, I_col0, In)
+
+        # D row via decayed running max over sublanes
+        c = Mn + m2d - (jf + 1.0) * d2d
+        cm = c
+        s = 1
+        for _k in range(log2_steps):
+            shifted = pltpu.roll(cm, s, axis=0)
+            cm = jnp.maximum(cm, jnp.where(j_idx < s, NEG, shifted))
+            s *= 2
+        cm1 = pltpu.roll(cm, 1, axis=0)
+        Dn = jnp.where(j_idx == 0, NEG, jf * d2d + cm1)
+
+        Mn = jnp.where(valid_j, Mn, NEG)
+        In = jnp.where(valid_j, In, NEG)
+        Dn = jnp.where(valid_j, Dn, NEG)
+
+        best = jnp.maximum(jnp.maximum(Mn, In), Dn)
+        band = jnp.abs((n - m) - (i - j_idx)).astype(jnp.float32) * d2d
+        band_mask = (j_idx >= 1) & (j_idx <= m - 1)
+        row_best = jnp.max(jnp.where(band_mask, best + band, NEG), axis=0,
+                           keepdims=True)
+        row_active = i <= n - 1                                # (1, B)
+        fail = jnp.where(row_active & (row_best < BAND_THRESH), 1.0, 0.0)
+        acc[1:2, :] = jnp.maximum(acc[1:2, :], fail)
+
+        corner = jnp.max(jnp.where(corner_mask, best, NEG), axis=0,
+                         keepdims=True)
+        acc[0:1, :] = jnp.where(i == n - 1, corner, acc[0:1, :])
+
+        mrow[:] = jnp.where(row_active, Mn, Mp)
+        irow[:] = jnp.where(row_active, In, Ip)
+        drow[:] = jnp.where(row_active, Dn, Dp)
+        return 0
+
+    jax.lax.fori_loop(1, N, row_body, 0)
+
+    score = jnp.where(acc[1:2, :] > 0.5, jnp.float32(BAND_FAIL_SCORE),
+                      acc[0:1, :])
+    score = jnp.where(jnp.abs(n - m) > LEN_DIFF_LIMIT,
+                      jnp.float32(BAND_FAIL_SCORE), score)
+    score = jnp.where(fl_ref[:] <= MIN_FULL_HAP_LEN, NEG, score)
+    out_ref[:] = score
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_b"))
+def _pallas_call(hap_t, hl, read_t, rl, fl, trans, interpret=False,
+                 tile_b=TILE_B):
+    N, B = hap_t.shape
+    Mdim = read_t.shape[0]
+    TILE = tile_b
+    grid = (B // TILE,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # trans (7,)
+            pl.BlockSpec((N, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mdim, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Mdim, TILE), jnp.float32),
+            pltpu.VMEM((Mdim, TILE), jnp.float32),
+            pltpu.VMEM((Mdim, TILE), jnp.float32),
+            pltpu.VMEM((8, TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(trans, hap_t, hl, read_t, rl, fl)
+    return out[0]
+
+
+def pairhmm_batch_pallas(hap_codes, hap_lens, read_codes, read_lens,
+                         full_hap_lens, params: AlignmentParams = AlignmentParams(),
+                         interpret: bool = False, tile_b: int = TILE_B):
+    """Drop-in replacement for pairhmm.pairhmm_batch using the Pallas kernel.
+
+    Accepts the same (B, N)/(B, M) uint8 batch and transposes into the
+    lanes-carry-batch layout expected by the kernel.
+    """
+    hap = np.asarray(hap_codes)
+    read = np.asarray(read_codes)
+    B = hap.shape[0]
+    Bpad = -(-B // tile_b) * tile_b
+    if Bpad != B:
+        hap = np.pad(hap, ((0, Bpad - B), (0, 0)))
+        read = np.pad(read, ((0, Bpad - B), (0, 0)))
+    hl = np.pad(np.asarray(hap_lens, np.int32), (0, Bpad - B),
+                constant_values=1)
+    rl = np.pad(np.asarray(read_lens, np.int32), (0, Bpad - B),
+                constant_values=1)
+    fl = np.pad(np.asarray(full_hap_lens, np.int32), (0, Bpad - B),
+                constant_values=1)
+    hap_t = np.ascontiguousarray(hap.T.astype(np.int32))
+    read_t = np.ascontiguousarray(read.T.astype(np.int32))
+    trans = jnp.asarray(params.as_array())
+    out = _pallas_call(jnp.asarray(hap_t), jnp.asarray(hl[None, :]),
+                       jnp.asarray(read_t), jnp.asarray(rl[None, :]),
+                       jnp.asarray(fl[None, :]), trans,
+                       interpret=interpret, tile_b=tile_b)
+    return out[:B]

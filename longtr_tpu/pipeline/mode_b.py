@@ -1,0 +1,312 @@
+"""Mode-B read-vs-haplotype scoring driver (seed-split stutter HMM).
+
+Reference: HapAligner.cpp — ``process_read`` short path (:855-991),
+``align_seq_to_hap_short`` (:27-163), ``compute_aln_logprob`` (:165-233) and
+``calc_seed_base`` (:467-542).  Used when ``--stutter-align-len`` is active
+and the repeat period is 1.
+
+Matrices are kept flat (row-major [hap_position × read_position]) with the
+C++'s exact index arithmetic; the non-repeat rows use the same vectorized
+decayed-running-max formulation as mode A, so only the stutter-block rows
+loop in Python (cheap for period-1 blocks — see ops.stutter_hmm).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from longtr_tpu.ops.pairhmm import AlignmentParams
+from longtr_tpu.ops.stutter_hmm import IMPOSSIBLE, MIN_SEED_DIST, StutterAligner, fast_lse
+from longtr_tpu.utils.base_quality import log_prob_correct, log_prob_error
+from longtr_tpu.utils.mathops import int_log
+
+
+class _RevRepeatInfo:
+    def __init__(self, block):
+        self.max_ins = block.max_ins
+        self.max_del = block.max_del
+
+
+def reverse_blocks(blocks):
+    """Reversed haplotype blocks (HapBlock::reverse / RepeatBlock::reverse)."""
+    from longtr_tpu.haplotype.blocks import HapBlock, RepeatBlock
+    out = []
+    for b in blocks:
+        if b.repeat_info is not None:
+            nb = RepeatBlock(b.start, b.end, b.seqs[0][::-1], b.period,
+                             b.stutter_model)
+            for alt, inx in zip(b.seqs[1:], b.inexact[1:]):
+                nb.add_alternate(alt[::-1], inx)
+        else:
+            nb = HapBlock(b.end - 1, b.start - 1, b.seqs[0][::-1])
+            for alt, inx in zip(b.seqs[1:], b.inexact[1:]):
+                nb.add_alternate(alt[::-1], inx)
+        out.append(nb)
+    return list(reversed(out))
+
+
+def calc_seed_base(aln, repeat_starts, repeat_ends, hap_start, hap_end):
+    """Best seed base index or -1 (HapAligner.cpp:467-542)."""
+    def calc_best_seed_position(region_start, region_end):
+        best_dist = best_pos = -1
+        pos = region_start
+        ri = 0
+        while ri < len(repeat_starts) and pos <= region_end:
+            if pos < repeat_starts[ri]:
+                dist = 1 + (min(region_end, repeat_starts[ri] - 1) - pos) // 2
+                if dist >= best_dist:
+                    best_dist = dist
+                    best_pos = dist - 1 + pos
+                pos = repeat_ends[ri]
+                ri += 1
+            elif pos < repeat_ends[ri]:
+                pos = repeat_ends[ri]
+                ri += 1
+            else:
+                ri += 1
+        if pos <= region_end:
+            dist = 1 + (region_end - pos) // 2
+            if dist >= best_dist:
+                best_dist = dist
+                best_pos = dist - 1 + pos
+        return best_dist, best_pos
+
+    pos = aln.start
+    best_seed = -1
+    cur_base = 0
+    max_dist = MIN_SEED_DIST
+    for op, num in aln.cigar:
+        if op == "=":
+            min_region = max(pos, hap_start)
+            max_region = min(pos + num - 1, hap_end - 1)
+            if min_region <= max_region:
+                distance, dist_pos = calc_best_seed_position(min_region, max_region)
+                if distance >= max_dist:
+                    max_dist = distance
+                    best_seed = cur_base + (dist_pos - pos)
+            pos += num
+            cur_base += num
+        elif op == "I":
+            cur_base += num
+        elif op == "X":
+            pos += num
+            cur_base += num
+        elif op == "D":
+            pos += num
+        else:
+            raise ValueError("Unrecognized CIGAR char in calc_seed_base: " + op)
+    if best_seed < -1 or best_seed == 0 or best_seed >= len(aln.sequence) - 1:
+        return -1
+    return best_seed
+
+
+class ModeBAligner:
+    """Scores reads against all haplotype configs with the stutter HMM."""
+
+    def __init__(self, haplotype, alignment_params=None):
+        self.hap = haplotype
+        p = (AlignmentParams.from_list(alignment_params) if alignment_params
+             else AlignmentParams())
+        self.i2i = np.float32(p.ins_to_ins)
+        self.i2m = np.float32(p.ins_to_match)
+        self.d2d = np.float32(p.del_to_del)
+        self.d2m = np.float32(p.del_to_match)
+        self.m2m = np.float32(p.match_to_match)
+        self.m2i = np.float32(p.match_to_ins)
+        self.m2d = np.float32(p.match_to_del)
+        self.fw_blocks = haplotype.blocks
+        self.rev_blocks = reverse_blocks(haplotype.blocks)
+        self.repeat_starts = [b.start for b in self.fw_blocks
+                              if b.repeat_info is not None]
+        self.repeat_ends = [b.end for b in self.fw_blocks
+                            if b.repeat_info is not None]
+        # stutter aligners per block per allele; fw uses left_align=True
+        self._fw_stutter = self._make_stutter(self.fw_blocks, True)
+        self._rev_stutter = self._make_stutter(self.rev_blocks, False)
+        # number of non-repeat haplotype positions (seed prior)
+        self.num_seeds = sum(len(b.seqs[0]) for b in self.fw_blocks
+                             if b.repeat_info is None)
+
+    @staticmethod
+    def _make_stutter(blocks, left_align):
+        out = []
+        for b in blocks:
+            if b.repeat_info is None:
+                out.append(None)
+            else:
+                out.append([StutterAligner(s, b.period, left_align, b)
+                            for s in b.seqs])
+        return out
+
+    # ------------------------------------------------------------------
+    def _align_short(self, blocks, stutter_aligners, config, seq, blw, blc):
+        """align_seq_to_hap_short for one haplotype config.
+
+        Returns (match, insert, delete (hap_size, L) arrays, left_prob,
+        first_char, hap_seqs list).
+        """
+        L = len(seq)
+        seqs = [b.get_seq(c) for b, c in zip(blocks, config)]
+        hap_size = sum(len(s) for s in seqs)
+        M = np.full((hap_size, L), IMPOSSIBLE)
+        I = np.full((hap_size, L), IMPOSSIBLE)
+        D = np.full((hap_size, L), IMPOSSIBLE)
+
+        codes = np.frombuffer(seq.encode(), dtype=np.uint8)
+        first_char = seqs[0][0]
+        prefix = np.concatenate([[0.0], np.cumsum(blc)[:-1]])
+        emit0 = np.where(codes == ord(first_char), blc, blw)
+        M[0] = emit0 + prefix
+        I[0] = blc + prefix
+        left_prob = float(np.cumsum(blc)[-1]) if L else 0.0
+
+        hap_index = 1
+        stutter_R = -1
+        for bi, block in enumerate(blocks):
+            bseq = seqs[bi]
+            if block.repeat_info is not None:
+                option = config[bi]
+                block_len = len(bseq)
+                prev_row = hap_index - 1
+                row = hap_index + block_len - 1
+                sa = stutter_aligners[bi][option]
+                sa.load_read(L, seq, blw, blc)
+                period = block.period
+                d_list = list(range(block.max_del, block.max_ins + 1, period))
+                for j in range(L):
+                    offset = L - 1 - j
+                    probs = []
+                    for Dart in d_list:
+                        base_len = min(block_len + Dart, j + 1)
+                        if base_len >= 0:
+                            pr, _pos = sa.align(base_len, j, offset, Dart)
+                            pre = (0.0 if j - base_len < 0
+                                   else M[prev_row, j - base_len])
+                            probs.append(block.log_prob_pcr_artifact(option, Dart)
+                                         + pr + pre)
+                        else:
+                            probs.append(IMPOSSIBLE)
+                    M[row, j] = fast_lse(probs)
+                stutter_R = row
+                hap_index += block_len
+                continue
+
+            coord0 = 1 if bi == 0 else 0
+            for coord in range(coord0, len(bseq)):
+                h = hap_index
+                ch = ord(bseq[coord])
+                emit = np.where(codes == ch, blc, blw)
+                # boundary j = 0
+                M[h, 0] = emit[0]
+                I[h, 0] = IMPOSSIBLE if h == stutter_R + 1 else blc[0]
+                D[h, 0] = IMPOSSIBLE if h == stutter_R + 1 else \
+                    max(D[h - 1, 0] + self.d2d, M[h - 1, 0] + self.d2m)
+                if h == stutter_R + 1:
+                    # Stutter block must be followed by a match (:132-141)
+                    M[h, 1:] = emit[1:] + M[h - 1, :-1]
+                else:
+                    # match from previous row's diagonal + same-row insert
+                    # insert is a decayed running max along j
+                    base = np.empty(L)
+                    base[0] = I[h, 0]
+                    # I[h, j] = blc[j] + max(M[h-1,j-1]+i2m, I[h,j-1]+i2i)
+                    inj = M[h - 1, :-1] + self.i2m          # source at j>=1
+                    c = np.empty(L)
+                    c[0] = I[h, 0]
+                    # running max: I[h,j] - blc[j] = max(inj[j-1], I[h,j-1]+i2i)
+                    vals = np.empty(L)
+                    vals[0] = I[h, 0] - blc[0] if L else 0.0
+                    # sequential-free scan: t[j] = max over k<=j of
+                    # (src[k] - k*i2i) then + j*i2i, where src[0]=I[h,0]-blc[0]
+                    jj = np.arange(L)
+                    src = np.empty(L)
+                    src[0] = I[h, 0] - blc[0]
+                    src[1:] = inj
+                    run = np.maximum.accumulate(src - jj * self.i2i)
+                    t = run + jj * self.i2i
+                    I[h] = blc + t
+                    I[h, 0] = IMPOSSIBLE if h == stutter_R + 1 else blc[0]
+                    # recompute t with corrected I[h,0]
+                    src[0] = I[h, 0] - blc[0]
+                    run = np.maximum.accumulate(src - jj * self.i2i)
+                    I[h] = blc + run + jj * self.i2i
+                    M[h, 1:] = emit[1:] + np.maximum(
+                        I[h, :-1] + self.m2i,
+                        np.maximum(M[h - 1, :-1] + self.m2m,
+                                   D[h - 1, :-1] + self.m2d))
+                    D[h, 1:] = np.maximum(M[h - 1, 1:] + self.d2m,
+                                          D[h - 1, 1:] + self.d2d)
+                hap_index += 1
+        return M, I, D, left_prob, seqs
+
+    # ------------------------------------------------------------------
+    def compute_aln_logprob(self, base_seq_len, seed_base, seed_char,
+                            log_seed_wrong, log_seed_correct,
+                            l_match, l_prob, r_match, r_prob, fw_seqs):
+        """HapAligner.cpp:165-233 with flat matrices."""
+        lflank_len = seed_base
+        rflank_len = base_seq_len - seed_base - 1
+        hapsize = sum(len(s) for s in fw_seqs)
+        prior = -int_log(self.num_seeds)
+        lm = l_match.reshape(-1)
+        rm = r_match.reshape(-1)
+        log_probs = []
+        first_char = fw_seqs[0][0]
+        last_char = fw_seqs[-1][-1]
+        log_probs.append(prior + (log_seed_correct if seed_char == first_char
+                                  else log_seed_wrong)
+                         + l_prob + rm[rflank_len * (hapsize - 1) - 1])
+        log_probs.append(prior + (log_seed_correct if seed_char == last_char
+                                  else log_seed_wrong)
+                         + r_prob + lm[lflank_len * (hapsize - 1) - 1])
+        l_ptr = lflank_len - 1
+        r_ptr = rflank_len * (hapsize - 2) - 1
+        hap_index = 1
+        for bi, block in enumerate(self.fw_blocks):
+            bseq = fw_seqs[bi]
+            if block.repeat_info is not None:
+                l_ptr += lflank_len * len(bseq)
+                r_ptr -= rflank_len * len(bseq)
+                hap_index += len(bseq)
+                continue
+            coord = 1 if bi == 0 else 0
+            end_coord = len(bseq) - 1 if bi == len(self.fw_blocks) - 1 else len(bseq)
+            while coord < end_coord:
+                log_probs.append(prior + (log_seed_correct
+                                          if seed_char == bseq[coord]
+                                          else log_seed_wrong)
+                                 + lm[l_ptr] + rm[r_ptr])
+                l_ptr += lflank_len
+                r_ptr -= rflank_len
+                coord += 1
+                hap_index += 1
+        return fast_lse(log_probs)
+
+    # ------------------------------------------------------------------
+    def score_read(self, aln, seed_base: int) -> np.ndarray:
+        """LLs against every haplotype config, in enumeration order."""
+        seq = aln.sequence
+        L = len(seq)
+        quals = aln.base_qualities
+        blw = np.array([log_prob_error(q) for q in quals])
+        blc = np.array([log_prob_correct(q) for q in quals])
+
+        left_seq = seq[:seed_base]
+        left_w, left_c = blw[:seed_base], blc[:seed_base]
+        right_seq = seq[seed_base + 1:][::-1]
+        right_w = blw[seed_base + 1:][::-1]
+        right_c = blc[seed_base + 1:][::-1]
+
+        out = np.empty(self.hap.num_combs())
+        for k, config in enumerate(self.hap.all_configs()):
+            rev_config = tuple(reversed(config))
+            lM, _, _, l_prob, fw_seqs = self._align_short(
+                self.fw_blocks, self._fw_stutter, config, left_seq,
+                left_w, left_c)
+            rM, _, _, r_prob, _ = self._align_short(
+                self.rev_blocks, self._rev_stutter, rev_config, right_seq,
+                right_w, right_c)
+            out[k] = self.compute_aln_logprob(
+                L, seed_base, seq[seed_base], blw[seed_base], blc[seed_base],
+                lM, l_prob, rM, r_prob, fw_seqs)
+        return out

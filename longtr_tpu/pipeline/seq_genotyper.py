@@ -236,7 +236,7 @@ class HapAlignerTPU:
                 pad = Bpad - (hi - lo)
                 ci = np.concatenate([ci, np.zeros(pad, dtype=ci.dtype)])
                 cj = np.concatenate([cj, np.zeros(pad, dtype=cj.dtype)])
-            scores = pairhmm.pairhmm_batch(
+            scores = pairhmm.pairhmm_batch_auto(
                 hap_codes[cj], hap_lens[cj], read_codes[ci], read_lens[ci],
                 full_lens[cj], self.params)
             out[lo:hi] = np.asarray(scores, dtype=np.float64)[: hi - lo]
@@ -332,8 +332,25 @@ class SeqStutterGenotyper:
         return True
 
     # ------------------------------------------------------------------
+    def _use_mode_b(self) -> bool:
+        """Legacy stutter HMM gate (HapAligner.cpp:552-555): period == 1 and
+        --stutter-align-len set."""
+        if not self.switch_old_align_len:
+            return False
+        rb = [b for b in self.haplotype.blocks if b.repeat_info is not None]
+        return bool(rb) and rb[0].period == 1
+
     def _calc_hap_aln_probs(self):
         """One batched device dispatch; mate-LL combining (:508-563)."""
+        if self._use_mode_b():
+            pool_scores = self._mode_b_scores()
+            LL = pool_scores[self.pool_index]
+            for i in np.flatnonzero(self.second_mate):
+                tot = LL[i - 1] + LL[i]
+                LL[i - 1] = tot
+                LL[i] = tot
+            self.log_aln_probs = LL
+            return
         aligner = HapAlignerTPU(self.haplotype, self.indel_flank_len,
                                 self.alignment_params)
         pool_scores = aligner.score_pools(self.pooler.pooled_alns)
@@ -344,6 +361,30 @@ class SeqStutterGenotyper:
             LL[i - 1] = tot
             LL[i] = tot
         self.log_aln_probs = LL
+
+    def _mode_b_scores(self) -> np.ndarray:
+        """Mode-B scoring of all pools (HapAligner::process_reads short path).
+
+        Reads without a valid seed get an all-zero LL row
+        (HapAligner.cpp:570-574); their seed position is recorded as -1.
+        """
+        from longtr_tpu.pipeline.mode_b import ModeBAligner, calc_seed_base
+        aligner = ModeBAligner(self.haplotype, self.alignment_params)
+        hap_start = self.haplotype.blocks[0].start
+        hap_end = self.haplotype.blocks[-1].end
+        A = self.haplotype.num_combs()
+        pools = self.pooler.pooled_alns
+        scores = np.zeros((len(pools), A))
+        self.pool_seed_positions = np.full(len(pools), -1, dtype=np.int64)
+        for p, aln in enumerate(pools):
+            seed = calc_seed_base(aln, aligner.repeat_starts,
+                                  aligner.repeat_ends, hap_start, hap_end)
+            self.pool_seed_positions[p] = seed
+            if seed == -1:
+                continue
+            scores[p] = aligner.score_read(aln, seed)
+        self.seed_positions = self.pool_seed_positions[self.pool_index]
+        return scores
 
     def _calc_posteriors(self):
         """Posterior on host in float64 (genotyper.cpp:45-83 uses doubles).
@@ -430,9 +471,13 @@ class SeqStutterGenotyper:
         self.num_alleles = new_A
         self.log_aln_probs = new_LL
         if realign:
-            aligner = HapAlignerTPU(self.haplotype, self.indel_flank_len,
-                                    self.alignment_params)
-            sub = aligner.score_pools(self.pooler.pooled_alns, hap_subset=realign)
+            if self._use_mode_b():
+                sub = self._mode_b_scores()[:, realign]
+            else:
+                aligner = HapAlignerTPU(self.haplotype, self.indel_flank_len,
+                                        self.alignment_params)
+                sub = aligner.score_pools(self.pooler.pooled_alns,
+                                          hap_subset=realign)
             LLsub = sub[self.pool_index]
             for i in np.flatnonzero(self.second_mate):
                 tot = LLsub[i - 1] + LLsub[i]

@@ -236,7 +236,13 @@ def _write_block_record(gt, sample_names, hap_block_index, region,
     log_read_phases = [[] for _ in range(S)]
 
     LL = gt.log_aln_probs
+    seed_positions = getattr(gt, "seed_positions", None)
     for r in range(gt.num_reads):
+        if gt.switch_old_align_len and seed_positions is not None \
+                and seed_positions[r] < 0:
+            # Mode B: unseeded reads are excluded from the per-sample stats
+            # (seq_stutter_genotyper.cpp:946-951)
+            continue
         s = gt.sample_label[r]
         hap_a, hap_b = haplotypes[s]
         a_val = LL[r, hap_a] + gt.log_p1[r] + LOG_ONE_HALF

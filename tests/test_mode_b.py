@@ -1,0 +1,117 @@
+"""Mode-B (stutter HMM) tests: component behavior + homopolymer e2e."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth import (Locus, make_genome, write_bed, write_sample_bam)  # noqa: E402
+
+from longtr_tpu.haplotype.blocks import HapBlock, Haplotype, RepeatBlock  # noqa: E402
+from longtr_tpu.io.fasta import write_fasta  # noqa: E402
+from longtr_tpu.io.vcf import VCFReader  # noqa: E402
+from longtr_tpu.models.stutter import default_stutter_model  # noqa: E402
+from longtr_tpu.pipeline.alignment import Alignment  # noqa: E402
+from longtr_tpu.pipeline.mode_b import ModeBAligner, calc_seed_base  # noqa: E402
+
+RNG = np.random.default_rng(31)
+
+
+def make_homopolymer_hap(copies_list, flank_l="ACGTTGCAGC", flank_r="GTCAGGCTAT"):
+    sm = default_stutter_model().with_period(1)
+    start = 100
+    blocks = [HapBlock(start - len(flank_l), start, flank_l)]
+    rb = RepeatBlock(start, start + copies_list[0], "T" * copies_list[0], 1, sm)
+    for c in copies_list[1:]:
+        rb.add_alternate("T" * c)
+    blocks.append(rb)
+    blocks.append(HapBlock(start + copies_list[0],
+                           start + copies_list[0] + len(flank_r), flank_r))
+    return Haplotype(blocks), flank_l, flank_r
+
+
+def read_for(copies, flank_l, flank_r, start=100):
+    seq = flank_l + "T" * copies + flank_r
+    aln = Alignment(start - len(flank_l), start + copies + len(flank_r) - 1,
+                    False, False, "r", "I" * len(seq), seq, seq)
+    ref_copies = 12
+    cig = [("=", len(flank_l))]
+    if copies == ref_copies:
+        cig = [("=", len(seq))]
+    elif copies > ref_copies:
+        cig = [("=", len(flank_l) + ref_copies), ("I", copies - ref_copies),
+               ("=", len(flank_r))]
+    else:
+        cig = [("=", len(flank_l) + copies), ("D", ref_copies - copies),
+               ("=", len(flank_r))]
+    aln.cigar = cig
+    return aln
+
+
+def test_mode_b_prefers_matching_allele():
+    hap, fl, fr = make_homopolymer_hap([12, 9, 15])
+    aligner = ModeBAligner(hap)
+    h2a = hap.haps_to_alleles(1)
+    for true_allele, copies in ((0, 12), (1, 9), (2, 15)):
+        aln = read_for(copies, fl, fr)
+        seed = calc_seed_base(aln, aligner.repeat_starts, aligner.repeat_ends,
+                              hap.blocks[0].start, hap.blocks[-1].end)
+        assert seed >= 0
+        scores = aligner.score_read(aln, seed)
+        best = int(np.argmax(scores))
+        assert h2a[best] == true_allele, (copies, scores)
+        assert np.all(scores <= 1e-9)
+
+
+def test_mode_b_stutter_tolerance():
+    # A read one unit off the true allele should still favor it over a
+    # distant allele (stutter PMF absorbs +/-1).
+    hap, fl, fr = make_homopolymer_hap([12, 4])
+    aligner = ModeBAligner(hap)
+    h2a = hap.haps_to_alleles(1)
+    aln = read_for(11, fl, fr)   # 11 T's: closer to 12 than 4
+    seed = calc_seed_base(aln, aligner.repeat_starts, aligner.repeat_ends,
+                          hap.blocks[0].start, hap.blocks[-1].end)
+    scores = aligner.score_read(aln, seed)
+    assert h2a[int(np.argmax(scores))] == 0
+
+
+def test_calc_seed_base_avoids_repeat():
+    hap, fl, fr = make_homopolymer_hap([12])
+    aligner = ModeBAligner(hap)
+    aln = read_for(12, fl, fr)
+    seed = calc_seed_base(aln, aligner.repeat_starts, aligner.repeat_ends,
+                          hap.blocks[0].start, hap.blocks[-1].end)
+    # seed must not fall inside the repeat block [100, 112)
+    pos = aln.start + seed  # all-= cigar -> direct mapping
+    assert not (100 <= pos < 112)
+
+
+def test_e2e_homopolymer_with_stutter_align(tmp_path):
+    """Full pipeline on a homopolymer locus with --stutter-align-len."""
+    loci = [Locus("chr1", 1000, "T", 14, "HOMO_T")]
+    genome = make_genome(RNG, loci)
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, genome)
+    bed = str(tmp_path / "r.bed")
+    write_bed(bed, loci)
+    genotypes = {"S1": {"HOMO_T": (14, 18)}}
+    bam = str(tmp_path / "S1.bam")
+    write_sample_bam(bam, genome, loci, genotypes["S1"], "S1", RNG,
+                     coverage=24)
+    out = str(tmp_path / "calls.vcf.gz")
+    from longtr_tpu.cli import main as cli_main
+    assert cli_main(["--bams", bam, "--fasta", fasta, "--regions", bed,
+                     "--tr-vcf", out, "--min-reads", "5",
+                     "--stutter-align-len", "25", "--quiet"]) == 0
+    vcf = VCFReader(out)
+    vcf.set_region("chr1", 0)
+    v = vcf.get_next_variant()
+    assert v is not None
+    gt = v.genotype("S1")
+    assert gt is not None
+    lens = sorted(len(v.alleles[a]) for a in gt[:2])
+    ref_extra = len(v.ref) - 14
+    assert [x - ref_extra for x in lens] == [14, 18]

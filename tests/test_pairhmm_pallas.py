@@ -1,0 +1,66 @@
+"""Pallas pair-HMM kernel vs the jnp scan implementation (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from longtr_tpu.ops.pairhmm import AlignmentParams, encode_seq, pairhmm_batch
+from longtr_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas
+
+RNG = np.random.default_rng(77)
+BASES = np.array(list("ACGT"))
+
+
+def make_batch(B, nmin=20, nmax=120):
+    haps, reads = [], []
+    for _ in range(B):
+        n = int(RNG.integers(nmin, nmax))
+        hap = "".join(RNG.choice(BASES, n))
+        read = []
+        for ch in hap:
+            r = RNG.random()
+            if r < 0.005:
+                continue
+            read.append(ch if r > 0.02 else str(RNG.choice(BASES)))
+        haps.append(hap)
+        reads.append("".join(read))
+    N = max(len(h) for h in haps)
+    M = max(len(r) for r in reads)
+    H = np.stack([encode_seq(h, N) for h in haps])
+    R = np.stack([encode_seq(r, M) for r in reads])
+    hl = np.array([len(h) for h in haps], np.int32)
+    rl = np.array([len(r) for r in reads], np.int32)
+    return H, hl, R, rl, hl + 60
+
+
+# Interpret mode executes every op per grid step, so keep shapes tiny here;
+# full-size numeric validation against the scan runs on real hardware in
+# bench.py / verification.
+
+def test_pallas_matches_scan():
+    H, hl, R, rl, fl = make_batch(6, 10, 28)
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True,
+                                          tile_b=8))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pallas_gates_and_bandfail():
+    # length-difference gate, short-hap gate, band fail
+    H, hl, R, rl, fl = make_batch(4, 15, 30)
+    fl[0] = 60                    # short hap -> -1e9
+    # make pair 1 totally dissimilar -> band fail expected
+    R[1] = encode_seq("G" * int(rl[1]), R.shape[1])
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True,
+                                          tile_b=8))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pallas_custom_params():
+    H, hl, R, rl, fl = make_batch(4, 10, 25)
+    params = AlignmentParams.from_list([-2.0, -0.3, -1.5, -0.25, -0.0001,
+                                        -8.0, -9.0])
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl, params))
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, params,
+                                          interpret=True, tile_b=8))
+    np.testing.assert_allclose(got, want, atol=1e-3)
