@@ -431,6 +431,12 @@ class BamReader:
         rid = self.header.ref_id(chrom)
         if rid < 0:
             return False
+        fast = self.fetch_fast(chrom, start, end)
+        if fast is not None:
+            self._prefetched = fast
+            self._prefetch_i = 0
+            return True
+        self._prefetched = None
         if self.index is None:
             # Sequential fallback for unindexed (coordinate-sorted) BAMs.
             self._cur_chrom = chrom
@@ -471,6 +477,12 @@ class BamReader:
         return True
 
     def get_next_alignment(self) -> BamRecord | None:
+        if getattr(self, "_prefetched", None) is not None:
+            if self._prefetch_i >= len(self._prefetched):
+                return None
+            rec = self._prefetched[self._prefetch_i]
+            self._prefetch_i += 1
+            return rec
         if self._region is None:
             return self._read_record()
         rid, start, end = self._region
@@ -498,6 +510,9 @@ class BamReader:
 
     def fetch(self, chrom: str, start: int, end: int):
         """Convenience: list of records overlapping [start, end)."""
+        fast = self.fetch_fast(chrom, start, end)
+        if fast is not None:
+            return fast
         out = []
         if not self.set_region(chrom, start, end):
             return out
@@ -506,6 +521,54 @@ class BamReader:
             if rec is None:
                 break
             out.append(rec)
+        return out
+
+    def fetch_fast(self, chrom: str, start: int, end: int):
+        """Native-accelerated region fetch (C++ BGZF inflate + batch decode).
+
+        Returns None when the native library or index is unavailable so the
+        caller falls back to the streaming path.
+        """
+        if self.index is None:
+            return None
+        try:
+            from longtr_tpu import native
+            if native.get_lib() is None:
+                return None
+        except Exception:
+            return None
+        rid = self.header.ref_id(chrom)
+        if rid < 0:
+            return None
+        import os
+        file_size = os.fstat(self._bgzf._fh.fileno()).st_size
+        out = []
+        for cb, ce in self.index.chunks_for(rid, start, end):
+            c_start = cb >> 16
+            within = cb & 0xFFFF
+            c_end = min((ce >> 16) + 0x10000, file_size)
+            self._bgzf._fh.seek(c_start)
+            comp = self._bgzf._fh.read(c_end - c_start)
+            data = native.bgzf_inflate_all(comp)
+            if data is None:
+                return None
+            batch = native.bam_decode(data[within:])
+            if batch is None:
+                return None
+            for i in range(batch.n):
+                ref_id, pos, mapq, flag, mref, mpos, tlen, l_seq = \
+                    batch.record_fields(i)
+                if ref_id != rid or pos >= end:
+                    break
+                cigar = batch.cigar(i)
+                if pos + cigar_ref_len(cigar) <= start:
+                    continue
+                rec = BamRecord(batch.name(i), flag, ref_id, pos, mapq, cigar,
+                                mref, mpos, tlen, batch.seq(i), batch.qual(i),
+                                _decode_tags(batch.tag_blob(i), 0),
+                                self.path, self.header.ref_name(ref_id),
+                                self.header.ref_name(mref))
+                out.append(rec)
         return out
 
 

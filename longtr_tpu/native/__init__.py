@@ -1,0 +1,158 @@
+"""ctypes bindings for the native I/O library (with auto-build + fallback).
+
+The reference's I/O layer is native C (htslib); this module provides the
+equivalent native fast paths for our BAM/BGZF implementation.  If the shared
+library is absent it is built on first import (g++ is baked into the image);
+if that fails, callers fall back to the pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_DIR, "liblongtr_native.so")
+_lib = None
+
+
+def _build():
+    src = os.path.join(_DIR, "longtr_native.cc")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src, "-lz"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """The loaded library or None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            _build()
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.ltr_bgzf_total_isize.restype = ctypes.c_int64
+    lib.ltr_bgzf_total_isize.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.ltr_bgzf_inflate_all.restype = ctypes.c_int64
+    lib.ltr_bgzf_inflate_all.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.ltr_bam_count_records.restype = ctypes.c_int64
+    lib.ltr_bam_count_records.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.ltr_bam_decode.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def bgzf_inflate_all(data: bytes) -> bytes | None:
+    """Native whole-buffer BGZF inflation; None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    total = lib.ltr_bgzf_total_isize(data, len(data))
+    if total < 0:
+        return None
+    out = np.empty(total, dtype=np.uint8)
+    n = lib.ltr_bgzf_inflate_all(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        total)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+class DecodedBatch:
+    """Columnar decode of a BAM record region."""
+
+    __slots__ = ("n", "fixed", "offsets", "names", "cigar_ops", "cigar_lens",
+                 "seqs", "quals", "tags")
+
+    def __init__(self, n, fixed, offsets, names, cigar_ops, cigar_lens,
+                 seqs, quals, tags):
+        self.n = n
+        self.fixed = fixed
+        self.offsets = offsets
+        self.names = names
+        self.cigar_ops = cigar_ops
+        self.cigar_lens = cigar_lens
+        self.seqs = seqs
+        self.quals = quals
+        self.tags = tags
+
+    def record_fields(self, i):
+        """(ref_id, pos, mapq, flag, mate_ref, mate_pos, tlen, l_seq)."""
+        return tuple(int(x) for x in self.fixed[i])
+
+    def name(self, i):
+        o, ln = self.offsets[i, 0], self.offsets[i, 1]
+        return self.names[o: o + ln].tobytes().decode()
+
+    def cigar(self, i):
+        o, cn = self.offsets[i, 2], self.offsets[i, 3]
+        ops = self.cigar_ops[o: o + cn].tobytes().decode()
+        lens = self.cigar_lens[o: o + cn]
+        return [(ops[k], int(lens[k])) for k in range(cn)]
+
+    def seq(self, i):
+        o, l = self.offsets[i, 4], self.fixed[i, 7]
+        return self.seqs[o: o + l].tobytes().decode()
+
+    def qual(self, i):
+        o, l = self.offsets[i, 5], self.fixed[i, 7]
+        return self.quals[o: o + l].tobytes().decode()
+
+    def tag_blob(self, i):
+        o, ln = self.offsets[i, 6], self.offsets[i, 7]
+        return self.tags[o: o + ln].tobytes()
+
+
+def bam_decode(buf: bytes, max_records: int | None = None):
+    """Columnar decode of records in an uncompressed BAM region; None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_rec = lib.ltr_bam_count_records(ptr, len(buf))
+    if max_records is not None:
+        n_rec = min(n_rec, max_records)
+    if n_rec <= 0:
+        return DecodedBatch(0, np.zeros((0, 8), np.int32),
+                            np.zeros((0, 8), np.int64),
+                            *(np.zeros(0, np.uint8) for _ in range(4)),
+                            np.zeros(0, np.int32), np.zeros(0, np.uint8))
+    fixed = np.zeros((n_rec, 8), dtype=np.int32)
+    offsets = np.zeros((n_rec, 8), dtype=np.int64)
+    names = np.zeros(len(buf), dtype=np.uint8)
+    cigar_ops = np.zeros(len(buf) // 4 + 16, dtype=np.uint8)
+    cigar_lens = np.zeros(len(buf) // 4 + 16, dtype=np.int32)
+    seqs = np.zeros(2 * len(buf) + 16, dtype=np.uint8)
+    quals = np.zeros(2 * len(buf) + 16, dtype=np.uint8)
+    tags = np.zeros(len(buf), dtype=np.uint8)
+
+    def P(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    got = lib.ltr_bam_decode(
+        ptr, ctypes.c_int64(len(buf)), ctypes.c_int64(n_rec),
+        fixed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        P(names), ctypes.c_int64(len(names)),
+        P(cigar_ops), cigar_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(cigar_ops)),
+        P(seqs), P(quals), ctypes.c_int64(len(seqs)),
+        P(tags), ctypes.c_int64(len(tags)))
+    if got < 0:
+        return None
+    return DecodedBatch(int(got), fixed, offsets, names, cigar_ops,
+                        cigar_lens, seqs, quals, tags)

@@ -1,0 +1,220 @@
+// Native host-side I/O acceleration for longtr_tpu.
+//
+// The reference (gymrek-lab/LongTR) does all I/O through htslib (C);
+// this library provides the equivalent native fast paths for our own
+// BAM/BGZF implementation:
+//   * BGZF: block-size scan + whole-buffer inflation (zlib)
+//   * BAM:  batch record decode into columnar arrays (positions, flags,
+//           cigar ops, ASCII sequence/quals, field offsets) so Python
+//           touches each record O(1) instead of per-byte.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+// Build: see build.sh (g++ -O3 -shared -fPIC ... -lz).
+
+#include <cstdint>
+#include <cstring>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+// Sum of ISIZE fields over all BGZF blocks (total uncompressed size).
+// Returns -1 on malformed data.
+int64_t ltr_bgzf_total_isize(const uint8_t* src, int64_t n) {
+  int64_t off = 0;
+  int64_t total = 0;
+  while (off + 18 <= n) {
+    if (src[off] != 0x1f || src[off + 1] != 0x8b) return -1;
+    uint16_t xlen = src[off + 10] | (src[off + 11] << 8);
+    // find BC subfield
+    int64_t xoff = off + 12;
+    int64_t xend = xoff + xlen;
+    if (xend > n) return -1;
+    int32_t bsize = -1;
+    while (xoff + 4 <= xend) {
+      uint8_t si1 = src[xoff], si2 = src[xoff + 1];
+      uint16_t slen = src[xoff + 2] | (src[xoff + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        bsize = (src[xoff + 4] | (src[xoff + 5] << 8)) + 1;
+        break;
+      }
+      xoff += 4 + slen;
+    }
+    if (bsize < 0) return -1;
+    if (off + bsize > n) break;  // truncated trailing block: stop
+    uint32_t isize;
+    memcpy(&isize, src + off + bsize - 4, 4);
+    total += isize;
+    off += bsize;
+  }
+  return total;
+}
+
+// Inflate all BGZF blocks in src into dst (capacity dst_cap).
+// Returns total decompressed bytes, or -1 on error / -2 if dst too small.
+int64_t ltr_bgzf_inflate_all(const uint8_t* src, int64_t n,
+                             uint8_t* dst, int64_t dst_cap) {
+  int64_t off = 0;
+  int64_t out = 0;
+  while (off + 18 <= n) {
+    if (src[off] != 0x1f || src[off + 1] != 0x8b) return -1;
+    uint16_t xlen = src[off + 10] | (src[off + 11] << 8);
+    int64_t xoff = off + 12;
+    int64_t xend = xoff + xlen;
+    if (xend > n) return -1;
+    int32_t bsize = -1;
+    while (xoff + 4 <= xend) {
+      uint8_t si1 = src[xoff], si2 = src[xoff + 1];
+      uint16_t slen = src[xoff + 2] | (src[xoff + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        bsize = (src[xoff + 4] | (src[xoff + 5] << 8)) + 1;
+        break;
+      }
+      xoff += 4 + slen;
+    }
+    if (bsize < 0) return -1;
+    if (off + bsize > n) break;
+    const uint8_t* cdata = src + off + 12 + xlen;
+    int64_t clen = bsize - 12 - xlen - 8;
+    uint32_t isize;
+    memcpy(&isize, src + off + bsize - 4, 4);
+    if (out + isize > dst_cap) return -2;
+    if (isize > 0) {
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) return -1;
+      zs.next_in = const_cast<uint8_t*>(cdata);
+      zs.avail_in = (uInt)clen;
+      zs.next_out = dst + out;
+      zs.avail_out = (uInt)isize;
+      int ret = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (ret != Z_STREAM_END) return -1;
+    }
+    out += isize;
+    off += bsize;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// BAM record scan/decode
+// ---------------------------------------------------------------------------
+
+static const char SEQ_NT16[17] = "=ACMGRSVTWYHKDBN";
+static const char CIGAR_OPS[10] = "MIDNSHP=X";
+
+// Count BAM records in an uncompressed buffer starting at a record boundary.
+int64_t ltr_bam_count_records(const uint8_t* buf, int64_t n) {
+  int64_t off = 0, count = 0;
+  while (off + 4 <= n) {
+    int32_t block_size;
+    memcpy(&block_size, buf + off, 4);
+    if (block_size < 32 || off + 4 + block_size > n) break;
+    count++;
+    off += 4 + block_size;
+  }
+  return count;
+}
+
+// Decode up to max_records records into columnar arrays.
+//
+// Fixed-width outputs (length max_records):
+//   ref_id, pos, mapq, flag, mate_ref, mate_pos, tlen, l_seq : int32
+//   name_off/name_len, cigar_off/cigar_n, seq_off, qual_off,
+//   tag_off/tag_len, rec_end : int64 offsets into the respective pools
+// Pools:
+//   names: concatenated NUL-free name bytes
+//   cigar_ops: uint8 op chars; cigar_lens: int32 lengths
+//   seqs: ASCII bases; quals: phred+33 bytes (same offsets as seqs)
+// Returns number of records decoded, or -1 on error.
+int64_t ltr_bam_decode(const uint8_t* buf, int64_t n, int64_t max_records,
+                       int32_t* fixed,          // (max_records, 8) int32
+                       int64_t* offsets,        // (max_records, 8) int64
+                       uint8_t* names, int64_t names_cap,
+                       uint8_t* cigar_ops, int32_t* cigar_lens, int64_t cigar_cap,
+                       uint8_t* seqs, uint8_t* quals, int64_t seq_cap,
+                       uint8_t* tags, int64_t tags_cap) {
+  int64_t off = 0, rec = 0;
+  int64_t name_out = 0, cig_out = 0, seq_out = 0, tag_out = 0;
+  while (off + 4 <= n && rec < max_records) {
+    int32_t block_size;
+    memcpy(&block_size, buf + off, 4);
+    if (block_size < 32 || off + 4 + block_size > n) break;
+    const uint8_t* r = buf + off + 4;
+
+    int32_t ref_id, pos, l_seq, next_ref, next_pos, tlen;
+    memcpy(&ref_id, r, 4);
+    memcpy(&pos, r + 4, 4);
+    uint8_t l_read_name = r[8];
+    uint8_t mapq = r[9];
+    uint16_t n_cigar, flag;
+    memcpy(&n_cigar, r + 12, 2);
+    memcpy(&flag, r + 14, 2);
+    memcpy(&l_seq, r + 16, 4);
+    memcpy(&next_ref, r + 20, 4);
+    memcpy(&next_pos, r + 24, 4);
+    memcpy(&tlen, r + 28, 4);
+
+    int32_t* f = fixed + rec * 8;
+    f[0] = ref_id; f[1] = pos; f[2] = mapq; f[3] = flag;
+    f[4] = next_ref; f[5] = next_pos; f[6] = tlen; f[7] = l_seq;
+
+    int64_t* o = offsets + rec * 8;
+    const uint8_t* p = r + 32;
+
+    // name
+    if (name_out + l_read_name > names_cap) return -2;
+    memcpy(names + name_out, p, l_read_name - 1);
+    o[0] = name_out; o[1] = l_read_name - 1;
+    name_out += l_read_name - 1;
+    p += l_read_name;
+
+    // cigar
+    if (cig_out + n_cigar > cigar_cap) return -2;
+    o[2] = cig_out; o[3] = n_cigar;
+    for (int k = 0; k < n_cigar; ++k) {
+      uint32_t v;
+      memcpy(&v, p + 4 * k, 4);
+      cigar_ops[cig_out + k] = (uint8_t)CIGAR_OPS[v & 0xF];
+      cigar_lens[cig_out + k] = (int32_t)(v >> 4);
+    }
+    cig_out += n_cigar;
+    p += 4 * (int64_t)n_cigar;
+
+    // seq (4-bit packed) + qual
+    if (seq_out + l_seq > seq_cap) return -2;
+    o[4] = seq_out;
+    for (int k = 0; k < l_seq; ++k) {
+      uint8_t b = p[k >> 1];
+      uint8_t code = (k & 1) ? (b & 0xF) : (b >> 4);
+      seqs[seq_out + k] = (uint8_t)SEQ_NT16[code];
+    }
+    p += (l_seq + 1) / 2;
+    for (int k = 0; k < l_seq; ++k) {
+      int q = p[k] + 33;
+      quals[seq_out + k] = (uint8_t)(q > 126 ? 126 : q);
+    }
+    o[5] = seq_out;
+    seq_out += l_seq;
+    p += l_seq;
+
+    // tags: raw blob
+    const uint8_t* rec_end = r + block_size;
+    int64_t tag_len = rec_end - p;
+    if (tag_len < 0) return -1;
+    if (tag_out + tag_len > tags_cap) return -2;
+    memcpy(tags + tag_out, p, tag_len);
+    o[6] = tag_out; o[7] = tag_len;
+    tag_out += tag_len;
+
+    off += 4 + block_size;
+    rec++;
+  }
+  return rec;
+}
+
+}  // extern "C"
