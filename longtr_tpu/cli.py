@@ -76,8 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--silent", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"LongTR-TPU {__version__}")
-    p.add_argument("--num-shards", type=int, default=0,
-                   help="Shard loci across JAX devices (0 = all local devices)")
+    p.add_argument("--shard", default="",
+                   help="Process an interleaved shard of the catalog, e.g. "
+                        "'0/4'; merge per-shard VCFs with longtr-merge-vcf")
     return p
 
 
@@ -128,24 +129,10 @@ def config_from_args(args) -> Config:
     return cfg
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache: locus shapes repeat across runs."""
-    import os
-
-    import jax
-    cache_dir = os.environ.get("LONGTR_XLA_CACHE",
-                               os.path.expanduser("~/.cache/longtr_tpu_xla"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    _enable_compile_cache()
+    from longtr_tpu.ops.pairhmm import enable_compile_cache
+    enable_compile_cache()
     full_command = "LongTR-TPU-" + __version__ + " " + " ".join(argv or sys.argv[1:])
 
     if not args.bams and not args.bam_files:
@@ -211,6 +198,12 @@ def main(argv=None):
     from longtr_tpu.pipeline.processor import GenotyperPipeline
     pipeline = GenotyperPipeline(cfg, use_bam_rgs, full_logger, sel_logger)
 
+    if args.viz_out:
+        if not args.viz_out.endswith(".gz"):
+            sys.exit("ERROR: Path for alignment visualization file must end "
+                     "in .gz as it will be bgzipped")
+        from longtr_tpu.io.bgzf import BgzfWriter
+        pipeline.viz_out = BgzfWriter(args.viz_out)
     if args.ref_vcf:
         from longtr_tpu.io.vcf import VCFReader
         pipeline.ref_vcf = VCFReader(args.ref_vcf)
@@ -222,9 +215,14 @@ def main(argv=None):
         samples = cfg.sample_set & rg_samples if cfg.sample_set else rg_samples
         pipeline.set_output_vcf(args.tr_vcf, samples)
 
+    shard = None
+    if args.shard:
+        sid, nsh = (int(x) for x in args.shard.split("/"))
+        shard = (sid, nsh)
     pipeline.process_regions(reader, args.regions, args.fasta, rg_to_sample,
                              rg_to_library, full_command,
-                             max_regions=10_000_000, chrom=args.chrom)
+                             max_regions=10_000_000, chrom=args.chrom,
+                             shard=shard)
     pipeline.finish()
     reader.close()
     if args.log:

@@ -67,6 +67,10 @@ class Config:
     stutter_in: str = ""
     stutter_out: str = ""
 
+    # TPU dispatch scheduling: number of loci whose pair-HMM work is fused
+    # into one device call (the reference is strictly per-locus).
+    locus_batch: int = 16
+
     # Phasing constants (snp_bam_processor.h:16-18, 54, 103)
     from_hap_ll: float = -0.000001
     other_hap_ll: float = -1000.0

@@ -304,6 +304,29 @@ def pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens, full_hap_lens,
 _pairhmm_scan_jit = jax.jit(pairhmm_scan)
 
 
+_cache_enabled = False
+
+
+def enable_compile_cache():
+    """Persistent XLA/Mosaic compile cache (locus shapes repeat across runs).
+
+    Critical in tunneled-TPU environments where each fresh compile costs
+    minutes; harmless elsewhere."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+    cache_dir = os.environ.get("LONGTR_XLA_CACHE",
+                               os.path.expanduser("~/.cache/longtr_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+    except Exception:
+        pass
+
+
 def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
                        full_hap_lens, params: AlignmentParams = AlignmentParams()):
     """Backend-adaptive batch scorer.
@@ -314,6 +337,7 @@ def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
     scan compiles fast and Pallas interpret would be slow.
     """
     if jax.default_backend() in ("tpu", "axon"):
+        enable_compile_cache()
         from longtr_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas
         return pairhmm_batch_pallas(hap_codes, hap_lens, read_codes,
                                     read_lens, full_hap_lens, params)

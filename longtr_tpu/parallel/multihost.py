@@ -1,0 +1,90 @@
+"""Multi-host scale-out: locus sharding + rank-0 VCF merge.
+
+The reference's only scale-out is manual BED splitting across processes
+(README.md:78-82).  Here sharding is first-class: each host processes a
+deterministic interleaved shard of the (sorted) catalog — interleaving
+balances load because neighboring loci have correlated read depth — and the
+rank-0 merge heap-merges the per-shard bgzipped VCFs into one sorted stream.
+
+Used by ``longtr --shard K/N`` and ``longtr-merge-vcf``.  On a JAX
+multi-process deployment the same two functions back a
+``jax.distributed``-initialized run (shard by ``jax.process_index()``,
+merge on process 0).
+"""
+
+from __future__ import annotations
+
+import heapq
+import sys
+
+from longtr_tpu.io.bgzf import BgzfWriter, bgzf_open_text
+
+
+def shard_regions(regions, num_shards: int, shard_id: int):
+    """Deterministic interleaved shard of a sorted region list."""
+    if not (0 <= shard_id < num_shards):
+        raise ValueError("shard_id must be in [0, num_shards)")
+    return [r for i, r in enumerate(regions) if i % num_shards == shard_id]
+
+
+def merge_sorted_vcfs(paths, out_path: str):
+    """Heap-merge per-shard VCFs (identical headers) into one sorted VCF."""
+    readers = []
+    header = None
+    for p in paths:
+        fh = bgzf_open_text(p) if p.endswith(".gz") else open(p)
+        lines = iter(fh)
+        hdr = []
+        first = None
+        for line in lines:
+            if line.startswith("#"):
+                hdr.append(line)
+            else:
+                first = line
+                break
+        if header is None:
+            header = hdr
+        readers.append((lines, first))
+
+    out = BgzfWriter(out_path)
+    for line in header or []:
+        out.write(line)
+
+    contig_order = {}
+    for line in header or []:
+        if line.startswith("##contig=<ID="):
+            name = line.split("ID=", 1)[1].split(",")[0].split(">")[0]
+            contig_order[name] = len(contig_order)
+
+    def key(line):
+        chrom, pos = line.split("\t", 2)[:2]
+        return (contig_order.get(chrom, 1 << 30), chrom, int(pos))
+
+    heap = []
+    for idx, (lines, first) in enumerate(readers):
+        if first is not None:
+            heapq.heappush(heap, (key(first), idx, first))
+    readers = [r[0] for r in readers]
+    while heap:
+        _, idx, line = heapq.heappop(heap)
+        out.write(line)
+        nxt = next(readers[idx], None)
+        if nxt is not None:
+            heapq.heappush(heap, (key(nxt), idx, nxt))
+    out.close()
+
+
+def merge_main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        prog="longtr-merge-vcf",
+        description="Merge per-shard LongTR VCFs into one sorted bgzipped VCF")
+    p.add_argument("--out", required=True)
+    p.add_argument("vcfs", nargs="+")
+    args = p.parse_args(argv)
+    merge_sorted_vcfs(args.vcfs, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(merge_main())

@@ -61,6 +61,8 @@ class GenotyperPipeline:
                                if config.stutter_out else None)
         self.ref_vcf = None
         self.snp_vcf = None
+        self.viz_out = None          # BgzfWriter for --viz-out
+        self._pending = []           # loci awaiting the fused device dispatch
 
     def set_output_vcf(self, path: str, samples):
         self.vcf_writer.open(path)
@@ -69,9 +71,13 @@ class GenotyperPipeline:
     # ------------------------------------------------------------------
     def process_regions(self, reader, region_file: str, fasta_file: str,
                         rg_to_sample, rg_to_library, full_command: str,
-                        max_regions: int = 10_000_000, chrom: str = ""):
+                        max_regions: int = 10_000_000, chrom: str = "",
+                        shard=None):
         regions = order_regions(read_regions(region_file, max_regions, chrom,
                                              self.full_log))
+        if shard is not None:
+            from longtr_tpu.parallel.multihost import shard_regions
+            regions = shard_regions(regions, shard[1], shard[0])
         fasta = FastaReader(fasta_file)
 
         chroms = []
@@ -150,6 +156,7 @@ class GenotyperPipeline:
             self._analyze_locus(alignments, log_p1s, log_p2s, rg_names, group,
                                 chrom_seq, counters)
             self.stats.loci_processed += 1
+        self._flush_pending()
 
     # ------------------------------------------------------------------
     def _learn_stutter_model(self, alignments, log_p1s, log_p2s, haploid,
@@ -249,21 +256,66 @@ class GenotyperPipeline:
             indel_flank_len=cfg.indel_flank_len,
             switch_old_align_len=cfg.switch_old_align_len,
             alignment_params=cfg.alignment_params)
-        if gt.genotype(cfg.max_total_haplotypes, cfg.max_flank_haplotypes,
-                       cfg.min_flank_freq):
-            self.stats.num_genotype_success += 1
-            write_vcf_record(gt, self.samples_to_genotype,
-                             cfg.output_flags(), self.vcf_writer, self.sel_log)
-        else:
-            self.stats.num_genotype_fail += 1
+        ok, pairs = gt.genotype_prepare(cfg.max_total_haplotypes)
+        self._pending.append((gt, pairs, ok, group))
+        self.timer.add("Genotyping", time.time() - t0)
+        if len(self._pending) >= max(1, cfg.locus_batch):
+            self._flush_pending()
+
+    def _flush_pending(self):
+        """Fuse all pending loci's pair-HMM work into one device dispatch
+        (the reference aligns per read per haplotype per locus —
+        HapAligner.cpp:545-581; here a window of loci shares one call)."""
+        from longtr_tpu.pipeline.seq_genotyper import score_pairs
+        from longtr_tpu.ops.pairhmm import AlignmentParams
+        if not self._pending:
+            return
+        t0 = time.time()
+        all_pairs = []
+        slices = []
+        for gt, pairs, ok, _group in self._pending:
+            if ok and pairs is not None:
+                slices.append((len(all_pairs), len(pairs)))
+                all_pairs.extend(pairs)
+            else:
+                slices.append(None)
+        if all_pairs:
+            params = (AlignmentParams.from_list(self.config.alignment_params)
+                      if self.config.alignment_params else AlignmentParams())
+            scores = score_pairs(all_pairs, params)
+        cfg = self.config
+        for (gt, pairs, ok, group), sl in zip(self._pending, slices):
+            if not ok:
+                self.stats.num_genotype_fail += 1
+                continue
+            if sl is not None:
+                lo, n = sl
+                gt._pool_scores = scores[lo: lo + n].reshape(gt._request_shape)
+            if gt.genotype_finalize():
+                self.stats.num_genotype_success += 1
+                write_vcf_record(gt, self.samples_to_genotype,
+                                 cfg.output_flags(), self.vcf_writer,
+                                 self.sel_log)
+                if self.viz_out is not None:
+                    from longtr_tpu.pipeline.viz import write_viz_record
+                    for region in group.regions:
+                        write_viz_record(self.viz_out, region,
+                                         gt.sample_names,
+                                         list(gt.sample_label), gt.alns)
+            else:
+                self.stats.num_genotype_fail += 1
+        self._pending.clear()
         self.timer.add("Genotyping", time.time() - t0)
 
     # ------------------------------------------------------------------
     def finish(self):
+        self._flush_pending()
         if self.vcf_writer.is_open:
             self.vcf_writer.close()
         if self.stutter_out_fh:
             self.stutter_out_fh.close()
+        if self.viz_out is not None:
+            self.viz_out.close()
         s = self.stats
         self.full_log(
             "\n------LongTR-TPU Execution Summary------\n"

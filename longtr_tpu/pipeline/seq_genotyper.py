@@ -163,7 +163,45 @@ def _bucket(n: int, step: int = 64) -> int:
 
 # Batch-size ladder: few distinct sizes -> few XLA compiles. Batches larger
 # than the top rung are chunked.
-BATCH_LADDER = (256, 2048, 8192)
+BATCH_LADDER = (256, 2048, 8192, 32768)
+
+
+def score_pairs(pairs, params=None):
+    """Score a flat list of (hap_seq, read_seq, full_hap_len) triplets.
+
+    Encodes, pads (length-bucketed + batch ladder) and dispatches through the
+    backend-adaptive pair-HMM.  This is the single funnel every locus's
+    alignment work goes through, so the cross-locus scheduler can fuse
+    arbitrarily many loci into one call.
+    """
+    if not pairs:
+        return np.zeros(0)
+    params = params or pairhmm.AlignmentParams()
+    n_max = _bucket(max(max(len(h) for h, _, _ in pairs), 1))
+    m_max = _bucket(max(max(len(r) for _, r, _ in pairs), 1))
+    B = len(pairs)
+    out = np.empty(B, dtype=np.float64)
+    chunk = BATCH_LADDER[-1]
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        Bpad = _bucket_batch(hi - lo)
+        hap_codes = np.zeros((Bpad, n_max), dtype=np.uint8)
+        read_codes = np.zeros((Bpad, m_max), dtype=np.uint8)
+        hap_lens = np.ones(Bpad, dtype=np.int32)
+        read_lens = np.ones(Bpad, dtype=np.int32)
+        full_lens = np.ones(Bpad, dtype=np.int32)
+        for k in range(lo, hi):
+            h, r, fl = pairs[k]
+            i = k - lo
+            hap_codes[i, : len(h)] = np.frombuffer(h.encode(), dtype=np.uint8)
+            read_codes[i, : len(r)] = np.frombuffer(r.encode(), dtype=np.uint8)
+            hap_lens[i] = len(h)
+            read_lens[i] = len(r)
+            full_lens[i] = fl
+        scores = pairhmm.pairhmm_batch_auto(hap_codes, hap_lens, read_codes,
+                                            read_lens, full_lens, params)
+        out[lo:hi] = np.asarray(scores, dtype=np.float64)[: hi - lo]
+    return out
 
 
 def _bucket_batch(b: int) -> int:
@@ -195,6 +233,27 @@ class HapAlignerTPU:
         first = self.haplotype.blocks[0].get_seq(0)
         last = self.haplotype.blocks[-1].get_seq(0)
         return first[-5:] + last[:5]
+
+    def pair_request(self, pooled_alns, hap_subset=None):
+        """Raw (hap_seq, read_seq, full_len) triplets for pools × haps.
+
+        Used by the cross-locus batch scheduler to fuse many loci into one
+        device dispatch.
+        """
+        haps = list(hap_subset if hap_subset is not None
+                    else range(len(self.trimmed)))
+        reads = []
+        for aln in pooled_alns:
+            seq = trim_read_for_hapalign(aln, self.repeat_start,
+                                         self.repeat_end, self.indel_flank_len)
+            if len(seq) == 0:
+                seq = self._fallback_seq()
+            reads.append(seq)
+        pairs = []
+        for r in reads:
+            for h in haps:
+                pairs.append((self.trimmed[h], r, self.full_lens[h]))
+        return pairs, len(reads), len(haps)
 
     def score_pools(self, pooled_alns, hap_subset=None) -> np.ndarray:
         """Returns (num_pools, num_haps) float64 log scores."""
@@ -487,15 +546,20 @@ class SeqStutterGenotyper:
         self._calc_posteriors()
 
     # ------------------------------------------------------------------
-    def genotype(self, max_total_haplotypes=1000, max_flank_haplotypes=4,
-                 min_flank_freq=0.01) -> bool:
-        """Main entry (seq_stutter_genotyper.cpp:599-665)."""
+    def genotype_prepare(self, max_total_haplotypes=1000):
+        """Pre-alignment phase: gates + pooling + pair-batch request.
+
+        Returns (ok, request) where ``request`` is (pairs, P, H) destined for
+        the device, or None when scoring already happened host-side (mode B).
+        The cross-locus scheduler fuses requests from many loci into one
+        dispatch before calling :meth:`genotype_finalize`.
+        """
         if not self.initialized:
-            return False
+            return False, None
         if self.haplotype.num_combs() > max_total_haplotypes:
             self.logger(f"Aborting genotyping: too many candidate haplotypes "
                         f"({self.haplotype.num_combs()} > {max_total_haplotypes})")
-            return False
+            return False, None
         if not self.skip_assembly:
             from longtr_tpu.haplotype.debruijn import calc_kmer_length
             for bi in (0, self.haplotype.num_blocks() - 1):
@@ -503,10 +567,28 @@ class SeqStutterGenotyper:
                 max_k = min(15, len(ref_seq) - 1 if ref_seq else -1)
                 if calc_kmer_length(ref_seq, 10, max_k) is None:
                     self.logger("Aborting genotyping: flank too repetitive")
-                    return False
+                    return False, None
         self.pooler.pool()
-        self.logger("Aligning reads to each candidate haplotype")
-        self._calc_hap_aln_probs()
+        if self._use_mode_b():
+            self._pool_scores = self._mode_b_scores()
+            return True, None
+        self._aligner = HapAlignerTPU(self.haplotype, self.indel_flank_len,
+                                      self.alignment_params)
+        pairs, P, H = self._aligner.pair_request(self.pooler.pooled_alns)
+        self._request_shape = (P, H)
+        return True, pairs
+
+    def genotype_finalize(self, pool_scores=None) -> bool:
+        """Post-alignment phase: LL fan-out, posteriors, allele pruning."""
+        if pool_scores is not None:
+            self._pool_scores = np.asarray(pool_scores).reshape(
+                self._request_shape)
+        LL = self._pool_scores[self.pool_index]
+        for i in np.flatnonzero(self.second_mate):
+            tot = LL[i - 1] + LL[i]
+            LL[i - 1] = tot
+            LL[i] = tot
+        self.log_aln_probs = LL
         self._calc_posteriors()
         if self.ref_vcf is None:
             unused, n_blocks, n_alleles = self._get_unused_alleles()
@@ -517,3 +599,15 @@ class SeqStutterGenotyper:
         # Flank reassembly: no-op under the default configuration (see module
         # docstring); retained as a hook for the assembly workstream.
         return True
+
+    def genotype(self, max_total_haplotypes=1000, max_flank_haplotypes=4,
+                 min_flank_freq=0.01) -> bool:
+        """Main entry (seq_stutter_genotyper.cpp:599-665)."""
+        ok, pairs = self.genotype_prepare(max_total_haplotypes)
+        if not ok:
+            return False
+        if pairs is not None:
+            self.logger("Aligning reads to each candidate haplotype")
+            self._pool_scores = score_pairs(
+                pairs, self._aligner.params).reshape(self._request_shape)
+        return self.genotype_finalize()
