@@ -146,6 +146,57 @@ def render_html(rows, out=sys.stdout):
     print("</body></html>", file=out)
 
 
+def render_pdf(rows, out_path: str):
+    """PDF rendering via reportlab when available (VizAlnPdf analog).
+
+    The reference's html_alns_to_pdf.py needs svglib+reportlab; neither is in
+    this image, so we fall back to a monospaced text-to-PDF via matplotlib
+    (always present alongside jax) — same read stack, printable output.
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:
+        raise SystemExit("PDF rendering requires matplotlib or reportlab: " + str(e))
+    height = max(2.0, 0.16 * len(rows) + 1)
+    width = max(8.0, 0.085 * max((len(t) for _, t in rows), default=10))
+    fig, ax = plt.subplots(figsize=(width, height))
+    ax.axis("off")
+    for i, (sample, text) in enumerate(rows):
+        color = "#444444" if sample == "REF" else "#1669c1"
+        ax.text(0.01, 1 - (i + 1) / (len(rows) + 1),
+                f"{sample[:10]:>10s}  {text}", fontsize=6,
+                family="monospace", color=color, transform=ax.transAxes)
+    fig.savefig(out_path, format="pdf", bbox_inches="tight")
+    plt.close(fig)
+
+
+def pdf_main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="vizalnpdf",
+        description="Render LongTR --viz-out alignments for one locus as PDF")
+    p.add_argument("viz_file")
+    p.add_argument("chrom")
+    p.add_argument("start", type=int)
+    p.add_argument("out", help="Output PDF path")
+    p.add_argument("sample", nargs="?", default=None)
+    args = p.parse_args(argv)
+    from longtr_tpu.io.bgzf import bgzf_open_text
+    rows = []
+    with bgzf_open_text(args.viz_file) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 5 or f[0] != args.chrom or int(f[1]) != args.start:
+                continue
+            if args.sample and f[3] not in ("REF", args.sample):
+                continue
+            rows.append((f[3], f[4]))
+    render_pdf(rows, args.out)
+    print(f"Wrote {args.out}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="vizaln",

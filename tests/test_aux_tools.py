@@ -115,3 +115,40 @@ def test_end_dist_to_indel():
     class R2:
         cigar = [("=", 7)]
     assert get_end_dist_to_indel(R2) == (-1, -1)
+
+
+def test_annotate_denovo(tmp_path):
+    from test_denovo import write_fam, write_trio_str_vcf
+    write_trio_str_vcf(str(tmp_path / "str.vcf.gz"),
+                       {"MOM": (0, 1), "DAD": (0, 1), "KID": (0, 2)})
+    write_fam(tmp_path / "trio.fam")
+    from longtr_tpu.denovo.cli import main as dn_main
+    assert dn_main(["--fam", str(tmp_path / "trio.fam"),
+                    "--str-vcf", str(tmp_path / "str.vcf.gz"),
+                    "--denovo-vcf", str(tmp_path / "dn.vcf.gz"),
+                    "--uniform-prior", "--log", str(tmp_path / "log")]) == 0
+    from longtr_tpu.scripts.annotate_denovo import main as ann_main
+    buf = io.StringIO()
+    assert ann_main(["--vcf", str(tmp_path / "str.vcf.gz"),
+                     "--denovo-ll-vcf", str(tmp_path / "dn.vcf.gz")],
+                    out=buf) == 0
+    body = [l for l in buf.getvalue().splitlines() if not l.startswith("#")]
+    fmt = body[0].split("\t")[8]
+    assert fmt.endswith("NOMUT:DENOVO:OTHER")
+    assert "GL" not in fmt.split(":")
+    kid = body[0].split("\t")[11].split(":")
+    assert float(kid[-2]) > float(kid[-3])  # DENOVO > NOMUT for mutated child
+
+
+def test_vizalnpdf(tmp_path):
+    fx = standard_fixture(str(tmp_path))
+    out = str(tmp_path / "c.vcf.gz")
+    viz = str(tmp_path / "alns.gz")
+    from longtr_tpu.cli import main as cli_main
+    assert cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out,
+                     "--viz-out", viz, "--min-reads", "5", "--quiet"]) == 0
+    from longtr_tpu.pipeline.viz import pdf_main
+    pdf = str(tmp_path / "locus.pdf")
+    assert pdf_main([viz, "chr1", "1001", pdf]) == 0
+    assert os.path.getsize(pdf) > 1000
