@@ -26,8 +26,10 @@ def _build():
 
 
 def get_lib():
-    """The loaded library or None if unavailable."""
+    """The loaded library or None if unavailable (or LONGTR_NO_NATIVE set)."""
     global _lib
+    if os.environ.get("LONGTR_NO_NATIVE"):
+        return None
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
