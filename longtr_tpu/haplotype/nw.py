@@ -89,7 +89,8 @@ def nw_align(ref_seq: str, read_seq: str, use_ref_end_penalty: bool = True):
         base = np.maximum(M[i, :-1] - GAPOPEN, Iread[i, :-1] - GAPOPEN)
         c = base + colf[:-1] * GAPEXTEND
         run = np.maximum.accumulate(c)
-        Iref[i, 1:] = run - colf[1:] * GAPEXTEND
+        # Iref[i, j] = max_{k<=j-1} (base[k] - (j-1-k)*GE) = run[j-1]-(j-1)*GE
+        Iref[i, 1:] = run - colf[:-1] * GAPEXTEND
         # also allow starting from Iref[i,0] (=-LARGE unless i==0) — covered
         # by base containing -LARGE floor.
         # trace for Iref from actual predecessor comparison:
