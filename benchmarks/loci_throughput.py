@@ -1,0 +1,81 @@
+"""End-to-end loci/s throughput on a synthetic catalog.
+
+Builds an N-locus catalog (mixed STR/VNTR motifs and lengths) with
+S samples at the given coverage, runs the full pipeline in-process
+(single warm process — fresh-process tunnel overhead would dominate
+otherwise) and reports loci/s plus the stage timing breakdown.
+
+Usage: python benchmarks/loci_throughput.py [n_loci] [--cpu]
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1):
+    from synth import Locus, make_genome, write_bed, write_sample_bam
+    from longtr_tpu.io.fasta import write_fasta
+    rng = np.random.default_rng(seed)
+    motifs = ["AC", "AGAT", "CTG", "TTTA", "ACGGT", "A"]
+    loci = []
+    per_chrom = 8
+    for i in range(n_loci):
+        chrom = f"chr{i // per_chrom + 1}"
+        offset = (i % per_chrom) * 1500 + 1000
+        motif = motifs[i % len(motifs)]
+        copies = int(rng.integers(8, 20)) if motif != "A" else int(rng.integers(10, 25))
+        loci.append(Locus(chrom, offset, motif, copies, f"L{i}"))
+    genome = make_genome(rng, loci, chrom_len=per_chrom * 1500 + 2000)
+    fasta = os.path.join(tmpdir, "g.fa")
+    write_fasta(fasta, genome)
+    bed = os.path.join(tmpdir, "r.bed")
+    write_bed(bed, loci)
+    bams = []
+    for s in range(n_samples):
+        gts = {}
+        for loc in loci:
+            a = loc.ref_copies
+            b = a + int(rng.integers(-3, 4))
+            gts[loc.name] = (a, max(b, 2))
+        path = os.path.join(tmpdir, f"S{s}.bam")
+        write_sample_bam(path, genome, loci, gts, f"S{s}", rng,
+                         coverage=coverage, sub_rate=0.002)
+        bams.append(path)
+    return fasta, bed, bams, loci
+
+
+def main():
+    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from longtr_tpu.ops.pairhmm import enable_compile_cache
+    enable_compile_cache()
+
+    tmpdir = tempfile.mkdtemp()
+    print(f"building {n_loci}-locus catalog...", flush=True)
+    fasta, bed, bams, loci = build_catalog(tmpdir, n_loci)
+
+    from longtr_tpu.cli import main as cli_main
+    out = os.path.join(tmpdir, "calls.vcf.gz")
+    t0 = time.time()
+    rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
+                   "--regions", bed, "--tr-vcf", out,
+                   "--min-reads", "5", "--quiet"])
+    dt = time.time() - t0
+    assert rc == 0
+    from longtr_tpu.io.bgzf import bgzf_open_text
+    n_rec = sum(1 for ln in bgzf_open_text(out) if not ln.startswith("#"))
+    print(f"records: {n_rec}/{n_loci}")
+    print(f"wall: {dt:.1f}s -> {n_loci / dt:.1f} loci/s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", default="",
                    help="Process an interleaved shard of the catalog, e.g. "
                         "'0/4'; merge per-shard VCFs with longtr-merge-vcf")
+    p.add_argument("--checkpoint", default="",
+                   help="Append completed locus keys to this file and skip "
+                        "them on restart (crash-resumable runs; the "
+                        "reference has no checkpointing)")
     return p
 
 
@@ -131,6 +135,13 @@ def config_from_args(args) -> Config:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import os
+    platform = os.environ.get("LONGTR_PLATFORM")
+    if platform:
+        # JAX_PLATFORMS env vars are latched before user code in environments
+        # where sitecustomize imports jax; this override always works.
+        import jax
+        jax.config.update("jax_platforms", platform)
     from longtr_tpu.ops.pairhmm import enable_compile_cache
     enable_compile_cache()
     full_command = "LongTR-TPU-" + __version__ + " " + " ".join(argv or sys.argv[1:])
@@ -219,6 +230,8 @@ def main(argv=None):
     if args.shard:
         sid, nsh = (int(x) for x in args.shard.split("/"))
         shard = (sid, nsh)
+    if args.checkpoint:
+        pipeline.set_checkpoint(args.checkpoint)
     pipeline.process_regions(reader, args.regions, args.fasta, rg_to_sample,
                              rg_to_library, full_command,
                              max_regions=10_000_000, chrom=args.chrom,

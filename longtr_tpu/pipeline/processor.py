@@ -63,10 +63,35 @@ class GenotyperPipeline:
         self.snp_vcf = None
         self.viz_out = None          # BgzfWriter for --viz-out
         self._pending = []           # loci awaiting the fused device dispatch
+        self._checkpoint_fh = None
+        self._checkpoint_done = set()
 
     def set_output_vcf(self, path: str, samples):
         self.vcf_writer.open(path)
         self.samples_to_genotype = sorted(samples)
+
+    def set_checkpoint(self, path: str):
+        """Locus-level checkpoint/resume (absent in the reference — a crash
+        there loses the run; SURVEY.md §5).  Completed locus keys are
+        appended and skipped on restart."""
+        import os
+        if os.path.exists(path):
+            with open(path) as fh:
+                self._checkpoint_done = {ln.strip() for ln in fh if ln.strip()}
+            if self._checkpoint_done:
+                self.full_log(f"Resuming: {len(self._checkpoint_done)} loci "
+                              f"already completed in checkpoint")
+        self._checkpoint_fh = open(path, "a")
+
+    def _locus_key(self, region):
+        return f"{region.chrom}:{region.start}-{region.stop}"
+
+    def _checkpoint_mark(self, group):
+        if self._checkpoint_fh is None:
+            return
+        for region in group.regions:
+            self._checkpoint_fh.write(self._locus_key(region) + "\n")
+        self._checkpoint_fh.flush()
 
     # ------------------------------------------------------------------
     def process_regions(self, reader, region_file: str, fasta_file: str,
@@ -101,6 +126,9 @@ class GenotyperPipeline:
         chrom_seq = ""
         cfg = self.config
         for region in regions:
+            if self._checkpoint_done and \
+                    self._locus_key(region) in self._checkpoint_done:
+                continue
             self.full_log(f"Processing region {region.chrom} {region.start} "
                           f"{region.stop}")
             if region.stop - region.start > cfg.max_str_length:
@@ -304,6 +332,7 @@ class GenotyperPipeline:
                                          list(gt.sample_label), gt.alns)
             else:
                 self.stats.num_genotype_fail += 1
+            self._checkpoint_mark(group)
         self._pending.clear()
         self.timer.add("Genotyping", time.time() - t0)
 
@@ -316,6 +345,8 @@ class GenotyperPipeline:
             self.stutter_out_fh.close()
         if self.viz_out is not None:
             self.viz_out.close()
+        if self._checkpoint_fh is not None:
+            self._checkpoint_fh.close()
         s = self.stats
         self.full_log(
             "\n------LongTR-TPU Execution Summary------\n"

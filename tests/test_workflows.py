@@ -1,0 +1,100 @@
+"""Workflow e2e tests: EM stutter learning from the CLI, VNTR/ONT-style
+runs with custom alignment params, and checkpoint/resume."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth import (Locus, add_errors, make_genome, sample_haplotype_read,
+                   standard_fixture, write_bed, write_sample_bam)  # noqa: E402
+
+from longtr_tpu.cli import main as cli_main  # noqa: E402
+from longtr_tpu.io.bam import BamRecord  # noqa: E402
+from longtr_tpu.io.bam_write import BamWriter, build_bai  # noqa: E402
+from longtr_tpu.io.fasta import write_fasta  # noqa: E402
+from longtr_tpu.io.vcf import VCFReader  # noqa: E402
+
+RNG = np.random.default_rng(66)
+
+
+def test_em_learning_from_cli(tmp_path):
+    """--no-def-stutter-model triggers per-locus EM; --stutter-out persists
+    the learned models in the --stutter-in format."""
+    fx = standard_fixture(str(tmp_path))
+    out = str(tmp_path / "calls.vcf.gz")
+    stut = str(tmp_path / "stutter.txt")
+    assert cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out,
+                     "--no-def-stutter-model", "--stutter-out", stut,
+                     "--min-reads", "5", "--quiet"]) == 0
+    vcf = VCFReader(out)
+    vcf.set_region("chr1", 0)
+    assert vcf.get_next_variant() is not None
+    # learned model file round-trips as --stutter-in
+    from longtr_tpu.models.stutter import StutterModel
+    models = StutterModel.read_models(stut)
+    assert len(models) >= 3
+    out2 = str(tmp_path / "calls2.vcf.gz")
+    assert cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out2,
+                     "--stutter-in", stut, "--min-reads", "5", "--quiet"]) == 0
+    vcf2 = VCFReader(out2)
+    vcf2.set_region("chr1", 0)
+    v = vcf2.get_next_variant()
+    assert v is not None
+    for s in fx["genotypes"]:
+        assert v.genotype(s) is not None
+
+
+def test_vntr_high_error_custom_params(tmp_path):
+    """BASELINE config 5 analog: long VNTR motif, elevated error rate,
+    custom --alignment-params, --max-tr-len."""
+    motif = "ACGGTCATGG"  # 10bp motif
+    loci = [Locus("chr1", 1000, motif, 15, "VNTR_1")]   # 150bp repeat
+    genome = make_genome(RNG, loci, chrom_len=4000)
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, genome)
+    bed = str(tmp_path / "r.bed")
+    write_bed(bed, loci)
+    bam = str(tmp_path / "S1.bam")
+    write_sample_bam(bam, genome, loci, {"VNTR_1": (15, 18)}, "S1", RNG,
+                     coverage=30, sub_rate=0.02)   # ONT-ish substitutions
+    out = str(tmp_path / "calls.vcf.gz")
+    assert cli_main(["--bams", bam, "--fasta", fasta, "--regions", bed,
+                     "--tr-vcf", out, "--min-reads", "5",
+                     "--max-tr-len", "1000",
+                     "--alignment-params=-1.5,-0.3,-1.5,-0.3,-0.0001,-8.0,-8.0",
+                     "--quiet"]) == 0
+    vcf = VCFReader(out)
+    vcf.set_region("chr1", 0)
+    v = vcf.get_next_variant()
+    assert v is not None
+    gt = v.genotype("S1")
+    assert gt is not None
+    ref_extra = len(v.ref) - 150
+    lens = sorted(len(v.alleles[a]) - ref_extra for a in gt[:2])
+    assert lens == [150, 180], lens
+
+
+def test_checkpoint_resume(tmp_path):
+    fx = standard_fixture(str(tmp_path))
+    ckpt = str(tmp_path / "progress.txt")
+    out1 = str(tmp_path / "part1.vcf.gz")
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--min-reads", "5", "--quiet"]
+    # First run: only chr1 (simulates a partial run), checkpointing
+    assert cli_main(base + ["--tr-vcf", out1, "--chrom", "chr1",
+                            "--checkpoint", ckpt]) == 0
+    done = open(ckpt).read().splitlines()
+    assert len(done) == 2 and all(k.startswith("chr1:") for k in done)
+    # Resume over the full catalog: chr1 loci are skipped
+    out2 = str(tmp_path / "part2.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", out2, "--checkpoint", ckpt]) == 0
+    body = [ln for ln in __import__("longtr_tpu.io.bgzf", fromlist=["bgzf_open_text"])
+            .bgzf_open_text(out2) if not ln.startswith("#")]
+    chroms = {ln.split("\t")[0] for ln in body}
+    assert chroms == {"chr2", "chr3"}
+    assert len(open(ckpt).read().splitlines()) == 4
