@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Append completed locus keys to this file and skip "
                         "them on restart (crash-resumable runs; the "
                         "reference has no checkpointing)")
+    p.add_argument("--metrics-out", default="",
+                   help="Write run counters + stage timings as JSON "
+                        "(structured metrics; the reference only logs text)")
+    p.add_argument("--jax-profile", default="",
+                   help="Capture a JAX profiler trace of the run into this "
+                        "directory (view with TensorBoard)")
     return p
 
 
@@ -146,6 +152,10 @@ def main(argv=None):
     enable_compile_cache()
     full_command = "LongTR-TPU-" + __version__ + " " + " ".join(argv or sys.argv[1:])
 
+    if args.metrics_out:
+        d = os.path.dirname(args.metrics_out) or "."
+        if not os.path.isdir(d):
+            sys.exit(f"ERROR: Directory for --metrics-out does not exist: {d}")
     if not args.bams and not args.bam_files:
         sys.exit("ERROR: You must specify either the --bams or --bam-files option")
     if args.bams and args.bam_files:
@@ -232,11 +242,22 @@ def main(argv=None):
         shard = (sid, nsh)
     if args.checkpoint:
         pipeline.set_checkpoint(args.checkpoint)
+    profile_ctx = None
+    if args.jax_profile:
+        import jax
+        profile_ctx = jax.profiler.trace(args.jax_profile)
+        profile_ctx.__enter__()
     pipeline.process_regions(reader, args.regions, args.fasta, rg_to_sample,
                              rg_to_library, full_command,
                              max_regions=10_000_000, chrom=args.chrom,
                              shard=shard)
     pipeline.finish()
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+    if args.metrics_out:
+        import json
+        with open(args.metrics_out, "w") as fh:
+            json.dump(pipeline.metrics(), fh, indent=2)
     reader.close()
     if args.log:
         log_fh.close()

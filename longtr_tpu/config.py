@@ -68,8 +68,9 @@ class Config:
     stutter_out: str = ""
 
     # TPU dispatch scheduling: number of loci whose pair-HMM work is fused
-    # into one device call (the reference is strictly per-locus).
-    locus_batch: int = 16
+    # into one device call (the reference is strictly per-locus).  Large
+    # windows amortize dispatch latency; host memory per window is tiny.
+    locus_batch: int = 256
 
     # Phasing constants (snp_bam_processor.h:16-18, 54, 103)
     from_hap_ll: float = -0.000001

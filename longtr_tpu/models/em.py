@@ -18,7 +18,6 @@ import numpy as np
 
 from longtr_tpu.models.stutter import StutterModel, _c_div
 from longtr_tpu.utils.mathops import LOG_ONE_HALF
-from longtr_tpu.ops.posterior import genotype_log_priors
 
 TOLERANCE = 1e-10
 

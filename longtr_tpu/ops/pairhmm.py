@@ -46,7 +46,6 @@ Scores are float32 on device; a float64 NumPy oracle
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -30,8 +30,6 @@ import math
 
 import numpy as np
 
-from longtr_tpu.ops.pairhmm import AlignmentParams
-from longtr_tpu.utils.base_quality import log_prob_correct, log_prob_error
 from longtr_tpu.utils.mathops import LOG_THRESH, int_log
 
 IMPOSSIBLE = -1000000000.0

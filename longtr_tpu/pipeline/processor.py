@@ -336,6 +336,22 @@ class GenotyperPipeline:
         self._pending.clear()
         self.timer.add("Genotyping", time.time() - t0)
 
+    def metrics(self) -> dict:
+        """Structured run metrics (counters + stage timings in seconds)."""
+        s = self.stats
+        return {
+            "loci_processed": s.loci_processed,
+            "num_too_long": s.num_too_long,
+            "too_few_reads": s.too_few_reads,
+            "too_many_reads": s.too_many_reads,
+            "num_em_converge": s.num_em_converge,
+            "num_em_fail": s.num_em_fail,
+            "num_missing_models": s.num_missing_models,
+            "num_genotype_success": s.num_genotype_success,
+            "num_genotype_fail": s.num_genotype_fail,
+            "stage_seconds": dict(self.timer.totals),
+        }
+
     # ------------------------------------------------------------------
     def finish(self):
         self._flush_pending()

@@ -27,7 +27,6 @@ import numpy as np
 
 from longtr_tpu.haplotype.blocks import Haplotype
 from longtr_tpu.haplotype.generator import HaplotypeGenerator, REF_FLANK_LEN
-from longtr_tpu.models.genotyper import extract_genotypes_and_likelihoods
 from longtr_tpu.ops import pairhmm
 from longtr_tpu.ops.posterior import (calc_log_sample_posteriors,
                                       genotype_log_priors)
@@ -163,7 +162,7 @@ def _bucket(n: int, step: int = 64) -> int:
 
 # Batch-size ladder: few distinct sizes -> few XLA compiles. Batches larger
 # than the top rung are chunked.
-BATCH_LADDER = (256, 2048, 8192, 32768)
+BATCH_LADDER = (256, 2048, 8192, 65536)
 
 
 def score_pairs(pairs, params=None):
