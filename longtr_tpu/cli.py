@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--silent", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"LongTR-TPU {__version__}")
+    p.add_argument("--fam", default="",
+                   help="FAM file with pedigree information; used to filter "
+                        "SNPs with Mendelian inconsistencies before phasing "
+                        "(requires --snp-vcf)")
     p.add_argument("--shard", default="",
                    help="Process an interleaved shard of the catalog, e.g. "
                         "'0/4'; merge per-shard VCFs with longtr-merge-vcf")
@@ -225,12 +229,40 @@ def main(argv=None):
                      "in .gz as it will be bgzipped")
         from longtr_tpu.io.bgzf import BgzfWriter
         pipeline.viz_out = BgzfWriter(args.viz_out)
+    if args.pass_bam or args.filt_bam:
+        # hipstr_main.cpp:518-535: both writers share the merged input header.
+        from longtr_tpu.io.bam_write import BamWriter
+        hdr = reader.readers[0].header
+        if args.pass_bam:
+            pipeline.pass_bam = BamWriter(args.pass_bam, hdr.text,
+                                          hdr.ref_names, hdr.ref_lengths)
+        if args.filt_bam:
+            pipeline.filt_bam = BamWriter(args.filt_bam, hdr.text,
+                                          hdr.ref_names, hdr.ref_lengths)
     if args.ref_vcf:
         from longtr_tpu.io.vcf import VCFReader
         pipeline.ref_vcf = VCFReader(args.ref_vcf)
     if args.snp_vcf and not args.phased_bam:
         from longtr_tpu.io.vcf import VCFReader
         pipeline.snp_vcf = VCFReader(args.snp_vcf)
+    if args.fam:
+        # Pedigree-based SNP filtering before physical phasing
+        # (hipstr_main.cpp:581-594 + snp_bam_processor.h:89-105).
+        if not args.snp_vcf:
+            sys.exit("ERROR: --fam option only applies if --snp-vcf option "
+                     "has been specified as well")
+        from longtr_tpu.denovo.haplotype_tracker import HaplotypeTracker
+        from longtr_tpu.denovo.pedigree import (
+            extract_pedigree_nuclear_families)
+        snp_samples = set(pipeline.snp_vcf.samples)
+        families = extract_pedigree_nuclear_families(
+            args.fam, snp_samples, full_logger)
+        families = [f for f in families if not f.is_missing_sample(snp_samples)]
+        if families:
+            # Separate reader: the tracker's sliding window iterates
+            # independently of the per-locus SNP-tree queries.
+            pipeline.snp_tracker = HaplotypeTracker(
+                families, VCFReader(args.snp_vcf))
 
     if not args.skip_genotyping:
         samples = cfg.sample_set & rg_samples if cfg.sample_set else rg_samples

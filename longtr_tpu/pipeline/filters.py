@@ -111,12 +111,29 @@ class FilterCounters:
     too_many_reads: bool = False
 
 
+def _write_pass(rec, writer):
+    """BamProcessor::write_passing_alignment (bam_processor.cpp:37-42)."""
+    if writer is not None:
+        writer.save_alignment(rec)
+
+
+def _write_filt(rec, reason, writer):
+    """BamProcessor::write_filtered_alignment (bam_processor.cpp:44-55):
+    tag the record FT=<reason> and save it."""
+    if writer is not None:
+        rec.tags["FT"] = reason
+        writer.save_alignment(rec)
+
+
 def read_and_filter_reads(reader, region_group, rg_to_sample, config,
-                          use_bam_rgs: bool, logger=None):
+                          use_bam_rgs: bool, logger=None,
+                          pass_writer=None, filt_writer=None):
     """Returns (rg_names, paired_by_rg, mates_by_rg, unpaired_by_rg, counters).
 
     ``reader`` must already be positioned on the locus window (the caller
     performs the padded SetRegion, bam_processor.cpp:586-588).
+    ``pass_writer``/``filt_writer`` are optional BamWriters for the
+    --pass-bam / --filt-bam outputs (bam_processor.cpp:191).
     """
     counters = FilterCounters()
     regions = region_group.regions
@@ -144,6 +161,17 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
             break
         if not rec.is_mapped or rec.pos == 0 or not rec.cigar or rec.length == 0:
             continue
+
+        # Hard-clipped reads overlapping the region are dropped outright:
+        # BASE_QUAL_TRIM defaults to '5' so this branch is live upstream
+        # (bam_processor.cpp:226-240; the quality trim itself is commented
+        # out there, leaving only this check active).
+        if rec.pos < region_group.stop and rec.end_pos >= region_group.start:
+            if rec.cigar and (rec.cigar[0][0] == "H" or rec.cigar[-1][0] == "H"):
+                counters.read_count += 1
+                counters.hard_clip += 1
+                _write_filt(rec, "HARD_CLIPPED", filt_writer)
+                continue
 
         if prev_file != rec.filename:
             prev_file = rec.filename
@@ -183,6 +211,7 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
             aln_key = file_label + trim_alignment_name(rec)
             if pass_one:
                 rec.pass_two = [c == "1" for c in pass_two]
+                rec.tags["PF"] = "".join(pass_two)
                 mate = potential_mates.get(aln_key)
                 if mate is not None:
                     if rec.is_first_mate == mate.is_first_mate:
@@ -193,12 +222,16 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
                     if len(p1) == 1 and p1[0][1] == rec.pos:
                         paired.append(rec)
                         mates.append(mate)
+                        _write_pass(rec, pass_writer)
+                        _write_pass(mate, pass_writer)
                     else:
                         counters.unique_mapping += 1
+                        _write_filt(rec, "NO_UNIQUE_MAPPING", filt_writer)
                     del potential_mates[aln_key]
                 else:
                     potential_strs[aln_key] = rec
             else:
+                _write_filt(rec, filt, filt_writer)
                 potential_mates[aln_key] = rec
         else:
             aln_key = file_label + trim_alignment_name(rec)
@@ -210,8 +243,11 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
                 if len(p1) == 1 and p1[0][1] == str_rec.pos:
                     paired.append(str_rec)
                     mates.append(rec)
+                    _write_pass(str_rec, pass_writer)
+                    _write_pass(rec, pass_writer)
                 else:
                     counters.unique_mapping += 1
+                    _write_filt(str_rec, "NO_UNIQUE_MAPPING", filt_writer)
                 del potential_strs[aln_key]
             else:
                 other = potential_mates.get(aln_key)
@@ -225,20 +261,27 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
     for rec in potential_strs.values():
         if rec.has_tag("XA"):
             counters.unique_mapping += 1
+            _write_filt(rec, "NO_UNIQUE_MAPPING", filt_writer)
         elif config.require_paired_reads:
             counters.num_filt_unpaired += 1
+            _write_filt(rec, "NO_MATE_PAIR", filt_writer)
         else:
             unpaired.append(rec)
+            _write_pass(rec, pass_writer)
 
     if logger:
-        logger(f"{counters.read_count} reads overlapped region, of which\n"
+        msg = (f"{counters.read_count} reads overlapped region, of which\n"
                f"\t{counters.hard_clip} were hard clipped\n"
                f"\t{counters.read_has_N} had an 'N' base call\n"
                f"\t{counters.low_mapq} had low MAPQ\n"
-               f"\t{counters.low_qual_score} had low base quality scores\n"
-               f"\t{counters.not_spanning} did not span the STR\n"
-               f"\t{counters.unique_mapping} did not have a unique mapping\n"
-               f"\t{len(paired) + len(unpaired)} PASSED ALL FILTERS")
+               f"\t{counters.low_qual_score} had low base quality scores")
+        if config.require_spanning:
+            msg += f"\n\t{counters.not_spanning} did not span the STR"
+        msg += f"\n\t{counters.unique_mapping} did not have a unique mapping"
+        if config.require_paired_reads:
+            msg += f"\n\t{counters.num_filt_unpaired} did not have a mate pair"
+        msg += f"\n\t{len(paired) + len(unpaired)} PASSED ALL FILTERS"
+        logger(msg)
 
     # Group by read-group/sample (bam_processor.cpp:452-483).  The reference
     # pops from the back of each list; we preserve its resulting order.

@@ -62,6 +62,9 @@ class GenotyperPipeline:
         self.ref_vcf = None
         self.snp_vcf = None
         self.viz_out = None          # BgzfWriter for --viz-out
+        self.pass_bam = None         # BamWriter for --pass-bam
+        self.snp_tracker = None      # HaplotypeTracker for --fam SNP filtering
+        self.filt_bam = None         # BamWriter for --filt-bam
         self._pending = []           # loci awaiting the fused device dispatch
         self._checkpoint_fh = None
         self._checkpoint_done = set()
@@ -152,7 +155,8 @@ class GenotyperPipeline:
             group = RegionGroup.single(region)
             t0 = time.time()
             rg_names, paired, mates, unpaired, counters = read_and_filter_reads(
-                reader, group, rg_to_sample, cfg, self.use_bam_rgs, self.sel_log)
+                reader, group, rg_to_sample, cfg, self.use_bam_rgs, self.sel_log,
+                pass_writer=self.pass_bam, filt_writer=self.filt_bam)
             self.timer.add("Read filtering", time.time() - t0)
 
             if cfg.sample_set:
@@ -174,9 +178,13 @@ class GenotyperPipeline:
                     cfg.from_hap_ll, cfg.other_hap_ll, self.sel_log)
             elif self.snp_vcf is not None:
                 from longtr_tpu.pipeline.snp_phasing import snp_vcf_factors
+                if self.snp_tracker is not None:
+                    # snp_bam_processor.cpp:54-57: slide the pedigree SNP
+                    # haplotype window to the current locus.
+                    self.snp_tracker.advance(group.chrom, group.start, set())
                 alignments, log_p1s, log_p2s = snp_vcf_factors(
                     self.snp_vcf, paired, mates, unpaired, rg_names, group,
-                    cfg, self.sel_log)
+                    cfg, self.sel_log, tracker=self.snp_tracker)
             else:
                 alignments, log_p1s, log_p2s = unphased_factors(paired, unpaired)
             self.timer.add("SNP info extraction", time.time() - t0)
@@ -361,6 +369,10 @@ class GenotyperPipeline:
             self.stutter_out_fh.close()
         if self.viz_out is not None:
             self.viz_out.close()
+        if self.pass_bam is not None:
+            self.pass_bam.close()
+        if self.filt_bam is not None:
+            self.filt_bam.close()
         if self._checkpoint_fh is not None:
             self._checkpoint_fh.close()
         s = self.stats

@@ -93,3 +93,36 @@ def test_e2e_with_snp_vcf(tmp_path):
         ref_extra = len(v.ref) - 20
         want = tuple(sorted(2 * c for c in g["STR_AC"]))
         assert tuple(x - ref_extra for x in lens) == want
+
+
+def test_e2e_with_fam_pedigree_filter(tmp_path):
+    """--fam wires pedigree-based SNP filtering (hipstr_main.cpp:581-594):
+    with every SNP an identical ambiguous het in all trio members, haplotype
+    transmission cannot be inferred, so the family's SNPs are cleared
+    (snp_tree.cpp create_snp_trees tracker branch) and DSNP drops to 0."""
+    rng = np.random.default_rng(33)
+    fx = standard_fixture(str(tmp_path), rng=rng)
+    snp_path = str(tmp_path / "snps.vcf.gz")
+    write_snp_vcf(snp_path, fx["genome"], ["SAMP1", "SAMP2", "SAMP3"], rng)
+    fam_path = str(tmp_path / "trio.fam")
+    with open(fam_path, "w") as fh:
+        fh.write("FAM1\tSAMP1\tSAMP2\tSAMP3\n")
+    out = str(tmp_path / "calls_fam.vcf.gz")
+    from longtr_tpu.cli import main as cli_main
+    argv = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--tr-vcf", out, "--min-reads", "5",
+            "--snp-vcf", snp_path, "--fam", fam_path, "--quiet"]
+    assert cli_main(argv) == 0
+    vcf = VCFReader(out)
+    vcf.set_region("chr1", 0)
+    v = vcf.get_next_variant()
+    assert v is not None
+    assert int(v.get_info("DSNP")) == 0
+
+    # --fam without --snp-vcf is a usage error (hipstr_main.cpp:583-584)
+    import pytest
+    with pytest.raises(SystemExit):
+        cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                  "--regions", fx["bed"],
+                  "--tr-vcf", str(tmp_path / "x.vcf.gz"),
+                  "--fam", fam_path, "--quiet"])

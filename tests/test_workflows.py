@@ -98,3 +98,40 @@ def test_checkpoint_resume(tmp_path):
     chroms = {ln.split("\t")[0] for ln in body}
     assert chroms == {"chr2", "chr3"}
     assert len(open(ckpt).read().splitlines()) == 4
+
+
+def test_pass_and_filt_bam_outputs(tmp_path):
+    """--pass-bam collects genotyping reads with a PF tag; --filt-bam
+    collects rejected reads with an FT reason tag (bam_processor.cpp:20-55,
+    323-443)."""
+    from longtr_tpu.io.bam import BamReader
+
+    fx = standard_fixture(str(tmp_path))
+    out = str(tmp_path / "calls.vcf.gz")
+    pass_bam = str(tmp_path / "pass.bam")
+    filt_bam = str(tmp_path / "filt.bam")
+    assert cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out,
+                     "--pass-bam", pass_bam, "--filt-bam", filt_bam,
+                     "--use-unpaired", "--quiet"]) == 0
+    r = BamReader(pass_bam)
+    n_pass = 0
+    while (rec := r.get_next_alignment()) is not None:
+        n_pass += 1
+        assert rec.get_tag("PF") == "1"
+    assert n_pass == 240  # 4 loci x 3 samples x 20 reads, all clean
+
+    # Force rejections with an unreachable MAPQ threshold.
+    out2 = str(tmp_path / "calls2.vcf.gz")
+    filt2 = str(tmp_path / "filt2.bam")
+    assert cli_main(["--bams", fx["bams"][0], "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out2,
+                     "--filt-bam", filt2, "--min-mapq", "99",
+                     "--use-unpaired", "--quiet"]) == 0
+    r = BamReader(filt2)
+    reasons = set()
+    n_filt = 0
+    while (rec := r.get_next_alignment()) is not None:
+        n_filt += 1
+        reasons.add(rec.get_tag("FT"))
+    assert n_filt == 80 and reasons == {"LOW_MAPQ"}
