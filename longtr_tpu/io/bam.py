@@ -578,7 +578,14 @@ class BamMultiReader:
     def __init__(self, paths, fasta_path: str = ""):
         if not paths:
             raise ValueError("No BAM files provided")
-        self.readers = [BamReader(p, fasta_path) for p in paths]
+        self.readers = []
+        for p in paths:
+            if p.endswith(".cram"):
+                # CRAM decode needs the reference (bam_io.cpp faidx path)
+                from longtr_tpu.io.cram import CramReader
+                self.readers.append(CramReader(p, fasta_path))
+            else:
+                self.readers.append(BamReader(p, fasta_path))
         h0 = self.readers[0].header
         for r in self.readers[1:]:
             if (r.header.ref_names != h0.ref_names

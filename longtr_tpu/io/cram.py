@@ -1,0 +1,1274 @@
+"""CRAM 3.0 container format: reader (product feature) and writer (tests).
+
+The reference accepts BAM and CRAM input via htslib's BamCramReader
+(bam_io.h:441-515); this module provides the CRAM side for our BAM-native
+stack.  Implemented from the CRAM 3.0 specification: ITF8/LTF8 varints,
+containers, compression-header preservation/encoding maps, slices,
+block compression methods raw/gzip/bzip2/lzma/rANS-4x8, the core-block
+bit codecs (HUFFMAN as used in practice, BETA, GAMMA), EXTERNAL /
+BYTE_ARRAY_LEN / BYTE_ARRAY_STOP, reference-based sequence
+reconstruction with the substitution matrix, and .crai index support.
+
+CONFORMANCE NOTE: no external CRAM producer (samtools/htslib/pysam)
+exists in this build environment, so cross-implementation conformance
+is validated structurally (spec-derived round-trips over the writer,
+plus BAM-vs-CRAM record equality on identical data).  Decoding CRAMs
+from other encoders exercises the same code paths; report mismatches
+as bugs against this module.
+
+Records decode into :class:`longtr_tpu.io.bam.BamRecord`, so every
+downstream pipeline stage is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import struct
+import zlib
+
+from longtr_tpu.io.bam import BamHeader, BamRecord
+from longtr_tpu.io.rans import rans_compress, rans_decompress
+
+CRAM_MAGIC = b"CRAM"
+
+# block compression methods
+RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
+# block content types
+FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, RESERVED, EXTERNAL_DATA, CORE_DATA = \
+    0, 1, 2, 3, 4, 5
+
+# CF bit flags (CRAM 3.0 table: record cram bit flags)
+CF_QS_STORED = 0x1
+CF_DETACHED = 0x2
+CF_MATE_DOWNSTREAM = 0x4
+CF_NO_SEQ = 0x8
+# MF bit flags
+MF_MATE_NEG_STRAND = 0x1
+MF_MATE_UNMAPPED = 0x2
+
+_SUB_BASES = {"A": "CGTN", "C": "AGTN", "G": "ACTN", "T": "ACGN", "N": "ACGT"}
+
+EOF_CONTAINER = bytes([
+    0x0f, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x0f, 0xe0,
+    0x45, 0x4f, 0x46, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x05,
+    0xbd, 0xd9, 0x4f, 0x00, 0x01, 0x00, 0x06, 0x06, 0x01, 0x00,
+    0x01, 0x00, 0x01, 0x00, 0xee, 0x63, 0x01, 0x4b,
+])
+
+
+# ---------------------------------------------------------------------------
+# varints
+
+def itf8_encode(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF,
+                      v & 0xFF])
+    return bytes([0xF0 | ((v >> 28) & 0x0F), (v >> 20) & 0xFF,
+                  (v >> 12) & 0xFF, (v >> 4) & 0xFF, v & 0x0F])
+
+
+def itf8_decode(buf, pos):
+    b0 = buf[pos]
+    if b0 < 0x80:
+        v, pos = b0, pos + 1
+    elif b0 < 0xC0:
+        v = ((b0 & 0x7F) << 8) | buf[pos + 1]
+        pos += 2
+    elif b0 < 0xE0:
+        v = ((b0 & 0x3F) << 16) | (buf[pos + 1] << 8) | buf[pos + 2]
+        pos += 3
+    elif b0 < 0xF0:
+        v = ((b0 & 0x1F) << 24) | (buf[pos + 1] << 16) | \
+            (buf[pos + 2] << 8) | buf[pos + 3]
+        pos += 4
+    else:
+        v = ((b0 & 0x0F) << 28) | (buf[pos + 1] << 20) | \
+            (buf[pos + 2] << 12) | (buf[pos + 3] << 4) | (buf[pos + 4] & 0x0F)
+        pos += 5
+    if v & 0x80000000:
+        v -= 1 << 32
+    return v, pos
+
+
+def ltf8_encode(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    for n in range(8):
+        if v < (1 << (7 * (n + 1))):
+            first = ((0xFF << (8 - n)) & 0xFF) | (v >> (8 * n))
+            rest = [(v >> (8 * k)) & 0xFF for k in range(n - 1, -1, -1)]
+            return bytes([first] + rest)
+    return bytes([0xFF]) + v.to_bytes(8, "big")
+
+
+def ltf8_decode(buf, pos):
+    b0 = buf[pos]
+    n = 0
+    while n < 8 and (b0 << n) & 0x80:
+        n += 1
+    if n == 8:
+        v = int.from_bytes(buf[pos + 1:pos + 9], "big")
+        pos += 9
+    else:
+        v = b0 & (0xFF >> n)
+        for k in range(n):
+            v = (v << 8) | buf[pos + 1 + k]
+        pos += 1 + n
+    if v & (1 << 63):
+        v -= 1 << 64
+    return v, pos
+
+
+def _array_encode(vals) -> bytes:
+    out = itf8_encode(len(vals))
+    for v in vals:
+        out += itf8_encode(v)
+    return out
+
+
+def _array_decode(buf, pos):
+    n, pos = itf8_decode(buf, pos)
+    vals = []
+    for _ in range(n):
+        v, pos = itf8_decode(buf, pos)
+        vals.append(v)
+    return vals, pos
+
+
+# ---------------------------------------------------------------------------
+# blocks
+
+def _compress(method, data):
+    if method == RAW:
+        return data
+    if method == GZIP:
+        return gzip.compress(data)
+    if method == BZIP2:
+        return bz2.compress(data)
+    if method == LZMA:
+        return lzma.compress(data)
+    if isinstance(method, tuple) and method[0] == RANS:
+        return rans_compress(data, method[1])
+    raise ValueError(f"unknown compression method {method}")
+
+
+def _decompress(method, data, raw_size):
+    if method == RAW:
+        return data
+    if method == GZIP:
+        return zlib.decompress(data, zlib.MAX_WBITS | 32)
+    if method == BZIP2:
+        return bz2.decompress(data)
+    if method == LZMA:
+        return lzma.decompress(data)
+    if method == RANS:
+        return rans_decompress(data)
+    raise ValueError(f"unsupported CRAM block compression method {method}")
+
+
+def write_block(method, content_type, content_id, data: bytes) -> bytes:
+    comp = _compress(method, data)
+    m = method[0] if isinstance(method, tuple) else method
+    body = (bytes([m, content_type]) + itf8_encode(content_id)
+            + itf8_encode(len(comp)) + itf8_encode(len(data)) + comp)
+    return body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def read_block(buf, pos):
+    method, ctype = buf[pos], buf[pos + 1]
+    pos += 2
+    cid, pos = itf8_decode(buf, pos)
+    csize, pos = itf8_decode(buf, pos)
+    rsize, pos = itf8_decode(buf, pos)
+    data = _decompress(method, bytes(buf[pos:pos + csize]), rsize)
+    pos += csize + 4  # skip CRC
+    return {"type": ctype, "id": cid, "data": data}, pos
+
+
+# ---------------------------------------------------------------------------
+# container header
+
+def write_container_header(length, ref_id, start, span, n_records,
+                           counter, n_bases, n_blocks, landmarks) -> bytes:
+    body = (struct.pack("<i", length) + itf8_encode(ref_id)
+            + itf8_encode(start) + itf8_encode(span)
+            + itf8_encode(n_records) + ltf8_encode(counter)
+            + ltf8_encode(n_bases) + itf8_encode(n_blocks)
+            + _array_encode(landmarks))
+    return body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def read_container_header(buf, pos):
+    (length,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    ref_id, pos = itf8_decode(buf, pos)
+    start, pos = itf8_decode(buf, pos)
+    span, pos = itf8_decode(buf, pos)
+    n_records, pos = itf8_decode(buf, pos)
+    counter, pos = ltf8_decode(buf, pos)
+    n_bases, pos = ltf8_decode(buf, pos)
+    n_blocks, pos = itf8_decode(buf, pos)
+    landmarks, pos = _array_decode(buf, pos)
+    pos += 4  # CRC
+    return {"length": length, "ref_id": ref_id, "start": start, "span": span,
+            "n_records": n_records, "counter": counter, "n_bases": n_bases,
+            "n_blocks": n_blocks, "landmarks": landmarks}, pos
+
+
+# ---------------------------------------------------------------------------
+# encodings (decode side)
+
+class CoreBits:
+    """MSB-first bit reader over the core block."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bits(self, n):
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos]
+            v = (v << 1) | ((byte >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+class Encoding:
+    """A parsed data-series encoding; ``read(core, ext)`` decodes one item."""
+
+    def __init__(self, codec, params):
+        self.codec = codec
+        p = 0
+        if codec == 1:      # EXTERNAL
+            self.cid, p = itf8_decode(params, p)
+        elif codec == 3:    # HUFFMAN
+            self.alphabet, p = _array_decode(params, p)
+            self.bitlens, p = _array_decode(params, p)
+            if any(self.bitlens):
+                self._build_huffman()
+        elif codec == 4:    # BYTE_ARRAY_LEN
+            self.len_enc, p = parse_encoding(params, p)
+            self.val_enc, p = parse_encoding(params, p)
+        elif codec == 5:    # BYTE_ARRAY_STOP
+            self.stop = params[0]
+            self.cid, p = itf8_decode(params, 1)
+        elif codec == 6:    # BETA
+            self.offset, p = itf8_decode(params, p)
+            self.nbits, p = itf8_decode(params, p)
+        elif codec == 9:    # GAMMA
+            self.offset, p = itf8_decode(params, p)
+        elif codec == 0:    # NULL
+            pass
+        else:
+            raise ValueError(f"unsupported CRAM encoding codec {codec}")
+
+    def _build_huffman(self):
+        # canonical Huffman codes from (symbol, bit length)
+        pairs = sorted(zip(self.bitlens, self.alphabet))
+        code = 0
+        prev_len = pairs[0][0]
+        table = {}
+        for ln, sym in pairs:
+            code <<= (ln - prev_len)
+            table[(ln, code)] = sym
+            code += 1
+            prev_len = ln
+        self.huff = table
+        self.max_len = pairs[-1][0]
+
+    def read_int(self, core, ext):
+        c = self.codec
+        if c == 1:
+            buf = ext[self.cid]
+            v, buf[1] = itf8_decode(buf[0], buf[1])
+            return v
+        if c == 3:
+            if not any(self.bitlens):
+                return self.alphabet[0]
+            code, ln = 0, 0
+            while True:
+                code = (code << 1) | core.read_bits(1)
+                ln += 1
+                sym = self.huff.get((ln, code))
+                if sym is not None:
+                    return sym
+                if ln > self.max_len:
+                    raise ValueError("bad huffman stream")
+        if c == 6:
+            return core.read_bits(self.nbits) - self.offset
+        if c == 9:
+            n = 0
+            while core.read_bits(1) == 0:
+                n += 1
+            v = 1
+            for _ in range(n):
+                v = (v << 1) | core.read_bits(1)
+            return v - self.offset
+        raise ValueError(f"codec {c} cannot produce ints")
+
+    def read_byte(self, core, ext):
+        if self.codec == 1:
+            buf = ext[self.cid]
+            b = buf[0][buf[1]]
+            buf[1] += 1
+            return b
+        return self.read_int(core, ext)
+
+    def read_bytes(self, core, ext, n=None):
+        c = self.codec
+        if c == 1:
+            buf = ext[self.cid]
+            out = bytes(buf[0][buf[1]:buf[1] + n])
+            buf[1] += n
+            return out
+        if c == 4:
+            ln = self.len_enc.read_int(core, ext)
+            return self.val_enc.read_bytes(core, ext, ln)
+        if c == 5:
+            buf = ext[self.cid]
+            data, p = buf
+            end = data.index(self.stop, p)
+            buf[1] = end + 1
+            return bytes(data[p:end])
+        raise ValueError(f"codec {c} cannot produce byte arrays")
+
+
+def parse_encoding(buf, pos):
+    codec, pos = itf8_decode(buf, pos)
+    plen, pos = itf8_decode(buf, pos)
+    params = bytes(buf[pos:pos + plen])
+    pos += plen
+    return Encoding(codec, params), pos
+
+
+def encode_encoding(codec, params: bytes) -> bytes:
+    return itf8_encode(codec) + itf8_encode(len(params)) + params
+
+
+def ext_encoding(cid) -> bytes:
+    return encode_encoding(1, itf8_encode(cid))
+
+
+def byte_array_stop_encoding(stop, cid) -> bytes:
+    return encode_encoding(5, bytes([stop]) + itf8_encode(cid))
+
+
+def byte_array_len_ext(len_cid, val_cid) -> bytes:
+    return encode_encoding(
+        4, encode_encoding(1, itf8_encode(len_cid))
+        + encode_encoding(1, itf8_encode(val_cid)))
+
+
+# ---------------------------------------------------------------------------
+# compression header
+
+class CompressionHeader:
+    def __init__(self):
+        self.rn = True    # read names preserved
+        self.ap = True    # AP delta coded
+        self.rr = True    # reference required
+        self.sm = self._default_sm()
+        self.td = [[]]    # tag dictionary lines: list of (tag, type) lists
+        self.encodings = {}      # 2-char key -> Encoding
+        self.tag_encodings = {}  # int key -> Encoding
+
+    @staticmethod
+    def _default_sm():
+        # identity-ranked substitution codes: for each ref base the
+        # substitutes in fixed order get codes 0,1,2,3
+        sm = {}
+        for r, subs in _SUB_BASES.items():
+            sm[r] = {s: i for i, s in enumerate(subs)}
+        return sm
+
+    def sm_bytes(self) -> bytes:
+        out = []
+        for r in "ACGTN":
+            b = 0
+            for i, s in enumerate(_SUB_BASES[r]):
+                b |= self.sm[r][s] << (6 - 2 * i)
+            out.append(b)
+        return bytes(out)
+
+    def sm_from_bytes(self, raw: bytes):
+        self.sm = {}
+        for bi, r in enumerate("ACGTN"):
+            codes = {}
+            for i, s in enumerate(_SUB_BASES[r]):
+                codes[s] = (raw[bi] >> (6 - 2 * i)) & 3
+            self.sm[r] = codes
+
+    def substitute(self, ref_base: str, code: int) -> str:
+        ref_base = ref_base.upper()
+        if ref_base not in self.sm:
+            ref_base = "N"
+        for s, c in self.sm[ref_base].items():
+            if c == code:
+                return s
+        return "N"
+
+    def sub_code(self, ref_base: str, read_base: str) -> int:
+        ref_base = ref_base.upper()
+        if ref_base not in self.sm:
+            ref_base = "N"
+        return self.sm[ref_base].get(read_base.upper(), 3)
+
+    def td_bytes(self) -> bytes:
+        out = bytearray()
+        for line in self.td:
+            for tag, typ in line:
+                out += tag.encode() + typ.encode()
+            out.append(0)
+        return bytes(out)
+
+    def td_from_bytes(self, raw: bytes):
+        self.td = []
+        line = []
+        i = 0
+        while i < len(raw):
+            if raw[i] == 0:
+                self.td.append(line)
+                line = []
+                i += 1
+            else:
+                line.append((raw[i:i + 2].decode(), chr(raw[i + 2])))
+                i += 3
+        if line:
+            self.td.append(line)
+
+
+def write_compression_header(ch: CompressionHeader,
+                             series: dict, tag_series: dict) -> bytes:
+    # preservation map
+    pm = bytearray()
+    entries = [(b"RN", bytes([1 if ch.rn else 0])),
+               (b"AP", bytes([1 if ch.ap else 0])),
+               (b"RR", bytes([1 if ch.rr else 0])),
+               (b"SM", ch.sm_bytes()),
+               (b"TD", itf8_encode(len(ch.td_bytes())) + ch.td_bytes())]
+    pm += itf8_encode(len(entries))
+    for k, v in entries:
+        pm += k + v
+    pm = itf8_encode(len(pm)) + pm
+
+    dse = bytearray()
+    dse += itf8_encode(len(series))
+    for key, enc in series.items():
+        dse += key.encode() + enc
+    dse = itf8_encode(len(dse)) + dse
+
+    te = bytearray()
+    te += itf8_encode(len(tag_series))
+    for key, enc in tag_series.items():
+        te += itf8_encode(key) + enc
+    te = itf8_encode(len(te)) + te
+    return bytes(pm + dse + te)
+
+
+def read_compression_header(data: bytes) -> CompressionHeader:
+    ch = CompressionHeader()
+    pos = 0
+    _sz, pos = itf8_decode(data, pos)
+    n, pos = itf8_decode(data, pos)
+    for _ in range(n):
+        key = data[pos:pos + 2].decode()
+        pos += 2
+        if key in ("RN", "AP", "RR"):
+            val = data[pos] != 0
+            pos += 1
+            setattr(ch, key.lower(), val)
+        elif key == "SM":
+            ch.sm_from_bytes(data[pos:pos + 5])
+            pos += 5
+        elif key == "TD":
+            ln, pos = itf8_decode(data, pos)
+            ch.td_from_bytes(data[pos:pos + ln])
+            pos += ln
+        else:
+            raise ValueError(f"unknown preservation key {key}")
+    _sz, pos = itf8_decode(data, pos)
+    n, pos = itf8_decode(data, pos)
+    for _ in range(n):
+        key = data[pos:pos + 2].decode()
+        pos += 2
+        enc, pos = parse_encoding(data, pos)
+        ch.encodings[key] = enc
+    _sz, pos = itf8_decode(data, pos)
+    n, pos = itf8_decode(data, pos)
+    for _ in range(n):
+        key, pos = itf8_decode(data, pos)
+        enc, pos = parse_encoding(data, pos)
+        ch.tag_encodings[key] = enc
+    return ch
+
+
+# ---------------------------------------------------------------------------
+# slice header
+
+def write_slice_header(ref_id, start, span, n_records, counter,
+                       content_ids, embedded_ref_id=-1) -> bytes:
+    return (itf8_encode(ref_id) + itf8_encode(start) + itf8_encode(span)
+            + itf8_encode(n_records) + ltf8_encode(counter)
+            + itf8_encode(len(content_ids) + 1)  # + core block
+            + _array_encode(content_ids)
+            + itf8_encode(embedded_ref_id) + b"\x00" * 16)
+
+
+def read_slice_header(data: bytes) -> dict:
+    pos = 0
+    ref_id, pos = itf8_decode(data, pos)
+    start, pos = itf8_decode(data, pos)
+    span, pos = itf8_decode(data, pos)
+    n_records, pos = itf8_decode(data, pos)
+    counter, pos = ltf8_decode(data, pos)
+    n_blocks, pos = itf8_decode(data, pos)
+    content_ids, pos = _array_decode(data, pos)
+    embedded_ref, pos = itf8_decode(data, pos)
+    return {"ref_id": ref_id, "start": start, "span": span,
+            "n_records": n_records, "counter": counter,
+            "n_blocks": n_blocks, "content_ids": content_ids,
+            "embedded_ref": embedded_ref}
+
+
+# ---------------------------------------------------------------------------
+# record codec
+
+_TAG_FMT = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2),
+            "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4)}
+
+
+def _tag_value_to_bytes(typ: str, val) -> bytes:
+    if typ in _TAG_FMT:
+        return struct.pack(_TAG_FMT[typ][0], val)
+    if typ == "A":
+        return val.encode() if isinstance(val, str) else bytes([val])
+    if typ in ("Z", "H"):
+        return val.encode() + b"\x00"
+    raise ValueError(f"unsupported tag type {typ}")
+
+
+def _tag_value_from_bytes(typ: str, raw: bytes):
+    if typ in _TAG_FMT:
+        return struct.unpack(_TAG_FMT[typ][0], raw)[0]
+    if typ == "A":
+        return raw[:1].decode()
+    if typ in ("Z", "H"):
+        return raw.rstrip(b"\x00").decode()
+    raise ValueError(f"unsupported tag type {typ}")
+
+
+def _pick_tag_type(val) -> str:
+    if isinstance(val, int):
+        return "i"
+    if isinstance(val, float):
+        return "f"
+    return "Z"
+
+
+class SliceDecoder:
+    """Decodes one slice's records into BamRecords (CRAM 3.0 section 8)."""
+
+    def __init__(self, ch: CompressionHeader, slice_hdr, core: bytes,
+                 ext_blocks: dict, header: BamHeader, ref_fetch):
+        self.ch = ch
+        self.hdr = slice_hdr
+        self.core = CoreBits(core)
+        self.ext = {cid: [data, 0] for cid, data in ext_blocks.items()}
+        self.header = header
+        self.ref_fetch = ref_fetch   # (ref_id, start0, end0_excl) -> str
+        self.prev_ap = slice_hdr["start"]
+
+    def _e(self, key) -> Encoding:
+        enc = self.ch.encodings.get(key)
+        if enc is None:
+            raise ValueError(f"missing data series encoding {key}")
+        return enc
+
+    def decode_records(self, filename=""):
+        records = []
+        n = self.hdr["n_records"]
+        for _ in range(n):
+            records.append(self._decode_one(filename))
+        self._resolve_mates(records)
+        return records
+
+    def _decode_one(self, filename):
+        ch, core, ext = self.ch, self.core, self.ext
+        bf = self._e("BF").read_int(core, ext)
+        cf = self._e("CF").read_int(core, ext)
+        if self.hdr["ref_id"] == -2:
+            ref_id = self._e("RI").read_int(core, ext)
+        else:
+            ref_id = self.hdr["ref_id"]
+        rl = self._e("RL").read_int(core, ext)
+        ap = self._e("AP").read_int(core, ext)
+        if ch.ap:
+            ap += self.prev_ap
+            self.prev_ap = ap
+        rg = self._e("RG").read_int(core, ext)
+
+        name = ""
+        if ch.rn:
+            name = self._e("RN").read_bytes(core, ext).decode()
+
+        mate_ref_id, mate_pos, tlen = -1, -1, 0
+        mf = 0
+        nf = -1
+        if cf & CF_DETACHED:
+            mf = self._e("MF").read_int(core, ext)
+            if not ch.rn:
+                name = self._e("RN").read_bytes(core, ext).decode()
+            mate_ref_id = self._e("NS").read_int(core, ext)
+            mate_pos = self._e("NP").read_int(core, ext)
+            tlen = self._e("TS").read_int(core, ext)
+        elif cf & CF_MATE_DOWNSTREAM:
+            nf = self._e("NF").read_int(core, ext)
+
+        tl = self._e("TL").read_int(core, ext)
+        tags = {}
+        for tag, typ in self.ch.td[tl]:
+            key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+            enc = self.ch.tag_encodings[key]
+            raw = enc.read_bytes(core, ext)
+            tags[tag] = _tag_value_from_bytes(typ, raw)
+
+        unmapped = bool(bf & 4)
+        features = []
+        mapq = 0
+        if not unmapped:
+            fn = self._e("FN").read_int(core, ext)
+            fpos = 0
+            for _ in range(fn):
+                fc = chr(self._e("FC").read_byte(core, ext))
+                fp = self._e("FP").read_int(core, ext)
+                fpos += fp
+                if fc == "X":
+                    data = self._e("BS").read_int(core, ext)
+                elif fc == "S":
+                    data = self._e("SC").read_bytes(core, ext)
+                elif fc == "I":
+                    data = self._e("IN").read_bytes(core, ext)
+                elif fc == "D":
+                    data = self._e("DL").read_int(core, ext)
+                elif fc == "i":
+                    data = self._e("BA").read_byte(core, ext)
+                elif fc == "b":
+                    data = self._e("BB").read_bytes(core, ext)
+                elif fc == "q":
+                    data = self._e("QQ").read_bytes(core, ext)
+                elif fc == "Q":
+                    data = self._e("QS").read_byte(core, ext)
+                elif fc == "B":
+                    data = (self._e("BA").read_byte(core, ext),
+                            self._e("QS").read_byte(core, ext))
+                elif fc == "H":
+                    data = self._e("HC").read_int(core, ext)
+                elif fc == "P":
+                    data = self._e("PD").read_int(core, ext)
+                elif fc == "N":
+                    data = self._e("RS").read_int(core, ext)
+                else:
+                    raise ValueError(f"unknown feature code {fc}")
+                features.append((fc, fpos, data))
+            mapq = self._e("MQ").read_int(core, ext)
+            seq, cigar = self._reconstruct(ref_id, ap - 1, rl, features)
+        else:
+            bases = bytes(self._e("BA").read_byte(core, ext)
+                          for _ in range(rl))
+            seq = bases.decode()
+            cigar = []
+
+        if cf & CF_QS_STORED:
+            quals = bytes(self._e("QS").read_byte(core, ext)
+                          for _ in range(rl))
+            qual = "".join(chr(q + 33) for q in quals)
+        else:
+            qual = "!" * rl
+        if cf & CF_NO_SEQ:
+            seq = ""
+
+        flag = bf
+        if cf & CF_DETACHED:
+            if mf & MF_MATE_NEG_STRAND:
+                flag |= 0x20
+            if mf & MF_MATE_UNMAPPED:
+                flag |= 0x8
+
+        rec = BamRecord(
+            name=name, flag=flag, ref_id=ref_id, pos=ap - 1, mapq=mapq,
+            cigar=cigar, mate_ref_id=mate_ref_id, mate_pos=mate_pos - 1,
+            tlen=tlen, seq=seq, qual=qual, tags=tags, filename=filename,
+            ref_name=self.header.ref_name(ref_id),
+            mate_ref_name=self.header.ref_name(mate_ref_id))
+        rec._cram_nf = nf
+        return rec
+
+    def _reconstruct(self, ref_id, pos0, read_len, features):
+        """Rebuild SEQ + CIGAR from reference and feature list."""
+        seq = [""] * read_len
+        cigar = []
+
+        def add_op(op, n=1):
+            if n <= 0:
+                return
+            if cigar and cigar[-1][0] == op:
+                cigar[-1][1] += n
+            else:
+                cigar.append([op, n])
+
+        ref_pos = pos0
+        read_pos = 0  # 0-based
+
+        def fill_match(upto):
+            # copy reference bases for read positions [read_pos, upto)
+            nonlocal ref_pos, read_pos
+            n = upto - read_pos
+            if n <= 0:
+                return
+            refseq = self.ref_fetch(ref_id, ref_pos, ref_pos + n)
+            for k in range(n):
+                seq[read_pos + k] = refseq[k] if k < len(refseq) else "N"
+            add_op("M", n)
+            ref_pos += n
+            read_pos += n
+
+        for fc, fpos, data in features:
+            fill_match(fpos - 1)
+            if fc == "X":
+                ref_base = self.ref_fetch(ref_id, ref_pos, ref_pos + 1) or "N"
+                seq[read_pos] = self.ch.substitute(ref_base, data)
+                add_op("M", 1)
+                ref_pos += 1
+                read_pos += 1
+            elif fc == "S":
+                s = data.decode()
+                for k, b in enumerate(s):
+                    seq[read_pos + k] = b
+                add_op("S", len(s))
+                read_pos += len(s)
+            elif fc == "I":
+                s = data.decode()
+                for k, b in enumerate(s):
+                    seq[read_pos + k] = b
+                add_op("I", len(s))
+                read_pos += len(s)
+            elif fc == "i":
+                seq[read_pos] = chr(data)
+                add_op("I", 1)
+                read_pos += 1
+            elif fc == "D":
+                add_op("D", data)
+                ref_pos += data
+            elif fc == "N":
+                add_op("N", data)
+                ref_pos += data
+            elif fc == "P":
+                add_op("P", data)
+            elif fc == "H":
+                add_op("H", data)
+            elif fc == "b":
+                s = data.decode()
+                for k, b in enumerate(s):
+                    seq[read_pos + k] = b
+                add_op("M", len(s))
+                ref_pos += len(s)
+                read_pos += len(s)
+            elif fc == "B":
+                seq[read_pos] = chr(data[0])
+                add_op("M", 1)
+                ref_pos += 1
+                read_pos += 1
+            elif fc in ("q", "Q"):
+                pass  # quality-only features; qualities come from QS
+            else:
+                raise ValueError(f"unhandled feature {fc}")
+        fill_match(read_len)
+        return "".join(seq), [tuple(c) for c in cigar]
+
+    def _resolve_mates(self, records):
+        """NF linkage: mate fields derived from the downstream record."""
+        for i, rec in enumerate(records):
+            nf = getattr(rec, "_cram_nf", -1)
+            if nf < 0:
+                continue
+            mate = records[i + 1 + nf]
+            rec.mate_ref_id = mate.ref_id
+            rec.mate_ref_name = mate.ref_name
+            rec.mate_pos = mate.pos
+            mate.mate_ref_id = rec.ref_id
+            mate.mate_ref_name = rec.ref_name
+            mate.mate_pos = rec.pos
+            if mate.flag & 0x10:
+                rec.flag |= 0x20
+            if rec.flag & 0x10:
+                mate.flag |= 0x20
+            end = max(rec.end_pos, mate.end_pos)
+            start = min(rec.pos, mate.pos)
+            rec.tlen = (end - start) if rec.pos <= mate.pos else -(end - start)
+            mate.tlen = -rec.tlen
+
+
+# ---------------------------------------------------------------------------
+# writer (single-ref slices, EXTERNAL/BYTE_ARRAY_STOP encodings)
+
+# data series -> (content id, kind); kind: int / bytes(stop) / byte
+_SERIES = {
+    "BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6, "MF": 7,
+    "NS": 8, "NP": 9, "TS": 10, "NF": 11, "TL": 12, "FN": 13, "FC": 14,
+    "FP": 15, "BS": 16, "DL": 17, "MQ": 18, "RS": 19, "PD": 20, "HC": 21,
+}
+_RN_CID = 30
+_QS_CID = 31
+_BA_CID = 32
+_SC_CID, _IN_CID, _BB_CID, _QQ_CID = 33, 34, 35, 36
+_TAG_CID_BASE = 64
+
+
+class CramWriter:
+    """Writes CRAM 3.0 with one single-reference slice per container.
+
+    Test-fixture quality: every integer series is EXTERNAL (ITF8),
+    read names and byte arrays are BYTE_ARRAY_STOP; quality scores are
+    always stored; mates are written detached.  QS blocks use rANS
+    order-0 and BF rANS order-1 so readers exercise both codec orders;
+    everything else is gzip.
+    """
+
+    def __init__(self, path, header_text, ref_names, ref_lengths,
+                 records_per_slice=1000):
+        self.fh = open(path, "wb")
+        self.path = path
+        self.header = BamHeader(header_text, ref_names, ref_lengths)
+        self.records_per_slice = records_per_slice
+        self.fh.write(CRAM_MAGIC + bytes([3, 0]) + (path.encode() + b"\x00" * 20)[:20])
+        # SAM header container
+        hdr_block = write_block(GZIP, FILE_HEADER, 0, header_text.encode())
+        self.fh.write(write_container_header(
+            len(hdr_block), -1, 0, 0, 0, 0, 0, 1, [0]))
+        self.fh.write(hdr_block)
+        self._pending = []
+        self._counter = 0
+        self._index = []   # (ref_id, start, span, container_off, slice_off, size)
+        self._ref_cache = {}
+
+    # -- reference access for feature generation
+    def _ref(self, ref_id):
+        return self._ref_cache.get(ref_id, "")
+
+    def set_reference(self, ref_id, seq):
+        """Provide the reference sequence used to diff mapped reads."""
+        self._ref_cache[ref_id] = seq
+
+    def save_alignment(self, rec: BamRecord):
+        self._pending.append(rec)
+        if len(self._pending) >= self.records_per_slice:
+            self.flush()
+
+    def flush(self):
+        if not self._pending:
+            return
+        by_ref = {}
+        for rec in self._pending:
+            by_ref.setdefault(rec.ref_id, []).append(rec)
+        for ref_id in sorted(by_ref):
+            self._write_container(ref_id, by_ref[ref_id])
+        self._pending = []
+
+    def _write_container(self, ref_id, records):
+        ch = CompressionHeader()
+        ch.ap = False   # absolute positions
+        ch.rn = True
+        # tag dictionary: one line per distinct tag signature
+        sigs = []
+        sig_index = {}
+        rec_tl = []
+        for rec in records:
+            sig = tuple((t, _pick_tag_type(v)) for t, v in sorted(rec.tags.items()))
+            if sig not in sig_index:
+                sig_index[sig] = len(sigs)
+                sigs.append(list(sig))
+            rec_tl.append(sig_index[sig])
+        ch.td = sigs if sigs else [[]]
+
+        ints = {k: bytearray() for k in _SERIES}
+        rn = bytearray()
+        qs = bytearray()
+        ba = bytearray()
+        arr = {k: bytearray() for k in (_SC_CID, _IN_CID, _BB_CID, _QQ_CID)}
+        tag_bufs = {}
+
+        def put(series, v):
+            ints[series] += itf8_encode(v)
+
+        min_pos = min((r.pos + 1) for r in records)
+        max_end = max(r.end_pos + 1 for r in records)
+        n_bases = 0
+        for tl, rec in zip(rec_tl, records):
+            n_bases += len(rec.seq)
+            flag = rec.flag
+            put("BF", flag)
+            cf = CF_QS_STORED | CF_DETACHED
+            put("CF", cf)
+            put("RL", len(rec.seq))
+            put("AP", rec.pos + 1)
+            put("RG", -1)
+            rn += rec.name.encode() + b"\x00"
+            mf = 0
+            if flag & 0x20:
+                mf |= MF_MATE_NEG_STRAND
+            if flag & 0x8:
+                mf |= MF_MATE_UNMAPPED
+            put("MF", mf)
+            put("NS", rec.mate_ref_id)
+            put("NP", rec.mate_pos + 1)
+            put("TS", rec.tlen)
+            put("TL", tl)
+            for tag, typ in ch.td[tl]:
+                key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+                lens, vals = tag_bufs.setdefault(key, (bytearray(), bytearray()))
+                raw = _tag_value_to_bytes(typ, rec.tags[tag])
+                lens += itf8_encode(len(raw))
+                vals += raw
+            if rec.is_mapped:
+                feats = self._features(ch, rec)
+                put("FN", len(feats))
+                prev = 0
+                for fc, fpos, data in feats:
+                    ints["FC"] += bytes([ord(fc)])
+                    put("FP", fpos - prev)
+                    prev = fpos
+                    if fc == "X":
+                        put("BS", data)
+                    elif fc == "S":
+                        arr[_SC_CID] += data + b"\x00"
+                    elif fc == "I":
+                        arr[_IN_CID] += data + b"\x00"
+                    elif fc == "D":
+                        put("DL", data)
+                    elif fc == "H":
+                        put("HC", data)
+                    elif fc == "N":
+                        put("RS", data)
+                    elif fc == "P":
+                        put("PD", data)
+                put("MQ", rec.mapq)
+            else:
+                ba += rec.seq.encode()
+            qs += bytes(min(max(ord(q) - 33, 0), 93) for q in rec.qual)
+
+        series = {
+            "BF": ext_encoding(_SERIES["BF"]),
+            "CF": ext_encoding(_SERIES["CF"]),
+            "RL": ext_encoding(_SERIES["RL"]),
+            "AP": ext_encoding(_SERIES["AP"]),
+            "RG": ext_encoding(_SERIES["RG"]),
+            "MF": ext_encoding(_SERIES["MF"]),
+            "NS": ext_encoding(_SERIES["NS"]),
+            "NP": ext_encoding(_SERIES["NP"]),
+            "TS": ext_encoding(_SERIES["TS"]),
+            "TL": ext_encoding(_SERIES["TL"]),
+            "FN": ext_encoding(_SERIES["FN"]),
+            "FC": ext_encoding(_SERIES["FC"]),
+            "FP": ext_encoding(_SERIES["FP"]),
+            "BS": ext_encoding(_SERIES["BS"]),
+            "DL": ext_encoding(_SERIES["DL"]),
+            "MQ": ext_encoding(_SERIES["MQ"]),
+            "HC": ext_encoding(_SERIES["HC"]),
+            "RS": ext_encoding(_SERIES["RS"]),
+            "PD": ext_encoding(_SERIES["PD"]),
+            "RN": byte_array_stop_encoding(0, _RN_CID),
+            "QS": ext_encoding(_QS_CID),
+            "BA": ext_encoding(_BA_CID),
+            "SC": byte_array_stop_encoding(0, _SC_CID),
+            "IN": byte_array_stop_encoding(0, _IN_CID),
+        }
+        tag_series = {}
+        tag_out = {}
+        for key, (lens, vals) in tag_bufs.items():
+            len_cid = _TAG_CID_BASE + 2 * len(tag_series)
+            val_cid = len_cid + 1
+            tag_series[key] = byte_array_len_ext(len_cid, val_cid)
+            tag_out[len_cid] = lens
+            tag_out[val_cid] = vals
+
+        comp_hdr = write_compression_header(ch, series, tag_series)
+        comp_block = write_block(GZIP, COMPRESSION_HEADER, 0, comp_hdr)
+
+        ext_blocks = []
+        content_ids = []
+
+        def add_ext(cid, data, method=GZIP):
+            if not data:
+                return
+            content_ids.append(cid)
+            ext_blocks.append(write_block(method, EXTERNAL_DATA, cid, bytes(data)))
+
+        add_ext(_SERIES["BF"], ints["BF"], (RANS, 1))
+        for k in ("CF", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "TL",
+                  "FN", "FC", "FP", "BS", "DL", "MQ", "HC", "RS", "PD"):
+            add_ext(_SERIES[k], ints[k])
+        add_ext(_RN_CID, rn)
+        add_ext(_QS_CID, qs, (RANS, 0))
+        add_ext(_BA_CID, ba)
+        for cid, data in arr.items():
+            add_ext(cid, data)
+        for cid, data in tag_out.items():
+            add_ext(cid, data)
+
+        slice_hdr = write_slice_header(
+            ref_id, min_pos, max_end - min_pos, len(records), self._counter,
+            content_ids)
+        slice_blocks = (write_block(GZIP, SLICE_HEADER, 0, slice_hdr)
+                        + write_block(RAW, CORE_DATA, 0, b"")
+                        + b"".join(ext_blocks))
+        self._counter += len(records)
+
+        landmarks = [len(comp_block)]
+        body = comp_block + slice_blocks
+        container_off = self.fh.tell()
+        hdr = write_container_header(
+            len(body), ref_id, min_pos, max_end - min_pos, len(records),
+            self._counter - len(records), n_bases, len(ext_blocks) + 3,
+            landmarks)
+        self.fh.write(hdr + body)
+        self._index.append((ref_id, min_pos, max_end - min_pos,
+                            container_off, len(comp_block), len(slice_blocks)))
+
+    def _features(self, ch, rec):
+        """Diff a mapped record against the reference into CRAM features."""
+        ref = self._ref(rec.ref_id)
+        feats = []
+        read_pos = 0   # 0-based
+        ref_pos = rec.pos
+        for op, n in rec.cigar:
+            if op in ("M", "=", "X"):
+                for k in range(n):
+                    rb = rec.seq[read_pos + k]
+                    fb = ref[ref_pos + k] if ref_pos + k < len(ref) else "N"
+                    if rb.upper() != fb.upper():
+                        feats.append(("X", read_pos + k + 1,
+                                      ch.sub_code(fb, rb)))
+                read_pos += n
+                ref_pos += n
+            elif op == "I":
+                feats.append(("I", read_pos + 1,
+                              rec.seq[read_pos:read_pos + n].encode()))
+                read_pos += n
+            elif op == "S":
+                feats.append(("S", read_pos + 1,
+                              rec.seq[read_pos:read_pos + n].encode()))
+                read_pos += n
+            elif op == "D":
+                feats.append(("D", read_pos + 1, n))
+                ref_pos += n
+            elif op == "N":
+                feats.append(("N", read_pos + 1, n))
+                ref_pos += n
+            elif op == "H":
+                feats.append(("H", read_pos + 1, n))
+            elif op == "P":
+                feats.append(("P", read_pos + 1, n))
+        return feats
+
+    def close(self):
+        self.flush()
+        self.fh.write(EOF_CONTAINER)
+        self.fh.close()
+        # .crai companion index
+        lines = []
+        for ref_id, start, span, coff, soff, ssize in self._index:
+            lines.append(f"{ref_id}\t{start}\t{span}\t{coff}\t{soff}\t{ssize}")
+        with open(self.path + ".crai", "wb") as fh:
+            fh.write(gzip.compress(("\n".join(lines) + "\n").encode()))
+
+
+# ---------------------------------------------------------------------------
+# reader
+
+class CramReader:
+    """BamReader-compatible CRAM reader (get_next_alignment/set_region)."""
+
+    def __init__(self, path: str, fasta_path: str = ""):
+        self.path = path
+        self.fh = open(path, "rb")
+        magic = self.fh.read(4)
+        if magic != CRAM_MAGIC:
+            raise IOError("Not a CRAM file: " + path)
+        self.version = tuple(self.fh.read(2))
+        if self.version[0] not in (2, 3):
+            raise IOError(f"Unsupported CRAM version {self.version}")
+        self.fh.read(20)  # file id
+        # SAM header container
+        buf = self._read_container_bytes()
+        hdr, pos = read_container_header(buf, 0)
+        block, pos = read_block(buf, pos)
+        text = block["data"].decode(errors="replace").rstrip("\x00")
+        names, lengths = [], []
+        for line in text.splitlines():
+            if line.startswith("@SQ"):
+                d = dict(f.split(":", 1) for f in line.split("\t")[1:]
+                         if ":" in f)
+                names.append(d.get("SN", ""))
+                lengths.append(int(d.get("LN", 0)))
+        self.header = BamHeader(text, names, lengths)
+        self._data_start = self.fh.tell()
+        self._fasta = None
+        if fasta_path:
+            from longtr_tpu.io.fasta import FastaReader
+            self._fasta = FastaReader(fasta_path)
+        self._ref_cache = {}
+        self._records = []
+        self._rec_idx = 0
+        self._eof = False
+        self._index = self._load_index()
+        self._region = None
+        self.min_offset = 0
+
+    # -- reference access
+    def _ref_fetch(self, ref_id, start, end):
+        if ref_id < 0 or start < 0:
+            return "N" * (end - start)
+        seq = self._ref_cache.get(ref_id)
+        if seq is None:
+            if self._fasta is None:
+                return "N" * (end - start)
+            seq = self._fasta.get_sequence(self.header.ref_name(ref_id))
+            self._ref_cache[ref_id] = seq
+        return seq[start:end]
+
+    def _load_index(self):
+        try:
+            with open(self.path + ".crai", "rb") as fh:
+                raw = gzip.decompress(fh.read()).decode()
+        except (OSError, gzip.BadGzipFile):
+            return None
+        idx = []
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            f = line.split("\t")
+            idx.append((int(f[0]), int(f[1]), int(f[2]), int(f[3]),
+                        int(f[4]), int(f[5])))
+        return idx
+
+    def _read_container_bytes(self):
+        """Read one container (header + body) into a buffer."""
+        head = self.fh.read(4)
+        if len(head) < 4:
+            return None
+        (length,) = struct.unpack("<i", head)
+        # read rest of the header: parse incrementally from a chunk
+        chunk = head + self.fh.read(64)
+        hdr, pos = read_container_header(chunk, 0)
+        body_have = len(chunk) - pos
+        body = chunk[pos:] + self.fh.read(hdr["length"] - body_have)
+        return chunk[:pos] + body
+
+    def _decode_container(self, buf):
+        hdr, pos = read_container_header(buf, 0)
+        if hdr["ref_id"] == -1 and hdr["n_records"] == 0 and \
+                hdr["n_blocks"] <= 1:
+            return None  # EOF container
+        block, pos = read_block(buf, pos)
+        if block["type"] != COMPRESSION_HEADER:
+            raise IOError("expected compression header block")
+        ch = read_compression_header(block["data"])
+        records = []
+        while pos < len(buf):
+            blk, pos = read_block(buf, pos)
+            if blk["type"] != SLICE_HEADER:
+                continue
+            sh = read_slice_header(blk["data"])
+            core = b""
+            ext = {}
+            for _ in range(sh["n_blocks"]):
+                b, pos = read_block(buf, pos)
+                if b["type"] == CORE_DATA:
+                    core = b["data"]
+                elif b["type"] == EXTERNAL_DATA:
+                    ext[b["id"]] = b["data"]
+            if sh["embedded_ref"] >= 0 and sh["embedded_ref"] in ext:
+                emb = ext[sh["embedded_ref"]].decode()
+                start0 = sh["start"] - 1
+
+                def fetch(ref_id, s, e, _emb=emb, _s0=start0):
+                    if s >= _s0 and e - _s0 <= len(_emb):
+                        return _emb[s - _s0:e - _s0]
+                    return self._ref_fetch(ref_id, s, e)
+            else:
+                fetch = self._ref_fetch
+            dec = SliceDecoder(ch, sh, core, ext, self.header, fetch)
+            records.extend(dec.decode_records(self.path))
+        return records
+
+    # -- streaming API
+    def get_next_alignment(self):
+        while self._rec_idx >= len(self._records):
+            if self._eof:
+                return None
+            buf = self._read_container_bytes()
+            if buf is None:
+                self._eof = True
+                return None
+            recs = self._decode_container(buf)
+            if recs is None:
+                self._eof = True
+                return None
+            if self._region is not None:
+                rid, start, stop = self._region
+                recs = [r for r in recs
+                        if r.ref_id == rid and r.pos < stop
+                        and r.end_pos > start]
+            self._records = recs
+            self._rec_idx = 0
+        rec = self._records[self._rec_idx]
+        self._rec_idx += 1
+        if self._region is not None:
+            rid, start, stop = self._region
+            if rec.ref_id != rid or rec.pos >= stop:
+                # containers are coordinate sorted; stop at first overshoot
+                self._records = []
+                self._eof = True
+                return None
+        return rec
+
+    def set_region(self, chrom, start, stop=None):
+        rid = self.header.ref_id(chrom)
+        if rid is None or rid < 0:
+            return False
+        if stop is None:
+            stop = 1 << 60
+        self._region = (rid, start, stop)
+        self._records = []
+        self._rec_idx = 0
+        self._eof = False
+        if self._index is not None:
+            # first slice overlapping [start, stop) on rid
+            offsets = [coff for (r, s, span, coff, _so, _ss) in self._index
+                       if r == rid and s - 1 < stop and s - 1 + span > start]
+            if not offsets:
+                self._eof = True
+                return True
+            self.fh.seek(min(offsets))
+        else:
+            self.fh.seek(self._data_start)
+        return True
+
+    def read_groups(self):
+        return self.header.read_groups
+
+    def close(self):
+        self.fh.close()
