@@ -99,12 +99,11 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
         hrow = hap_ref[pl.ds(i, 1), :]                        # (1, B)
         emit = jnp.where(hrow == read, MA, MI)
 
-        def shift1(x):
-            y = pltpu.roll(x, 1, axis=0)
-            return jnp.where(j_idx == 0, NEG, y)
-
-        Mn = emit + jnp.maximum(jnp.maximum(shift1(Mp) + m2m, shift1(Dp) + d2m),
-                                shift1(Ip) + i2m)
+        # roll commutes with elementwise max/add: one roll of the fused
+        # predecessor instead of three per-matrix rolls
+        pred = jnp.maximum(jnp.maximum(Mp + m2m, Dp + d2m), Ip + i2m)
+        pred = pltpu.roll(pred, 1, axis=0)
+        Mn = emit + jnp.where(j_idx == 0, NEG, pred)
         In = MA + jnp.maximum(Mp + m2i, Ip + i2i)
         M_col0 = Ip[0:1, :] + i2m + col0_emit
         I_col0 = MA + m2i + (i.astype(jnp.float32) - 1.0) * i2i
