@@ -541,21 +541,53 @@ class BamReader:
         if rid < 0:
             return None
         import os
+        from bisect import bisect_left
         file_size = os.fstat(self._bgzf._fh.fileno()).st_size
+        if not hasattr(self, "_chunk_cache"):
+            self._chunk_cache = {}
         out = []
         for cb, ce in self.index.chunks_for(rid, start, end):
             c_start = cb >> 16
             within = cb & 0xFFFF
             c_end = min((ce >> 16) + 0x10000, file_size)
-            self._bgzf._fh.seek(c_start)
-            comp = self._bgzf._fh.read(c_end - c_start)
-            data = native.bgzf_inflate_all(comp)
-            if data is None:
-                return None
-            batch = native.bam_decode(data[within:])
-            if batch is None:
-                return None
-            for i in range(batch.n):
+            key = (c_start, within, c_end)
+            cached = self._chunk_cache.get(key)
+            if cached is None:
+                self._bgzf._fh.seek(c_start)
+                comp = self._bgzf._fh.read(c_end - c_start)
+                data = native.bgzf_inflate_all(comp)
+                if data is None:
+                    return None
+                batch = native.bam_decode(data[within:])
+                if batch is None:
+                    return None
+                # positions reset at chromosome boundaries, so record the
+                # contiguous index run of each ref_id for a valid bisect
+                positions = []
+                runs = {}
+                max_span = 1
+                for i in range(batch.n):
+                    rf = batch.record_fields(i)
+                    positions.append(rf[1])
+                    lohi = runs.get(rf[0])
+                    if lohi is None:
+                        runs[rf[0]] = [i, i + 1]
+                    else:
+                        lohi[1] = i + 1
+                    span = cigar_ref_len(batch.cigar(i))
+                    if span > max_span:
+                        max_span = span
+                cached = (batch, positions, runs, max_span)
+                # sorted-locus access pattern: a tiny LRU suffices
+                if len(self._chunk_cache) >= 4:
+                    self._chunk_cache.pop(next(iter(self._chunk_cache)))
+                self._chunk_cache[key] = cached
+            batch, positions, runs, max_span = cached
+            run = runs.get(rid)
+            if run is None:
+                continue
+            i0 = bisect_left(positions, start - max_span, run[0], run[1])
+            for i in range(i0, run[1]):
                 ref_id, pos, mapq, flag, mref, mpos, tlen, l_seq = \
                     batch.record_fields(i)
                 if ref_id != rid or pos >= end:

@@ -8,10 +8,16 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 from longtr_tpu.io.bam import BamRecord, CIGAR_OPS, SEQ_NT16
 from longtr_tpu.io.bgzf import BgzfWriter
 
 _NT16_CODE = {ch: i for i, ch in enumerate(SEQ_NT16)}
+_QUAL_XLAT = bytes(min(max(i - 33, 0), 93) for i in range(256))
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _ch, _i in _NT16_CODE.items():
+    _NT16_LUT[ord(_ch)] = _i
 _CIGAR_CODE = {ch: i for i, ch in enumerate(CIGAR_OPS)}
 
 
@@ -24,15 +30,13 @@ def encode_record(rec: BamRecord) -> bytes:
     for op, n in rec.cigar:
         parts.append(struct.pack("<I", (n << 4) | _CIGAR_CODE[op]))
     seq = rec.seq
-    packed = bytearray((len(seq) + 1) // 2)
-    for i, ch in enumerate(seq):
-        code = _NT16_CODE.get(ch.upper(), 15)
-        if i % 2 == 0:
-            packed[i >> 1] = code << 4
-        else:
-            packed[i >> 1] |= code
-    parts.append(bytes(packed))
-    parts.append(bytes((min(max(ord(q) - 33, 0), 93) for q in rec.qual)))
+    codes = np.frombuffer(seq.upper().encode(), np.uint8)
+    codes = _NT16_LUT[codes]
+    if len(codes) % 2:
+        codes = np.append(codes, 0)
+    packed = (codes[0::2] << 4) | codes[1::2]
+    parts.append(packed.astype(np.uint8).tobytes())
+    parts.append(rec.qual.encode().translate(_QUAL_XLAT))
     for tag, val in rec.tags.items():
         if isinstance(val, str) and len(val) == 1 and tag in ("XT",):
             parts.append(tag.encode() + b"A" + val.encode())

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from longtr_tpu.io.bam import FLANK_SIZE
 
 
@@ -82,22 +84,22 @@ def expand_cigar_vs_ref(rec, chrom_seq: str):
             aln_chunks.append("-" * num)
             ref_index += num
         elif op in "M=X":
-            run_type = None
-            run_num = 0
-            for _ in range(num):
-                match = read_seq[seq_index] == chrom_seq[ref_index].upper()
-                t = "=" if match else "X"
-                if t == run_type:
-                    run_num += 1
-                else:
-                    if run_num:
-                        push(run_type, run_num)
-                    run_type, run_num = t, 1
-                aln_chunks.append(read_seq[seq_index])
-                seq_index += 1
-                ref_index += 1
-            if run_num:
-                push(run_type, run_num)
+            rseg = read_seq[seq_index:seq_index + num]
+            fseg = chrom_seq[ref_index:ref_index + num].upper()
+            aln_chunks.append(rseg)
+            seq_index += num
+            ref_index += num
+            if rseg == fseg:
+                push("=", num)
+            else:
+                # run-length encode the match mask without a per-base loop
+                eq = np.frombuffer(rseg.encode(), np.uint8) == \
+                    np.frombuffer(fseg.encode(), np.uint8)
+                bounds = np.flatnonzero(eq[1:] != eq[:-1]) + 1
+                start = 0
+                for b in list(bounds) + [num]:
+                    push("=" if eq[start] else "X", b - start)
+                    start = b
         else:
             raise ValueError("Invalid CIGAR op in expand_cigar_vs_ref: " + op)
 

@@ -20,7 +20,8 @@ def mean_phred(qualities: str) -> float:
     """sum_log_prob_correct — actually the mean phred (base_quality.h:77-84)."""
     if not qualities:
         return 0.0
-    return sum(ord(q) - ord("!") for q in qualities) / len(qualities)
+    raw = qualities.encode()
+    return (sum(raw) - 33 * len(raw)) / len(raw)
 
 
 def spans_a_region(regions, rec) -> bool:

@@ -180,10 +180,12 @@ def score_pairs(pairs, params=None):
     m_max = _bucket(max(max(len(r) for _, r, _ in pairs), 1))
     B = len(pairs)
     out = np.empty(B, dtype=np.float64)
-    chunk = BATCH_LADDER[-1]
-    for lo in range(0, B, chunk):
-        hi = min(lo + chunk, B)
-        Bpad = _bucket_batch(hi - lo)
+    # dispatch every chunk before materializing any result so the device
+    # queue pipelines across chunks (one host sync at the end, not per chunk)
+    pending = []
+    lo = 0
+    for take, Bpad in _plan_chunks(B):
+        hi = lo + take
         hap_codes = np.zeros((Bpad, n_max), dtype=np.uint8)
         read_codes = np.zeros((Bpad, m_max), dtype=np.uint8)
         hap_lens = np.ones(Bpad, dtype=np.int32)
@@ -199,15 +201,39 @@ def score_pairs(pairs, params=None):
             full_lens[i] = fl
         scores = pairhmm.pairhmm_batch_auto(hap_codes, hap_lens, read_codes,
                                             read_lens, full_lens, params)
+        pending.append((lo, hi, scores))
+        lo = hi
+    for lo, hi, scores in pending:
         out[lo:hi] = np.asarray(scores, dtype=np.float64)[: hi - lo]
     return out
 
 
-def _bucket_batch(b: int) -> int:
-    for rung in BATCH_LADDER:
-        if b <= rung:
-            return rung
-    return BATCH_LADDER[-1]
+def _plan_chunks(B: int):
+    """Split B pairs into ladder-sized chunks, minimizing padding.
+
+    Returns [(take, padded_size), ...].  A rung whose padding exceeds 1.5x
+    the remainder is replaced by completely filling the next rung down, so
+    e.g. 21218 dispatches as 2x8192 + 2x2048 + 2x256 + 226->256 (1.001x
+    padded) instead of one 65536 batch (3.1x).
+    """
+    plan = []
+    rem = B
+    top = BATCH_LADDER[-1]
+    while rem > 0:
+        if rem >= top:
+            plan.append((top, top))
+            rem -= top
+            continue
+        cover = next(r for r in BATCH_LADDER if r >= rem)
+        fillable = [r for r in BATCH_LADDER if r <= rem]
+        if fillable and cover > 1.5 * rem:
+            take = fillable[-1]
+            plan.append((take, take))
+            rem -= take
+        else:
+            plan.append((rem, cover))
+            rem = 0
+    return plan
 
 
 class HapAlignerTPU:
@@ -285,18 +311,21 @@ class HapAlignerTPU:
         bj = np.tile(np.arange(H), P)
         B = len(bi)
         out = np.empty(B, dtype=np.float64)
-        chunk = BATCH_LADDER[-1]
-        for lo in range(0, B, chunk):
-            hi = min(lo + chunk, B)
+        pending = []
+        lo = 0
+        for take, Bpad in _plan_chunks(B):
+            hi = lo + take
             ci, cj = bi[lo:hi], bj[lo:hi]
-            Bpad = _bucket_batch(hi - lo)
-            if Bpad != hi - lo:
-                pad = Bpad - (hi - lo)
+            if Bpad != take:
+                pad = Bpad - take
                 ci = np.concatenate([ci, np.zeros(pad, dtype=ci.dtype)])
                 cj = np.concatenate([cj, np.zeros(pad, dtype=cj.dtype)])
             scores = pairhmm.pairhmm_batch_auto(
                 hap_codes[cj], hap_lens[cj], read_codes[ci], read_lens[ci],
                 full_lens[cj], self.params)
+            pending.append((lo, hi, scores))
+            lo = hi
+        for lo, hi, scores in pending:
             out[lo:hi] = np.asarray(scores, dtype=np.float64)[: hi - lo]
         return out.reshape(P, H)
 

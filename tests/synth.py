@@ -80,10 +80,12 @@ def sample_haplotype_read(genome, locus, copies, flank=300, chrom_len=None):
 
 def add_errors(rng, seq, cigar, sub_rate=0.002):
     """Substitution-only errors (keeps the CIGAR valid)."""
+    hits = np.flatnonzero(rng.random(len(seq)) < sub_rate)
+    if not len(hits):
+        return seq, cigar
     chars = list(seq)
-    for i in range(len(chars)):
-        if rng.random() < sub_rate:
-            chars[i] = str(rng.choice(BASES))
+    for i in hits:
+        chars[i] = str(rng.choice(BASES))
     return "".join(chars), cigar
 
 
