@@ -119,3 +119,19 @@ def test_cram_e2e_identical_vcf(tmp_path):
                 if not ln.startswith("##command")]
 
     assert body(out_bam) == body(out_cram)
+
+
+def test_cram_region_query_without_index(tmp_path):
+    """Without a .crai the reader falls back to a container scan."""
+    fx = standard_fixture(str(tmp_path))
+    cram, bam_recs = _bam_to_cram(tmp_path, fx["bams"][0], fx["fasta"])
+    os.remove(cram + ".crai")
+    c = CramReader(cram, fx["fasta"])
+    assert c._index is None
+    assert c.set_region("chr1", 1900, 2100)
+    got = []
+    while (rec := c.get_next_alignment()) is not None:
+        got.append(rec.name)
+    want = [r.name for r in bam_recs
+            if r.ref_name == "chr1" and r.pos < 2100 and r.end_pos > 1900]
+    assert sorted(got) == sorted(want) and got
