@@ -50,17 +50,70 @@ read_lens = np.array([len(r) for r in reads], dtype=np.int32)
 full_lens = hap_lens + 60
 params = AlignmentParams()
 
-def run():
-    out = pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
-                             full_lens, params)
-    np.asarray(out)
+# Pin inputs on-device so the timing loop measures kernel throughput, not
+# host->device transfer latency (dominant through the axon tunnel).
+import jax
+if jax.default_backend() in ("tpu", "axon"):
+    import jax.numpy as jnp
+    from longtr_tpu.ops.pairhmm_pallas import TILE_B, _pallas_call
+    Bpad = -(-B // TILE_B) * TILE_B
+    hp = np.pad(hap_codes, ((0, Bpad - B), (0, 0)))
+    rp = np.pad(read_codes, ((0, Bpad - B), (0, 0)))
+    hap_t = jax.device_put(np.ascontiguousarray(hp.T.astype(np.int32)))
+    read_t = jax.device_put(np.ascontiguousarray(rp.T.astype(np.int32)))
+    hl_d = jax.device_put(np.pad(hap_lens, (0, Bpad - B),
+                                 constant_values=1)[None, :])
+    rl_d = jax.device_put(np.pad(read_lens, (0, Bpad - B),
+                                 constant_values=1)[None, :])
+    fl_d = jax.device_put(np.pad(full_lens, (0, Bpad - B),
+                                 constant_values=1)[None, :])
+    trans = jax.device_put(jnp.asarray(params.as_array()))
+
+    @jax.jit
+    def _chained(t, prev):
+        # data dependency on the previous kernel's output (zero-scaled)
+        # forces serialization without changing values
+        return _pallas_call(hap_t, hl_d, read_t, rl_d, fl_d,
+                            t + prev[0] * 0.0)
+
+    def run():
+        # axon's block_until_ready doesn't actually block; a host
+        # materialization is the only reliable sync
+        np.asarray(_pallas_call(hap_t, hl_d, read_t, rl_d, fl_d, trans))
+else:
+    def run():
+        out = pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
+                                 full_lens, params)
+        np.asarray(out)
 
 run()  # compile
-iters = 5
-t0 = time.time()
-for _ in range(iters):
-    run()
-dt = (time.time() - t0) / iters
+run()
+if jax.default_backend() in ("tpu", "axon"):
+    # serialized chained kernels; the difference between two chain lengths
+    # cancels the tunnel round-trip, leaving pure kernel wall time
+    prev = _pallas_call(hap_t, hl_d, read_t, rl_d, fl_d, trans)
+    p = _chained(trans, prev)  # compile chained form
+    np.asarray(p)
+
+    def chain(n):
+        t0 = time.time()
+        p = prev
+        for _ in range(n):
+            p = _chained(trans, p)
+        np.asarray(p)
+        return time.time() - t0
+
+    chain(4)  # warm
+    n_small, n_big = 32, 160
+    deltas = sorted(max(chain(n_big) - chain(n_small), 1e-9)
+                    for _ in range(3))
+    dt = deltas[1] / (n_big - n_small)
+else:
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    dt = (time.time() - t0) / iters
 cells = float((hap_lens.astype(np.int64) * read_lens).sum())
 print(json.dumps({"cells_per_s": cells / dt}))
 """
