@@ -154,6 +154,21 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_b"))
+def _pallas_call_u8(hap, hl, read, rl, fl, trans, interpret=False,
+                    tile_b=TILE_B):
+    """Entry taking untransposed (B, N)/(B, M) uint8 batches.
+
+    Transposing and widening on-device keeps the host->device transfer at
+    one byte per base (4x less than shipping transposed int32 — the
+    transfer, not the kernel, bounds e2e throughput through a tunnel).
+    """
+    hap_t = hap.T.astype(jnp.int32)
+    read_t = read.T.astype(jnp.int32)
+    return _pallas_call(hap_t, hl, read_t, rl, fl, trans,
+                        interpret=interpret, tile_b=tile_b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_b"))
 def _pallas_call(hap_t, hl, read_t, rl, fl, trans, interpret=False,
                  tile_b=TILE_B):
     N, B = hap_t.shape
@@ -206,11 +221,11 @@ def pairhmm_batch_pallas(hap_codes, hap_lens, read_codes, read_lens,
                 constant_values=1)
     fl = np.pad(np.asarray(full_hap_lens, np.int32), (0, Bpad - B),
                 constant_values=1)
-    hap_t = np.ascontiguousarray(hap.T.astype(np.int32))
-    read_t = np.ascontiguousarray(read.T.astype(np.int32))
     trans = jnp.asarray(params.as_array())
-    out = _pallas_call(jnp.asarray(hap_t), jnp.asarray(hl[None, :]),
-                       jnp.asarray(read_t), jnp.asarray(rl[None, :]),
-                       jnp.asarray(fl[None, :]), trans,
-                       interpret=interpret, tile_b=tile_b)
+    out = _pallas_call_u8(jnp.asarray(hap.astype(np.uint8, copy=False)),
+                          jnp.asarray(hl[None, :]),
+                          jnp.asarray(read.astype(np.uint8, copy=False)),
+                          jnp.asarray(rl[None, :]),
+                          jnp.asarray(fl[None, :]), trans,
+                          interpret=interpret, tile_b=tile_b)
     return out[:B]
