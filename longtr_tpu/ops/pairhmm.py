@@ -335,6 +335,14 @@ def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
     host syncs, making the jnp scan ~1000x slower there); on CPU the jnp
     scan compiles fast and Pallas interpret would be slow.
     """
+    import os
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and (jax.default_backend() in ("tpu", "axon")
+                      or os.environ.get("LONGTR_FORCE_MESH") == "1"):
+        # multi-chip: shard the pair batch over the 'locus' mesh axis
+        from longtr_tpu.parallel.mesh import pairhmm_batch_sharded
+        return pairhmm_batch_sharded(hap_codes, hap_lens, read_codes,
+                                     read_lens, full_hap_lens, params)
     if jax.default_backend() in ("tpu", "axon"):
         enable_compile_cache()
         from longtr_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas

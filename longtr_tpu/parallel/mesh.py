@@ -70,6 +70,60 @@ def sharded_pairhmm(mesh: Mesh, hap, hap_len, read, read_len, full_len, trans):
     return fn(hap, hap_len, read, read_len, full_len, trans)
 
 
+def sharded_pairhmm_pallas(mesh: Mesh, hap, hap_len, read, read_len,
+                           full_len, trans):
+    """Locus-sharded Pallas kernel: each chip runs the transposed-VMEM
+    kernel on its shard (real multi-chip path; the scan variant above is
+    the CPU-mesh equivalent)."""
+    from longtr_tpu.ops.pairhmm_pallas import _pallas_call_u8
+
+    def local(h, hl, r, rl, fl, tr):
+        return _pallas_call_u8(h, hl[None, :], r, rl[None, :],
+                               fl[None, :], tr)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS), P(AXIS),
+                      P()),
+            out_specs=P(AXIS),
+        ))
+    return fn(hap, hap_len, read, read_len, full_len, trans)
+
+
+def pairhmm_batch_sharded(hap_codes, hap_lens, read_codes, read_lens,
+                          full_hap_lens, params, mesh: Mesh | None = None):
+    """Mesh-parallel drop-in for ``pairhmm_batch``: pads the pair batch to
+    the device grid, shards it over the 'locus' axis and gathers scores.
+
+    Uses the Pallas kernel per shard on TPU backends (per-shard batch
+    padded to the 128-lane tile) and the scan elsewhere.  Bit-identical to
+    the single-device paths element-wise.
+    """
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+    use_pallas = jax.default_backend() in ("tpu", "axon")
+    quantum = ndev * (128 if use_pallas else 8)
+    hap = np.asarray(hap_codes, dtype=np.uint8)
+    read = np.asarray(read_codes, dtype=np.uint8)
+    B = hap.shape[0]
+    Bpad = -(-B // quantum) * quantum
+    if Bpad != B:
+        hap = np.pad(hap, ((0, Bpad - B), (0, 0)))
+        read = np.pad(read, ((0, Bpad - B), (0, 0)))
+    pad1 = lambda a: np.pad(np.asarray(a, np.int32), (0, Bpad - B),
+                            constant_values=1)
+    hl, rl, fl = pad1(hap_lens), pad1(read_lens), pad1(full_hap_lens)
+    trans = jnp.asarray(params.as_array())
+    if use_pallas:
+        out = sharded_pairhmm_pallas(mesh, hap, hl, read, rl, fl, trans)
+    else:
+        out = sharded_pairhmm(mesh, hap.astype(np.int32), hl,
+                              read.astype(np.int32), rl, fl, trans)
+    return np.asarray(out)[:B]
+
+
 def _em_stats_local(LL, log_p1, log_p2, diff1, valid, n_categories):
     """Per-shard EM sufficient statistics with a psum reduction.
 

@@ -40,3 +40,62 @@ def test_sharded_runs_merge_to_single_run(tmp_path):
     merged = str(tmp_path / "merged.vcf.gz")
     merge_sorted_vcfs(shard_paths, merged)
     assert vcf_body(merged) == vcf_body(whole)
+
+
+def test_pairhmm_batch_sharded_matches_single_device():
+    """Mesh-sharded scoring (the production multi-chip dispatch) is
+    element-wise identical to the single-device batch."""
+    import numpy as np
+
+    from longtr_tpu.ops.pairhmm import (AlignmentParams, encode_seq,
+                                        pairhmm_batch)
+    from longtr_tpu.parallel.mesh import make_mesh, pairhmm_batch_sharded
+
+    rng = np.random.default_rng(9)
+    bases = np.array(list("ACGT"))
+    B, N, M = 83, 96, 90   # deliberately not a multiple of the device grid
+    haps = ["".join(rng.choice(bases, size=int(rng.integers(40, N))))
+            for _ in range(B)]
+    reads = ["".join(ch for ch in h if rng.random() > 0.01)[:M] for h in haps]
+    hap_codes = np.stack([encode_seq(h, N) for h in haps])
+    read_codes = np.stack([encode_seq(r, M) for r in reads])
+    hl = np.array([len(h) for h in haps], np.int32)
+    rl = np.array([len(r) for r in reads], np.int32)
+    fl = hl + 60
+    params = AlignmentParams()
+    single = np.asarray(pairhmm_batch(hap_codes, hl, read_codes, rl, fl,
+                                      params))
+    mesh = make_mesh(8)
+    sharded = pairhmm_batch_sharded(hap_codes, hl, read_codes, rl, fl,
+                                    params, mesh=mesh)
+    assert sharded.shape == single.shape
+    assert np.array_equal(sharded, single)
+
+
+def test_e2e_pipeline_through_mesh(tmp_path, monkeypatch):
+    """LONGTR_FORCE_MESH routes the whole pipeline's scoring through the
+    8-device mesh; the VCF must match the single-device run exactly."""
+    import gzip
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import standard_fixture
+
+    from longtr_tpu.cli import main as cli_main
+
+    fx = standard_fixture(str(tmp_path))
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--use-unpaired", "--quiet"]
+    out1 = str(tmp_path / "single.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", out1]) == 0
+    out2 = str(tmp_path / "meshed.vcf.gz")
+    monkeypatch.setenv("LONGTR_FORCE_MESH", "1")
+    assert cli_main(base + ["--tr-vcf", out2]) == 0
+
+    def body(p):
+        return [ln for ln in
+                gzip.decompress(open(p, "rb").read()).decode().splitlines()
+                if not ln.startswith("##command")]
+
+    assert body(out1) == body(out2)
