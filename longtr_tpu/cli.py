@@ -76,6 +76,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--silent", action="store_true")
     p.add_argument("--version", action="version",
                    version=f"LongTR-TPU {__version__}")
+    p.add_argument("--dont-use-all-reads", action="store_true",
+                   help="Accepted for compatibility; a no-op exactly as in "
+                        "the reference (it sets REQUIRE_SPANNING to its "
+                        "default value; hipstr_main.cpp:186)")
+    p.add_argument("--read-qual-trim", default="5",
+                   help="Single character quality threshold. The trim "
+                        "itself is disabled upstream; the only live effect "
+                        "is that a threshold above ' ' enables the "
+                        "hard-clipped-read filter (bam_processor.cpp:226-240)")
+    p.add_argument("--viz-left-alns", action="store_true",
+                   help="Visualize left-aligned reads rather than ML "
+                        "alignments (the ML path is non-functional upstream, "
+                        "so this is also the only live mode here)")
     p.add_argument("--fam", default="",
                    help="FAM file with pedigree information; used to filter "
                         "SNPs with Mendelian inconsistencies before phasing "
@@ -140,6 +153,10 @@ def config_from_args(args) -> Config:
             cfg.sample_set = {ln.strip() for ln in fh if ln.strip()}
     if args.use_unpaired:
         cfg.require_paired_reads = False
+    if len(args.read_qual_trim) != 1:
+        sys.exit("ERROR: --read-qual-trim requires a single character argument")
+    cfg.base_qual_trim = args.read_qual_trim
+    cfg.viz_left_alns = args.viz_left_alns
     return cfg
 
 

@@ -70,6 +70,9 @@ class Config:
     # TPU dispatch scheduling: number of loci whose pair-HMM work is fused
     # into one device call (the reference is strictly per-locus).  Large
     # windows amortize dispatch latency; host memory per window is tiny.
+    base_qual_trim: str = "5"   # --read-qual-trim; > ' ' gates the
+                                # hard-clip filter (bam_processor.cpp:226-240)
+    viz_left_alns: bool = False
     locus_batch: int = 256
 
     # Phasing constants (snp_bam_processor.h:16-18, 54, 103)

@@ -167,7 +167,9 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
         # BASE_QUAL_TRIM defaults to '5' so this branch is live upstream
         # (bam_processor.cpp:226-240; the quality trim itself is commented
         # out there, leaving only this check active).
-        if rec.pos < region_group.stop and rec.end_pos >= region_group.start:
+        if config.base_qual_trim > " " and \
+                rec.pos < region_group.stop and \
+                rec.end_pos >= region_group.start:
             if rec.cigar and (rec.cigar[0][0] == "H" or rec.cigar[-1][0] == "H"):
                 counters.read_count += 1
                 counters.hard_clip += 1
