@@ -139,3 +139,39 @@ def test_joint_scanner_with_snp_transmission(tmp_path):
     denovo = float(fields[3])
     # Inheritance is consistent -> no mutation favored
     assert nomut > denovo + 3
+
+
+def test_full_chain_longtr_to_denovofinder(tmp_path):
+    """longtr --output-gls output feeds denovofinder directly."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import standard_fixture
+
+    from longtr_tpu.cli import main as longtr_main
+    from longtr_tpu.denovo.cli import main as denovo_main
+
+    fx = standard_fixture(str(tmp_path))
+    calls = str(tmp_path / "calls.vcf.gz")
+    assert longtr_main(["--bams", ",".join(fx["bams"]), "--fasta",
+                        fx["fasta"], "--regions", fx["bed"],
+                        "--tr-vcf", calls, "--output-gls",
+                        "--use-unpaired", "--quiet"]) == 0
+    fam = str(tmp_path / "trio.fam")
+    with open(fam, "w") as fh:
+        fh.write("FAM1\tSAMP1\tSAMP2\tSAMP3\n")
+    out = str(tmp_path / "denovo.vcf.gz")
+    assert denovo_main(["--fam", fam, "--str-vcf", calls,
+                        "--denovo-vcf", out, "--uniform-prior",
+                        "--log", str(tmp_path / "log.txt")]) == 0
+    vcf = VCFReader(out)
+    n = 0
+    for chrom in ("chr1", "chr2", "chr3"):
+        vcf.set_region(chrom, 0)
+        while (v := vcf.get_next_variant()) is not None:
+            vals = v.samples.get("SAMP1")
+            assert vals is not None
+            if vals[0] != ".":   # untestable loci emit missing, like upstream
+                assert float(vals[0]) <= 0.0   # a valid log10 likelihood
+                n += 1
+    assert n >= 1  # at least one locus produced a testable trio record
