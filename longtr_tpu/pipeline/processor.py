@@ -189,9 +189,22 @@ class GenotyperPipeline:
                 alignments, log_p1s, log_p2s = unphased_factors(paired, unpaired)
             self.timer.add("SNP info extraction", time.time() - t0)
 
+            before = dict(self.timer.totals)
             self._analyze_locus(alignments, log_p1s, log_p2s, rg_names, group,
                                 chrom_seq, counters)
             self.stats.loci_processed += 1
+            # Per-locus timing block (genotyper_bam_processor.cpp:316-338).
+            # Genotyping itself is fused across the locus window here, so its
+            # per-locus share is reported at flush time instead.
+            deltas = {k: v - before.get(k, 0.0)
+                      for k, v in self.timer.totals.items()
+                      if v - before.get(k, 0.0) > 0}
+            lines = ["Locus timing:"]
+            for k in ("Stutter estimation", "Trimming alignment",
+                      "Haplotype generation"):
+                if k in deltas:
+                    lines.append(f" {k:<20}= {deltas[k]:.6f} seconds")
+            self.sel_log("\n".join(lines))
         self._flush_pending()
 
     # ------------------------------------------------------------------

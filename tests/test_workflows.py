@@ -135,3 +135,30 @@ def test_pass_and_filt_bam_outputs(tmp_path):
         n_filt += 1
         reasons.add(rec.get_tag("FT"))
     assert n_filt == 80 and reasons == {"LOW_MAPQ"}
+
+
+def test_haploid_chroms_e2e(tmp_path):
+    """--haploid-chrs emits single-allele genotypes on the named chromosome
+    and diploid genotypes elsewhere (hipstr_main.cpp:562-579 wiring)."""
+    import gzip
+
+    fx = standard_fixture(str(tmp_path))
+    out = str(tmp_path / "hap.vcf.gz")
+    assert cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out,
+                     "--haploid-chrs", "chr2", "--use-unpaired",
+                     "--quiet"]) == 0
+    recs = [ln.split("\t") for ln in
+            gzip.decompress(open(out, "rb").read()).decode().splitlines()
+            if not ln.startswith("#")]
+    assert recs
+    saw_hap = saw_dip = False
+    for cols in recs:
+        gt = cols[9].split(":")[0]
+        if cols[0] == "chr2":
+            assert "|" not in gt and "/" not in gt, gt
+            saw_hap = True
+        elif gt != ".":
+            assert "|" in gt, gt
+            saw_dip = True
+    assert saw_hap and saw_dip
