@@ -37,6 +37,7 @@ def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1):
     bed = os.path.join(tmpdir, "r.bed")
     write_bed(bed, loci)
     bams = []
+    truth = {}
     for s in range(n_samples):
         gts = {}
         for loc in loci:
@@ -47,7 +48,8 @@ def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1):
         write_sample_bam(path, genome, loci, gts, f"S{s}", rng,
                          coverage=coverage, sub_rate=0.002)
         bams.append(path)
-    return fasta, bed, bams, loci
+        truth[f"S{s}"] = dict(gts)
+    return fasta, bed, bams, loci, truth
 
 
 def main():
@@ -60,7 +62,7 @@ def main():
 
     tmpdir = tempfile.mkdtemp()
     print(f"building {n_loci}-locus catalog...", flush=True)
-    fasta, bed, bams, loci = build_catalog(tmpdir, n_loci)
+    fasta, bed, bams, loci, truth_gts = build_catalog(tmpdir, n_loci)
 
     from longtr_tpu.cli import main as cli_main
     out = os.path.join(tmpdir, "calls.vcf.gz")
@@ -71,8 +73,40 @@ def main():
     dt = time.time() - t0
     assert rc == 0
     from longtr_tpu.io.bgzf import bgzf_open_text
-    n_rec = sum(1 for ln in bgzf_open_text(out) if not ln.startswith("#"))
+    # genotype concordance vs simulation truth (GB = bp diffs from ref)
+    n_rec = 0
+    n_gt = 0
+    n_correct = 0
+    samples = []
+    loci_by_key = {l.name: l for l in loci}
+    for ln in bgzf_open_text(out):
+        if ln.startswith("##"):
+            continue
+        cols = ln.rstrip("\n").split("\t")
+        if ln.startswith("#"):
+            samples = cols[9:]
+            continue
+        n_rec += 1
+        loc = loci_by_key.get(cols[2])
+        if loc is None:
+            continue
+        fmt = cols[8].split(":")
+        gb_i = fmt.index("GB")
+        for si, samp in enumerate(samples):
+            vals = cols[9 + si].split(":")
+            if vals[0] == ".":
+                continue
+            n_gt += 1
+            got = sorted(int(x) for x in vals[gb_i].split("|"))
+            a, b = truth_gts[samp][loc.name]
+            period = len(loc.motif)
+            want = sorted(((a - loc.ref_copies) * period,
+                           (b - loc.ref_copies) * period))
+            if got == want:
+                n_correct += 1
     print(f"records: {n_rec}/{n_loci}")
+    print(f"genotype concordance: {n_correct}/{n_gt} "
+          f"({100.0 * n_correct / max(n_gt, 1):.1f}%)")
     print(f"wall: {dt:.1f}s -> {n_loci / dt:.1f} loci/s", flush=True)
     return 0
 
