@@ -58,7 +58,7 @@ def main(argv=None):
             sites_to_skip = {ln.strip() for ln in fh if ln.strip()}
 
     # Iterate all records (optionally restricted to one chromosome)
-    chroms = [args.chrom] if args.chrom else sorted(str_vcf._by_chrom)
+    chroms = [args.chrom] if args.chrom else str_vcf.chromosomes()
 
     class _Iter:
         def __init__(self, vcf, chrom_list):

@@ -127,8 +127,25 @@ class VCFReader:
     def __init__(self, path: str):
         self.path = path
         self.samples = []
-        self._by_chrom = {}          # chrom -> list[(pos, line)]
+        self._by_chrom = {}          # chrom -> list[(pos, line)] (eager mode)
         self._region_iter = None
+        self._tbi = None
+        import os
+        if path.endswith(".gz") and os.path.exists(path + ".tbi"):
+            # Lazy tabix mode (vcf_reader.h:22-120): only the header is read
+            # up front; set_region streams the indexed slice.  Essential for
+            # whole-genome SNP VCFs that must not be loaded into memory.
+            from longtr_tpu.io.tabix import TbiIndex
+            self._tbi = TbiIndex(path + ".tbi")
+            fh = bgzf_open_text(path)
+            with fh:
+                for line in fh:
+                    if line.startswith("##"):
+                        continue
+                    if line.startswith("#CHROM"):
+                        self.samples = line.rstrip("\n").split("\t")[9:]
+                    break
+            return
         fh = bgzf_open_text(path) if path.endswith(".gz") else open(path)
         with fh:
             for line in fh:
@@ -151,8 +168,59 @@ class VCFReader:
     def get_samples(self):
         return self.samples
 
+    def chromosomes(self):
+        if self._tbi is not None:
+            return list(self._tbi.names)
+        return sorted(self._by_chrom)
+
     def has_chromosome(self, chrom):
+        if self._tbi is not None:
+            return self._tbi.ref_id(chrom) >= 0
         return chrom in self._by_chrom
+
+    def _stream_region(self, chrom: str, start: int, end):
+        """Generator over raw lines in the indexed slice (lazy mode)."""
+        rid = self._tbi.ref_id(chrom)
+        qend = (1 << 60) if end is None else end
+        chunks = self._tbi.chunks_for(rid, start, qend)
+        if not chunks:
+            return
+        from longtr_tpu.io.bgzf import BgzfReader
+        bz = BgzfReader(self.path)
+        seen_target = False
+        try:
+            bz.seek_virtual(chunks[0][0])
+            pending = b""
+            lo = start + 1     # VCF positions are 1-based
+            while True:
+                chunk = bz.read(65536)
+                if not chunk:
+                    break
+                data = pending + chunk
+                pos0 = 0
+                while True:
+                    nl = data.find(b"\n", pos0)
+                    if nl < 0:
+                        break
+                    line = data[pos0:nl]
+                    pos0 = nl + 1
+                    if not line or line.startswith(b"#"):
+                        continue
+                    tab = line.index(b"\t")
+                    c = line[:tab].decode()
+                    if c != chrom:
+                        if seen_target:
+                            return
+                        continue
+                    seen_target = True
+                    p = int(line[tab + 1: line.index(b"\t", tab + 1)])
+                    if p > qend:
+                        return
+                    if p >= lo:
+                        yield line.decode()
+                pending = data[pos0:]
+        finally:
+            bz.close()
 
     def _parse(self, line: str) -> Variant:
         f = line.split("\t")
@@ -166,6 +234,12 @@ class VCFReader:
 
     def set_region(self, chrom: str, start: int, end: int | None = None) -> bool:
         """Iterate variants with 0-based pos in [start, end)."""
+        if self._tbi is not None:
+            if self._tbi.ref_id(chrom) < 0:
+                self._region_iter = iter(())
+                return False
+            self._region_iter = self._stream_region(chrom, start, end)
+            return True
         lst = self._by_chrom.get(chrom)
         if lst is None:
             self._region_iter = iter(())
