@@ -36,6 +36,7 @@ class VCFWriter:
         if self._out is not None:
             raise RuntimeError("Cannot reopen an open VCFWriter")
         self._out = BgzfWriter(path)
+        self._path = path
 
     def write_header(self, text: str):
         self._out.write(text)
@@ -62,6 +63,14 @@ class VCFWriter:
         self._flush_all()
         self._out.close()
         self._out = None
+        # Auto-index the output so it is immediately queryable (our lazy
+        # VCFReader and downstream tools use it; the reference leaves this
+        # to a manual tabix run).
+        try:
+            from longtr_tpu.io.tabix import build_tbi
+            build_tbi(self._path)
+        except Exception:
+            pass
 
 
 @dataclass
