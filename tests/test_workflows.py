@@ -162,3 +162,36 @@ def test_haploid_chroms_e2e(tmp_path):
             assert "|" in gt, gt
             saw_dip = True
     assert saw_hap and saw_dip
+
+
+def test_optional_format_fields_e2e(tmp_path):
+    """--output-gls/--output-pls/--output-phased-gls/--output-filters add
+    the GL/PL/PHASEDGL/FILTER FORMAT fields (genotyper.cpp:339-346 flags)."""
+    import gzip
+
+    fx = standard_fixture(str(tmp_path))
+    out = str(tmp_path / "fmt.vcf.gz")
+    assert cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out,
+                     "--output-gls", "--output-pls", "--output-phased-gls",
+                     "--output-filters", "--use-unpaired", "--quiet"]) == 0
+    recs = [ln.split("\t") for ln in
+            gzip.decompress(open(out, "rb").read()).decode().splitlines()
+            if not ln.startswith("#")]
+    assert recs
+    fmt = recs[0][8].split(":")
+    for key in ("GL", "PL", "PHASEDGL", "FILTER"):
+        assert key in fmt, fmt
+    # and that hiding works symmetrically
+    out2 = str(tmp_path / "fmt2.vcf.gz")
+    assert cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                     "--regions", fx["bed"], "--tr-vcf", out2,
+                     "--hide-allreads", "--hide-mallreads",
+                     "--use-unpaired", "--quiet"]) == 0
+    recs2 = [ln.split("\t") for ln in
+             gzip.decompress(open(out2, "rb").read()).decode().splitlines()
+             if not ln.startswith("#")]
+    fmt2 = recs2[0][8].split(":")
+    assert "ALLREADS" not in fmt2 and "MALLREADS" not in fmt2
+    for key in ("GL", "PL", "PHASEDGL", "FILTER"):
+        assert key not in fmt2
