@@ -353,6 +353,13 @@ def rans_decompress(data: bytes) -> bytes:
     out_sz = int.from_bytes(data[5:9], "little")
     if out_sz == 0:
         return b""
+    try:
+        from longtr_tpu import native
+        out = native.rans_decode(bytes(data), out_sz)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     if order == 0:
         return _decode_o0(data, 9, out_sz)
     if order == 1:

@@ -32,11 +32,15 @@ def get_lib():
         return None
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_DIR, "longtr_native.cc")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale:
         try:
             _build()
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -50,9 +54,25 @@ def get_lib():
     lib.ltr_bam_count_records.restype = ctypes.c_int64
     lib.ltr_bam_count_records.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.ltr_rans_decode.restype = ctypes.c_int
+    lib.ltr_rans_decode.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                    ctypes.c_char_p, ctypes.c_long]
     lib.ltr_bam_decode.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def rans_decode(data: bytes, out_sz: int) -> bytes | None:
+    """Native rANS-4x8 block decode; None if the library is unavailable
+    or the input is malformed (caller falls back to the Python decoder)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(out_sz)
+    rc = lib.ltr_rans_decode(data, len(data), out, out_sz)
+    if rc != 0:
+        return None
+    return out.raw
 
 
 def bgzf_inflate_all(data: bytes) -> bytes | None:

@@ -217,4 +217,172 @@ int64_t ltr_bam_decode(const uint8_t* buf, int64_t n, int64_t max_records,
   return rec;
 }
 
+// ---------------------------------------------------------------------------
+// rANS 4x8 decode (CRAM block compression method 4).  Mirrors the Python
+// implementation in longtr_tpu/io/rans.py; spec: CRAM 3.0 section 13.
+// Returns 0 on success, negative on malformed input.
+
+namespace {
+
+constexpr uint32_t kRansL = 1u << 23;
+constexpr uint32_t kTotFreq = 1u << 12;
+
+struct FreqTable {
+  uint32_t freq[256];
+  uint32_t cum[257];
+  uint8_t lut[kTotFreq];
+  void finish() {
+    cum[0] = 0;
+    for (int i = 0; i < 256; i++) cum[i + 1] = cum[i] + freq[i];
+    for (int s = 0; s < 256; s++)
+      for (uint32_t k = 0; k < freq[s]; k++) lut[cum[s] + k] = (uint8_t)s;
+  }
+};
+
+// Order-0 frequency table parse; returns new position or -1.
+long read_freqs_o0(const uint8_t* d, long pos, long n, FreqTable* t) {
+  for (int i = 0; i < 256; i++) t->freq[i] = 0;
+  int rle = 0, last = -2;
+  if (pos >= n) return -1;
+  int sym = d[pos++];
+  for (;;) {
+    int cur;
+    if (rle) {
+      rle--;
+      cur = last + 1;
+    } else {
+      cur = sym;
+      if (cur == last + 1) {
+        if (pos >= n) return -1;
+        rle = d[pos++];
+      }
+    }
+    if (pos >= n) return -1;
+    uint32_t f = d[pos++];
+    if (f & 0x80) {
+      if (pos >= n) return -1;
+      f = ((f & 0x7F) << 8) | d[pos++];
+    }
+    if (cur < 0 || cur > 255) return -1;
+    t->freq[cur] = f;
+    last = cur;
+    if (rle) continue;
+    if (pos >= n) return -1;
+    sym = d[pos++];
+    if (sym == 0) break;
+  }
+  t->finish();
+  return pos;
+}
+
+inline void renorm(uint32_t* x, const uint8_t* d, long* pos, long n) {
+  while (*x < kRansL && *pos < n) *x = (*x << 8) | d[(*pos)++];
+}
+
+}  // namespace
+
+extern "C" int ltr_rans_decode(const uint8_t* data, long n,
+                               uint8_t* out, long out_sz) {
+  if (n < 9) return -1;
+  int order = data[0];
+  long pos = 9;
+  if (out_sz == 0) return 0;
+  if (order == 0) {
+    FreqTable t;
+    pos = read_freqs_o0(data, pos, n, &t);
+    if (pos < 0) return -2;
+    uint32_t states[4];
+    for (int j = 0; j < 4; j++) {
+      if (pos + 4 > n) return -3;
+      states[j] = (uint32_t)data[pos] | ((uint32_t)data[pos + 1] << 8) |
+                  ((uint32_t)data[pos + 2] << 16) |
+                  ((uint32_t)data[pos + 3] << 24);
+      pos += 4;
+    }
+    for (long i = 0; i < out_sz; i++) {
+      int j = i & 3;
+      uint32_t x = states[j];
+      uint32_t slot = x & (kTotFreq - 1);
+      uint8_t s = t.lut[slot];
+      out[i] = s;
+      x = t.freq[s] * (x >> 12) + slot - t.cum[s];
+      renorm(&x, data, &pos, n);
+      states[j] = x;
+    }
+    return 0;
+  }
+  if (order != 1) return -4;
+  // order-1: per-context tables
+  static thread_local FreqTable* tabs = nullptr;
+  if (!tabs) tabs = new FreqTable[256];
+  bool present[256] = {false};
+  {
+    int rle = 0, last = -2;
+    if (pos >= n) return -1;
+    int sym = data[pos++];
+    for (;;) {
+      int cur;
+      if (rle) {
+        rle--;
+        cur = last + 1;
+      } else {
+        cur = sym;
+        if (cur == last + 1) {
+          if (pos >= n) return -1;
+          rle = data[pos++];
+        }
+      }
+      if (cur < 0 || cur > 255) return -1;
+      pos = read_freqs_o0(data, pos, n, &tabs[cur]);
+      if (pos < 0) return -2;
+      present[cur] = true;
+      last = cur;
+      if (rle) continue;
+      if (pos >= n) return -1;
+      sym = data[pos++];
+      if (sym == 0) break;
+    }
+  }
+  uint32_t states[4];
+  for (int j = 0; j < 4; j++) {
+    if (pos + 4 > n) return -3;
+    states[j] = (uint32_t)data[pos] | ((uint32_t)data[pos + 1] << 8) |
+                ((uint32_t)data[pos + 2] << 16) |
+                ((uint32_t)data[pos + 3] << 24);
+    pos += 4;
+  }
+  long isz4 = out_sz >> 2;
+  long starts[4] = {0, isz4, 2 * isz4, 3 * isz4};
+  int last_sym[4] = {0, 0, 0, 0};
+  for (long step = 0; step < isz4; step++) {
+    for (int j = 0; j < 4; j++) {
+      int ctx = last_sym[j];
+      if (!present[ctx]) return -5;
+      FreqTable& t = tabs[ctx];
+      uint32_t x = states[j];
+      uint32_t slot = x & (kTotFreq - 1);
+      uint8_t s = t.lut[slot];
+      out[starts[j] + step] = s;
+      last_sym[j] = s;
+      x = t.freq[s] * (x >> 12) + slot - t.cum[s];
+      renorm(&x, data, &pos, n);
+      states[j] = x;
+    }
+  }
+  for (long i = starts[3] + isz4; i < out_sz; i++) {
+    int ctx = last_sym[3];
+    if (!present[ctx]) return -5;
+    FreqTable& t = tabs[ctx];
+    uint32_t x = states[3];
+    uint32_t slot = x & (kTotFreq - 1);
+    uint8_t s = t.lut[slot];
+    out[i] = s;
+    last_sym[3] = s;
+    x = t.freq[s] * (x >> 12) + slot - t.cum[s];
+    renorm(&x, data, &pos, n);
+    states[3] = x;
+  }
+  return 0;
+}
+
 }  // extern "C"
