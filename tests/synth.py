@@ -169,3 +169,42 @@ def standard_fixture(tmpdir, rng=None, sub_rate=0.0):
         bams.append(path)
     return dict(loci=loci, genome=genome, fasta=fasta, bed=bed,
                 genotypes=genotypes, bams=bams)
+
+
+def add_indel_errors(rng, seq, cigar, rate=0.01):
+    """Sequencing-style indel errors with a consistent CIGAR.
+
+    Each read base is deleted with probability rate/2 or gains a random
+    inserted base before it with probability rate/2 (as an aligner would
+    report: D consumes reference only, I consumes read only).
+    """
+    per_base = []
+    for op, n in cigar:
+        per_base.extend([op] * n)
+    out_seq = []
+    out_ops = []
+    i = 0
+    for op in per_base:
+        if op in ("D", "N"):
+            out_ops.append(op)
+            continue
+        ch = seq[i]
+        i += 1
+        r = rng.random()
+        if r < rate / 2 and op == "M":
+            out_ops.append("D")          # base dropped by the sequencer
+        elif r < rate:
+            out_ops.append("I")
+            out_seq.append(str(rng.choice(BASES)))
+            out_ops.append(op)
+            out_seq.append(ch)
+        else:
+            out_ops.append(op)
+            out_seq.append(ch)
+    comp = []
+    for op in out_ops:
+        if comp and comp[-1][0] == op:
+            comp[-1][1] += 1
+        else:
+            comp.append([op, 1])
+    return "".join(out_seq), [(op, n) for op, n in comp]

@@ -64,3 +64,24 @@ def test_pallas_custom_params():
     got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, params,
                                           interpret=True, tile_b=8))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pallas_long_shapes():
+    """Long-VNTR shapes (hap to ~1088, read to 1024): the kernel's sublane
+    cummax and VMEM-resident rows must stay bit-identical to the scan."""
+    rng = np.random.default_rng(6)
+    bases = np.array(list("ACGT"))
+    N, M, B = 544, 512, 8
+    haps = ["".join(rng.choice(bases, size=int(rng.integers(N // 2, N))))
+            for _ in range(B)]
+    reads = ["".join(ch for ch in h if rng.random() > 0.01)[:M] for h in haps]
+    hap_codes = np.stack([encode_seq(h, N) for h in haps])
+    read_codes = np.stack([encode_seq(r, M) for r in reads])
+    hl = np.array([len(h) for h in haps], np.int32)
+    rl = np.array([len(r) for r in reads], np.int32)
+    fl = hl + 60
+    pal = np.asarray(pairhmm_batch_pallas(hap_codes, hl, read_codes, rl, fl,
+                                          interpret=True, tile_b=8))
+    ref = np.asarray(pairhmm_batch(hap_codes, hl, read_codes, rl, fl,
+                                   AlignmentParams()))
+    assert np.array_equal(pal, ref)

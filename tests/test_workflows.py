@@ -195,3 +195,64 @@ def test_optional_format_fields_e2e(tmp_path):
     assert "ALLREADS" not in fmt2 and "MALLREADS" not in fmt2
     for key in ("GL", "PL", "PHASEDGL", "FILTER"):
         assert key not in fmt2
+
+
+def test_hifi_indel_error_reads(tmp_path):
+    """Reads with realistic indel + substitution errors still genotype
+    correctly through trimming, CIGAR expansion, candidate generation and
+    the pair-HMM (indels are what the Dindel transition model is for)."""
+    from synth import (Locus, add_errors, add_indel_errors, make_genome,
+                       sample_haplotype_read, write_bed)
+    from longtr_tpu.io.bam import BamRecord
+    from longtr_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(77)
+    loci = [Locus("chr1", 1000, "AGAT", 10, "L0"),
+            Locus("chr1", 2500, "AC", 12, "L1")]
+    genome = make_genome(rng, loci, chrom_len=5000)
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, genome)
+    bed = str(tmp_path / "r.bed")
+    write_bed(bed, loci)
+    gts = {"L0": (10, 13), "L1": (12, 12)}
+    recs = []
+    for loc in loci:
+        for hap in range(2):
+            copies = gts[loc.name][hap]
+            for k in range(15):
+                pos, seq, cigar = sample_haplotype_read(
+                    genome, loc, copies, flank=300)
+                seq, cigar = add_errors(rng, seq, cigar, sub_rate=0.01)
+                seq, cigar = add_indel_errors(rng, seq, cigar, rate=0.01)
+                recs.append(BamRecord(
+                    name=f"r_{loc.name}_{hap}_{k}", flag=0, ref_id=0,
+                    pos=pos, mapq=60, cigar=cigar, mate_ref_id=-1,
+                    mate_pos=-1, tlen=0, seq=seq, qual="J" * len(seq),
+                    tags={"RG": "rg1", "HP": hap + 1}, ref_name="chr1"))
+    recs.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "S1.bam")
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+           "@SQ\tSN:chr1\tLN:5000\n"
+           "@RG\tID:rg1\tSM:S1\tLB:lib1\n")
+    w = BamWriter(bam, hdr, ["chr1"], [5000])
+    for rec in recs:
+        w.save_alignment(rec)
+    w.close()
+    build_bai(bam)
+    out = str(tmp_path / "calls.vcf.gz")
+    assert cli_main(["--bams", bam, "--fasta", fasta, "--regions", bed,
+                     "--tr-vcf", out, "--min-reads", "5", "--use-unpaired",
+                     "--quiet"]) == 0
+    vcf = VCFReader(out)
+    vcf.set_region("chr1", 0)
+    got = {}
+    while (v := vcf.get_next_variant()) is not None:
+        gt = v.genotype("S1")
+        assert gt is not None
+        lens = sorted(len(v.alleles[a]) for a in gt[:2])
+        got[v.pos] = lens
+    # L0 at 1000: alleles 40 vs 52bp (+pad); L1 at 2500: 24bp hom (+pad)
+    l0 = got[min(got)]
+    l1 = got[max(got)]
+    assert l0[1] - l0[0] == 12      # 3 extra AGAT copies
+    assert l1[0] == l1[1]           # homozygous
