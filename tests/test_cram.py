@@ -135,3 +135,35 @@ def test_cram_region_query_without_index(tmp_path):
     want = [r.name for r in bam_recs
             if r.ref_name == "chr1" and r.pos < 2100 and r.end_pos > 1900]
     assert sorted(got) == sorted(want) and got
+
+
+def test_cram_multi_container(tmp_path):
+    """Small records_per_slice forces many containers; streaming and
+    indexed queries must span container boundaries."""
+    fx = standard_fixture(str(tmp_path))
+    r = BamReader(fx["bams"][0])
+    recs = []
+    while (rec := r.get_next_alignment()) is not None:
+        recs.append(rec)
+    fr = FastaReader(fx["fasta"])
+    cram = str(tmp_path / "multi.cram")
+    w = CramWriter(cram, r.header.text, r.header.ref_names,
+                   r.header.ref_lengths, records_per_slice=16)
+    for rid, name in enumerate(r.header.ref_names):
+        w.set_reference(rid, fr.get_sequence(name))
+    for rec in recs:
+        w.save_alignment(rec)
+    w.close()
+    c = CramReader(cram, fx["fasta"])
+    back = []
+    while (rec := c.get_next_alignment()) is not None:
+        back.append(rec.name)
+    assert back == [r.name for r in recs]
+    c2 = CramReader(cram, fx["fasta"])
+    assert c2.set_region("chr1", 1900, 2100)
+    got = []
+    while (rec := c2.get_next_alignment()) is not None:
+        got.append(rec.name)
+    want = [r.name for r in recs
+            if r.ref_name == "chr1" and r.pos < 2100 and r.end_pos > 1900]
+    assert sorted(got) == sorted(want) and got
