@@ -13,7 +13,7 @@ reproduce it exactly.  The column-reuse trick it enables is irrelevant on TPU
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from longtr_tpu.models.stutter import StutterModel
 

@@ -26,8 +26,6 @@ The reference's homopolymer-length lookups inside the flank recurrence
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from longtr_tpu.utils.mathops import LOG_THRESH, int_log

@@ -11,7 +11,7 @@ reference (bam_processor.cpp:294-316) and omitted here.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from longtr_tpu.io.bam import build_cigar_string
 

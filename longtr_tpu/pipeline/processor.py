@@ -13,7 +13,7 @@ left-align → SeqStutterGenotyper (TPU pair-HMM + posteriors) → VCF record.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from longtr_tpu.config import Config
 from longtr_tpu.io.fasta import FastaReader

@@ -28,8 +28,7 @@ import numpy as np
 from longtr_tpu.haplotype.blocks import Haplotype
 from longtr_tpu.haplotype.generator import HaplotypeGenerator, REF_FLANK_LEN
 from longtr_tpu.ops import pairhmm
-from longtr_tpu.ops.posterior import (calc_log_sample_posteriors,
-                                      genotype_log_priors)
+from longtr_tpu.ops.posterior import genotype_log_priors
 
 
 class ReadPooler:
