@@ -120,12 +120,16 @@ class PoaGraph:
             row = np.where(better, diag, row)
             rowp = np.where(better, diag_p, rowp)
             rowt = np.where(better, np.int8(0), rowt)
-            # left (consume base, gap in node) — sequential scan (m is small)
-            for j in range(1, m + 1):
-                if row[j - 1] + GAP > row[j]:
-                    row[j] = row[j - 1] + GAP
-                    rowp[j] = i
-                    rowt[j] = 2
+            # left (consume base, gap in node): a decayed running max —
+            # row[j] = max_k<=j (row[k] + (j-k)*GAP), same cummax trick as
+            # the pair-HMM deletion chain; strict-improvement cells mark a
+            # left backtrack exactly like the sequential loop did
+            jj = np.arange(m + 1, dtype=np.int64)
+            run = np.maximum.accumulate(row - jj * GAP) + jj * GAP
+            came_left = run > row
+            row = np.where(came_left, run, row)
+            rowp = np.where(came_left, np.int32(i), rowp)
+            rowt = np.where(came_left, np.int8(2), rowt)
             dp[i, :] = row
             bt_node[i, :] = rowp
             bt_type[i, :] = rowt

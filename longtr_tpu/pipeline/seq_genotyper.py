@@ -175,35 +175,47 @@ def score_pairs(pairs, params=None):
     if not pairs:
         return np.zeros(0)
     params = params or pairhmm.AlignmentParams()
-    n_max = _bucket(max(max(len(h) for h, _, _ in pairs), 1))
-    m_max = _bucket(max(max(len(r) for _, r, _ in pairs), 1))
     B = len(pairs)
     out = np.empty(B, dtype=np.float64)
+    # Group pairs into geometric length classes so one long-TR locus in the
+    # fused window doesn't pad every short pair to its DP size (a 3kb VNTR
+    # mixed into a window of 20bp STRs is a ~1000x cell blowup otherwise).
+    classes = {}
+    for idx, (h, r, _fl) in enumerate(pairs):
+        key = max(64, 1 << (max(len(h), len(r), 1) - 1).bit_length())
+        classes.setdefault(key, []).append(idx)
     # dispatch every chunk before materializing any result so the device
     # queue pipelines across chunks (one host sync at the end, not per chunk)
     pending = []
-    lo = 0
-    for take, Bpad in _plan_chunks(B):
-        hi = lo + take
-        hap_codes = np.zeros((Bpad, n_max), dtype=np.uint8)
-        read_codes = np.zeros((Bpad, m_max), dtype=np.uint8)
-        hap_lens = np.ones(Bpad, dtype=np.int32)
-        read_lens = np.ones(Bpad, dtype=np.int32)
-        full_lens = np.ones(Bpad, dtype=np.int32)
-        for k in range(lo, hi):
-            h, r, fl = pairs[k]
-            i = k - lo
-            hap_codes[i, : len(h)] = np.frombuffer(h.encode(), dtype=np.uint8)
-            read_codes[i, : len(r)] = np.frombuffer(r.encode(), dtype=np.uint8)
-            hap_lens[i] = len(h)
-            read_lens[i] = len(r)
-            full_lens[i] = fl
-        scores = pairhmm.pairhmm_batch_auto(hap_codes, hap_lens, read_codes,
-                                            read_lens, full_lens, params)
-        pending.append((lo, hi, scores))
-        lo = hi
-    for lo, hi, scores in pending:
-        out[lo:hi] = np.asarray(scores, dtype=np.float64)[: hi - lo]
+    for key in sorted(classes):
+        idxs = classes[key]
+        n_max = _bucket(max(max(len(pairs[i][0]) for i in idxs), 1))
+        m_max = _bucket(max(max(len(pairs[i][1]) for i in idxs), 1))
+        lo = 0
+        for take, Bpad in _plan_chunks(len(idxs)):
+            sel = idxs[lo: lo + take]
+            lo += take
+            hap_codes = np.zeros((Bpad, n_max), dtype=np.uint8)
+            read_codes = np.zeros((Bpad, m_max), dtype=np.uint8)
+            hap_lens = np.ones(Bpad, dtype=np.int32)
+            read_lens = np.ones(Bpad, dtype=np.int32)
+            full_lens = np.ones(Bpad, dtype=np.int32)
+            for i, k in enumerate(sel):
+                h, r, fl = pairs[k]
+                hap_codes[i, : len(h)] = np.frombuffer(h.encode(),
+                                                       dtype=np.uint8)
+                read_codes[i, : len(r)] = np.frombuffer(r.encode(),
+                                                        dtype=np.uint8)
+                hap_lens[i] = len(h)
+                read_lens[i] = len(r)
+                full_lens[i] = fl
+            scores = pairhmm.pairhmm_batch_auto(
+                hap_codes, hap_lens, read_codes, read_lens, full_lens, params)
+            pending.append((sel, scores))
+    for sel, scores in pending:
+        vals = np.asarray(scores, dtype=np.float64)
+        for i, k in enumerate(sel):
+            out[k] = vals[i]
     return out
 
 
