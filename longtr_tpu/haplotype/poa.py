@@ -213,6 +213,13 @@ def poa_consensus(seqs) -> str:
     seqs = list(seqs)
     if len(seqs) > CLUSTER_SIZE_LIMIT:
         seqs = seqs[:CLUSTER_SIZE_LIMIT]  # deterministic subsample
+    try:
+        from longtr_tpu import native
+        out = native.poa_consensus(seqs)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     g = PoaGraph()
     for s in seqs:
         g.add_sequence(s)

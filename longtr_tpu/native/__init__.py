@@ -57,9 +57,31 @@ def get_lib():
     lib.ltr_rans_decode.restype = ctypes.c_int
     lib.ltr_rans_decode.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                     ctypes.c_char_p, ctypes.c_long]
+    lib.ltr_poa_consensus.restype = ctypes.c_long
+    lib.ltr_poa_consensus.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_long),
+                                      ctypes.c_long, ctypes.c_char_p,
+                                      ctypes.c_long]
     lib.ltr_bam_decode.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def poa_consensus(seqs) -> str | None:
+    """Native POA consensus; None if the library is unavailable (caller
+    falls back to the Python implementation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blobs = [s.encode() for s in seqs]
+    cat = b"".join(blobs)
+    lens = (ctypes.c_long * len(blobs))(*[len(b) for b in blobs])
+    cap = sum(len(b) for b in blobs) + 1024
+    out = ctypes.create_string_buffer(cap)
+    n = lib.ltr_poa_consensus(cat, lens, len(blobs), out, cap)
+    if n < 0:
+        return None
+    return out.raw[:n].decode()
 
 
 def rans_decode(data: bytes, out_sz: int) -> bytes | None:

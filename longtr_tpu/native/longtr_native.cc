@@ -386,3 +386,237 @@ extern "C" int ltr_rans_decode(const uint8_t* data, long n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// POA consensus (spoa-equivalent; mirrors longtr_tpu/haplotype/poa.py
+// node-for-node including tie-break order, so Python and native paths give
+// identical consensus strings).
+
+#include <vector>
+#include <string>
+#include <algorithm>
+
+namespace poa {
+
+constexpr int MATCH = 1, MISMATCH = -1, GAP = -1;
+constexpr long NEG = -1000000000L;
+
+struct Graph {
+  std::vector<char> ch;
+  // insertion-ordered adjacency (Python dict semantics)
+  std::vector<std::vector<std::pair<int,int>>> out_e, in_e;
+  std::vector<std::vector<int>> aligned_to;
+
+  int new_node(char c) {
+    ch.push_back(c);
+    out_e.emplace_back();
+    in_e.emplace_back();
+    aligned_to.emplace_back();
+    return (int)ch.size() - 1;
+  }
+  static int find(std::vector<std::pair<int,int>>& v, int key) {
+    for (size_t i = 0; i < v.size(); i++) if (v[i].first == key) return (int)i;
+    return -1;
+  }
+  void add_edge(int a, int b, int w) {
+    int i = find(out_e[a], b);
+    if (i < 0) out_e[a].push_back({b, w}); else out_e[a][i].second += w;
+    i = find(in_e[b], a);
+    if (i < 0) in_e[b].push_back({a, w}); else in_e[b][i].second += w;
+  }
+
+  std::vector<int> topo() const {
+    int n = (int)ch.size();
+    std::vector<int> indeg(n), order;
+    order.reserve(n);
+    std::vector<int> stack;
+    for (int i = 0; i < n; i++) indeg[i] = (int)in_e[i].size();
+    for (int i = 0; i < n; i++) if (!indeg[i]) stack.push_back(i);
+    while (!stack.empty()) {
+      int v = stack.back(); stack.pop_back();
+      order.push_back(v);
+      for (auto& e : out_e[v])
+        if (--indeg[e.first] == 0) stack.push_back(e.first);
+    }
+    return order;
+  }
+
+  void add_sequence(const char* seq, int m) {
+    if (m == 0) return;
+    if (ch.empty()) {
+      int prev = -1;
+      for (int j = 0; j < m; j++) {
+        int v = new_node(seq[j]);
+        if (prev >= 0) add_edge(prev, v, 1);
+        prev = v;
+      }
+      return;
+    }
+    std::vector<int> aln(m, -1);
+    align(seq, m, aln);
+    fuse(seq, m, aln);
+  }
+
+  void align(const char* seq, int m, std::vector<int>& aln) {
+    std::vector<int> order = topo();
+    int n = (int)order.size();
+    std::vector<int> pos_in_order(ch.size());
+    for (int i = 0; i < n; i++) pos_in_order[order[i]] = i;
+    size_t W = (size_t)m + 1;
+    std::vector<long> dp((n + 1) * W, NEG);
+    std::vector<int> bt_node((n + 1) * W, -1);
+    std::vector<signed char> bt_type((n + 1) * W, 2);
+    for (int j = 0; j <= m; j++) dp[j] = (long)j * GAP;
+    std::vector<long> row(W), best_diag(W), best_up(W);
+    std::vector<int> rowp(W), best_diag_p(W), best_up_p(W);
+    std::vector<signed char> rowt(W);
+    for (int i = 1; i <= n; i++) {
+      int v = order[i - 1];
+      // predecessor rows (insertion order; first strict improvement wins)
+      for (size_t j = 0; j < W; j++) { best_diag[j] = NEG; best_diag_p[j] = -1;
+                                       best_up[j] = NEG; best_up_p[j] = -1; }
+      bool any_pred = !in_e[v].empty();
+      if (!any_pred) {
+        const long* d = &dp[0];
+        for (size_t j = 0; j < W; j++) { best_up[j] = d[j]; best_up_p[j] = 0; }
+        for (size_t j = 0; j + 1 < W; j++) { best_diag[j] = d[j]; best_diag_p[j] = 0; }
+      } else {
+        for (auto& e : in_e[v]) {
+          int p = pos_in_order[e.first] + 1;
+          const long* d = &dp[(size_t)p * W];
+          for (size_t j = 0; j + 1 < W; j++)
+            if (d[j] > best_diag[j]) { best_diag[j] = d[j]; best_diag_p[j] = p; }
+          for (size_t j = 0; j < W; j++)
+            if (d[j] > best_up[j]) { best_up[j] = d[j]; best_up_p[j] = p; }
+        }
+      }
+      char base = ch[v];
+      // up, then strictly-better diag, then strictly-better left
+      for (size_t j = 0; j < W; j++) {
+        row[j] = best_up[j] + GAP;
+        rowp[j] = best_up_p[j];
+        rowt[j] = 1;
+      }
+      for (size_t j = 1; j < W; j++) {
+        long diag = best_diag[j - 1] +
+                    ((seq[j - 1] == base) ? MATCH : MISMATCH);
+        if (diag > row[j]) { row[j] = diag; rowp[j] = best_diag_p[j - 1]; rowt[j] = 0; }
+      }
+      for (size_t j = 1; j < W; j++)
+        if (row[j - 1] + GAP > row[j]) { row[j] = row[j - 1] + GAP; rowp[j] = i; rowt[j] = 2; }
+      long* dst = &dp[(size_t)i * W];
+      for (size_t j = 0; j < W; j++) {
+        dst[j] = row[j];
+        bt_node[(size_t)i * W + j] = rowp[j];
+        bt_type[(size_t)i * W + j] = rowt[j];
+      }
+    }
+    // endpoint: best sink (max over sinks of dp[i][m]; first max wins to
+    // mirror Python's max() over the sink list in node order)
+    int best_i = -1;
+    long best_v = NEG - 1;
+    bool any_sink = false;
+    for (size_t v2 = 0; v2 < ch.size(); v2++) {
+      if (out_e[v2].empty()) {
+        any_sink = true;
+        int i2 = pos_in_order[v2] + 1;
+        if (dp[(size_t)i2 * W + m] > best_v) { best_v = dp[(size_t)i2 * W + m]; best_i = i2; }
+      }
+    }
+    if (!any_sink) {
+      for (int i2 = 0; i2 <= n; i2++)
+        if (dp[(size_t)i2 * W + m] > best_v) { best_v = dp[(size_t)i2 * W + m]; best_i = i2; }
+    }
+    int i = best_i, j = m;
+    while (i != 0 || j != 0) {
+      if (i == 0) { j--; continue; }
+      signed char t = bt_type[(size_t)i * W + j];
+      if (t == 0) { aln[j - 1] = order[i - 1]; i = bt_node[(size_t)i * W + j]; j--; }
+      else if (t == 1) { i = bt_node[(size_t)i * W + j]; }
+      else { j--; }
+    }
+  }
+
+  void fuse(const char* seq, int m, const std::vector<int>& aln) {
+    int prev = -1;
+    for (int j = 0; j < m; j++) {
+      char c = seq[j];
+      int node = aln[j];
+      int target = -1;
+      if (node >= 0) {
+        if (ch[node] == c) target = node;
+        else {
+          for (int alt : aligned_to[node])
+            if (ch[alt] == c) { target = alt; break; }
+          if (target < 0) {
+            target = new_node(c);
+            aligned_to[target].push_back(node);
+            for (int x : aligned_to[node]) aligned_to[target].push_back(x);
+            // mirror Python: [node] + aligned_to[node][1:]
+            std::vector<int> others;
+            others.push_back(node);
+            for (size_t k = 1; k < aligned_to[node].size(); k++)
+              others.push_back(aligned_to[node][k]);
+            for (int other : others) {
+              bool has = false;
+              for (int x : aligned_to[other]) if (x == target) { has = true; break; }
+              if (!has) aligned_to[other].push_back(target);
+            }
+          }
+        }
+      }
+      if (target < 0) target = new_node(c);
+      if (prev >= 0) add_edge(prev, target, 1);
+      prev = target;
+    }
+  }
+
+  std::string consensus() const {
+    if (ch.empty()) return "";
+    std::vector<int> order = topo();
+    std::vector<long> score(ch.size(), 0);
+    std::vector<int> nxt(ch.size(), -1);
+    for (auto it = order.rbegin(); it != order.rend(); ++it) {
+      int v = *it;
+      long best_s = 0;
+      int best_n = -1;
+      for (auto& e : out_e[v]) {
+        long s = e.second + score[e.first];
+        if (s > best_s) { best_s = s; best_n = e.first; }
+      }
+      score[v] = best_s;
+      nxt[v] = best_n;
+    }
+    // start: first source with max score, in topo order (Python max() over
+    // the source list preserves first-max)
+    int start = -1;
+    long best = -1;
+    bool any_src = false;
+    for (int v : order) {
+      if (in_e[v].empty()) { any_src = true; if (score[v] > best) { best = score[v]; start = v; } }
+    }
+    if (!any_src) {
+      for (int v : order) if (score[v] > best) { best = score[v]; start = v; }
+    }
+    std::string out;
+    int v = start;
+    while (v >= 0) { out.push_back(ch[v]); v = nxt[v]; }
+    return out;
+  }
+};
+
+}  // namespace poa
+
+extern "C" long ltr_poa_consensus(const char* seqs, const long* lens,
+                                  long n_seqs, char* out, long out_cap) {
+  poa::Graph g;
+  const char* p = seqs;
+  for (long i = 0; i < n_seqs; i++) {
+    g.add_sequence(p, (int)lens[i]);
+    p += lens[i];
+  }
+  std::string c = g.consensus();
+  if ((long)c.size() > out_cap) return -1;
+  std::copy(c.begin(), c.end(), out);
+  return (long)c.size();
+}
