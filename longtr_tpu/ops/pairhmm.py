@@ -345,8 +345,19 @@ def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
                                      read_lens, full_hap_lens, params)
     if jax.default_backend() in ("tpu", "axon"):
         enable_compile_cache()
-        from longtr_tpu.ops.pairhmm_pallas import pairhmm_batch_pallas
-        return pairhmm_batch_pallas(hap_codes, hap_lens, read_codes,
-                                    read_lens, full_hap_lens, params)
+        from longtr_tpu.ops.pairhmm_pallas import (pairhmm_batch_pallas,
+                                                   pallas_fits)
+        import numpy as _np
+        N = _np.asarray(hap_codes).shape[1]
+        M = _np.asarray(read_codes).shape[1]
+        if pallas_fits(N, M):
+            return pairhmm_batch_pallas(hap_codes, hap_lens, read_codes,
+                                        read_lens, full_hap_lens, params)
+        # ultra-long pairs (multi-kb VNTRs): the kernel's VMEM-resident
+        # rows don't fit; score these rare pairs with the scan on the host
+        # CPU backend (exact same math)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return pairhmm_batch(hap_codes, hap_lens, read_codes,
+                                 read_lens, full_hap_lens, params)
     return pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens,
                          full_hap_lens, params)

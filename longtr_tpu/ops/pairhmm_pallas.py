@@ -36,6 +36,17 @@ from longtr_tpu.ops.pairhmm import (AlignmentParams, BAND_FAIL_SCORE,
 TILE_B = 128
 
 
+def pallas_fits(N, M, budget=14 * 1024 * 1024):
+    """Whether the kernel's scoped VMEM footprint fits for this shape.
+
+    Lane dims pad to 128 regardless of batch tile, so the footprint is set
+    by sequence length alone: hap + read inputs, three M/I/D scratch rows
+    and ~3 live (M, 128) temporaries, each M*128*4 bytes.  Empirically the
+    compiler reports ~512*(N + 7M) bytes (23.7MB at N=M=5376).
+    """
+    return 512 * (N + 7 * M) <= budget
+
+
 def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
             out_ref, mrow, irow, drow, acc):
     """One batch tile, transposed layout: hap (N, B), read (M, B)."""
@@ -202,14 +213,17 @@ def _pallas_call(hap_t, hl, read_t, rl, fl, trans, interpret=False,
 
 def pairhmm_batch_pallas(hap_codes, hap_lens, read_codes, read_lens,
                          full_hap_lens, params: AlignmentParams = AlignmentParams(),
-                         interpret: bool = False, tile_b: int = TILE_B):
+                         interpret: bool = False, tile_b: int | None = None):
     """Drop-in replacement for pairhmm.pairhmm_batch using the Pallas kernel.
 
     Accepts the same (B, N)/(B, M) uint8 batch and transposes into the
-    lanes-carry-batch layout expected by the kernel.
+    lanes-carry-batch layout expected by the kernel.  ``tile_b=None``
+    selects the widest batch tile that fits VMEM for the shape.
     """
     hap = np.asarray(hap_codes)
     read = np.asarray(read_codes)
+    if tile_b is None:
+        tile_b = TILE_B
     B = hap.shape[0]
     Bpad = -(-B // tile_b) * tile_b
     if Bpad != B:
@@ -222,10 +236,10 @@ def pairhmm_batch_pallas(hap_codes, hap_lens, read_codes, read_lens,
     fl = np.pad(np.asarray(full_hap_lens, np.int32), (0, Bpad - B),
                 constant_values=1)
     trans = jnp.asarray(params.as_array())
-    out = _pallas_call_u8(jnp.asarray(hap.astype(np.uint8, copy=False)),
-                          jnp.asarray(hl[None, :]),
-                          jnp.asarray(read.astype(np.uint8, copy=False)),
-                          jnp.asarray(rl[None, :]),
+    hap_u8 = hap.astype(np.uint8, copy=False)
+    read_u8 = read.astype(np.uint8, copy=False)
+    out = _pallas_call_u8(jnp.asarray(hap_u8), jnp.asarray(hl[None, :]),
+                          jnp.asarray(read_u8), jnp.asarray(rl[None, :]),
                           jnp.asarray(fl[None, :]), trans,
                           interpret=interpret, tile_b=tile_b)
     return out[:B]

@@ -103,7 +103,10 @@ def pairhmm_batch_sharded(hap_codes, hap_lens, read_codes, read_lens,
     """
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size
-    use_pallas = jax.default_backend() in ("tpu", "axon")
+    from longtr_tpu.ops.pairhmm_pallas import pallas_fits
+    use_pallas = (jax.default_backend() in ("tpu", "axon")
+                  and pallas_fits(np.asarray(hap_codes).shape[1],
+                                  np.asarray(read_codes).shape[1]))
     quantum = ndev * (128 if use_pallas else 8)
     hap = np.asarray(hap_codes, dtype=np.uint8)
     read = np.asarray(read_codes, dtype=np.uint8)
