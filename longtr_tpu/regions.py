@@ -13,7 +13,9 @@ from dataclasses import dataclass, field
 
 
 def is_valid_motif(motif: str) -> bool:
-    return all(ch.isalpha() or ch == "," for ch in motif)
+    # "," separates alternate motifs (region.cpp:17-24); the HipSTR
+    # 7-column catalogs use "/" for the same thing (test_regions_hg38.bed)
+    return all(ch.isalpha() or ch in ",/" for ch in motif)
 
 
 @dataclass(frozen=True)
@@ -66,9 +68,9 @@ def read_regions(path: str, max_regions: int = 10_000_000, chrom_limit: str = ""
             name = ""
             if len(f) >= 7 and not is_valid_motif(f[3]) and is_valid_motif(f[6]):
                 # 7-column HipSTR format: PERIOD NREPEATS NAME MOTIF
-                motif, name = f[6], f[5]
+                motif, name = f[6].replace("/", ","), f[5]
             else:
-                motif = f[3]
+                motif = f[3].replace("/", ",")
                 if not is_valid_motif(motif):
                     raise ValueError("Region MOTIF has invalid characters: " + line)
                 if len(f) >= 5:

@@ -256,3 +256,36 @@ def test_hifi_indel_error_reads(tmp_path):
     l1 = got[max(got)]
     assert l0[1] - l0[0] == 12      # 3 extra AGAT copies
     assert l1[0] == l1[1]           # homozygous
+
+
+def test_misc_cli_gates(tmp_path):
+    """--skip-genotyping (no VCF needed), --chrom restriction and the
+    --max-reads locus gate."""
+    import gzip
+
+    fx = standard_fixture(str(tmp_path))
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--use-unpaired", "--quiet"]
+
+    # --skip-genotyping: runs the read pipeline without a VCF
+    pass_bam = str(tmp_path / "pass.bam")
+    assert cli_main(base + ["--skip-genotyping", "--pass-bam", pass_bam]) == 0
+    assert os.path.getsize(pass_bam) > 0
+
+    # --chrom: only chr2 loci emitted
+    out = str(tmp_path / "chr2.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", out, "--chrom", "chr2"]) == 0
+    recs = [ln for ln in
+            gzip.decompress(open(out, "rb").read()).decode().splitlines()
+            if not ln.startswith("#")]
+    assert recs and all(r.split("\t")[0] == "chr2" for r in recs)
+
+    # --min-reads above coverage: every locus rejected for too few reads
+    # (the too-many gate counts paired reads only, exactly like the
+    # reference bam_processor.cpp:217, so it cannot trip on unpaired data)
+    out2 = str(tmp_path / "toofew.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", out2, "--min-reads", "1000"]) == 0
+    recs2 = [ln for ln in
+             gzip.decompress(open(out2, "rb").read()).decode().splitlines()
+             if not ln.startswith("#")]
+    assert recs2 == []
