@@ -180,6 +180,11 @@ def test_read_regions_formats(tmp_path):
     regs = read_regions(str(p7))
     assert regs[0].motif == "AAAAC" and regs[0].name == "Human_STR_211"
     assert regs[0].period == 5
+    # slash-separated alternate motifs (test_regions_hg38.bed style)
+    p7b = tmp_path / "slash.bed"
+    p7b.write_text("chr1\t834912\t834988\t4\t19.25\tHuman_STR_232\tATCC/ACCC\n")
+    regs = read_regions(str(p7b))
+    assert regs[0].motif == "ATCC,ACCC" and regs[0].period == 4
 
 
 def test_order_by_length_and_sequence():
