@@ -22,58 +22,100 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Comma separated list of BAM/CRAM files")
     p.add_argument("--bam-files", dest="bam_files", default="",
                    help="File containing BAM/CRAM files to analyze, one per line")
-    p.add_argument("--fasta", required=True)
+    p.add_argument("--fasta", required=True,
+               help="FASTA file with the reference sequences (required; also used for CRAM decode)")
     p.add_argument("--regions", required=True, help="BED file of TR regions")
     p.add_argument("--tr-vcf", dest="tr_vcf", default="",
                    help="Bgzipped VCF output path")
-    p.add_argument("--ref-vcf", dest="ref_vcf", default="")
-    p.add_argument("--snp-vcf", dest="snp_vcf", default="")
-    p.add_argument("--min-mean-qual", type=float, default=30)
-    p.add_argument("--min-mapq", type=float, default=20)
-    p.add_argument("--stutter-align-len", type=int, default=0)
-    p.add_argument("--phased-bam", action="store_true")
-    p.add_argument("--indel-flank-len", type=int, default=5)
-    p.add_argument("--alignment-params", default="")
-    p.add_argument("--stutter-in", default="")
-    p.add_argument("--stutter-out", default="")
-    p.add_argument("--log", default="")
-    p.add_argument("--viz-out", default="")
-    p.add_argument("--pass-bam", default="")
-    p.add_argument("--filt-bam", default="")
-    p.add_argument("--max-flank-indel", type=float, default=0.15)
-    p.add_argument("--hide-allreads", action="store_true")
-    p.add_argument("--hide-mallreads", action="store_true")
-    p.add_argument("--output-gls", action="store_true")
-    p.add_argument("--output-pls", action="store_true")
-    p.add_argument("--output-phased-gls", action="store_true")
-    p.add_argument("--output-filters", action="store_true")
-    p.add_argument("--bam-samps", default="")
-    p.add_argument("--bam-libs", default="")
-    p.add_argument("--lib-from-samp", action="store_true")
-    p.add_argument("--max-haps", type=int, default=1000)
-    p.add_argument("--max-hap-flanks", type=int, default=4)
-    p.add_argument("--min-flank-freq", type=float, default=0.01)
+    p.add_argument("--ref-vcf", dest="ref_vcf", default="",
+               help="Bgzipped input VCF; genotype only the alleles in this VCF (reference-panel mode)")
+    p.add_argument("--snp-vcf", dest="snp_vcf", default="",
+               help="Bgzipped VCF of phased SNPs used to physically phase TRs (a .tbi index enables constant-memory streaming)")
+    p.add_argument("--min-mean-qual", type=float, default=30,
+               help="Minimum mean base quality of a read (compares the mean phred score, like the reference)")
+    p.add_argument("--min-mapq", type=float, default=20,
+               help="Minimum MAPQ of a read")
+    p.add_argument("--stutter-align-len", type=int, default=0,
+               help="Use the legacy stutter HMM (mode B) for homopolymer repeats up to this length")
+    p.add_argument("--phased-bam", action="store_true",
+               help="Reads carry HP haplotype tags (e.g. whatshap); use them for phasing instead of a SNP VCF")
+    p.add_argument("--indel-flank-len", type=int, default=5,
+               help="Flank padding retained around the repeat during alignment")
+    p.add_argument("--alignment-params", default="",
+               help="7 comma-separated negative log probs i2i,i2m,d2d,d2m,m2m,m2i,m2d (use the = form for negative values)")
+    p.add_argument("--stutter-in", default="",
+               help="Input file of per-locus stutter models (disables the default model and EM learning)")
+    p.add_argument("--stutter-out", default="",
+               help="Output stutter models learned by EM to this file")
+    p.add_argument("--log", default="",
+               help="Write logging output to this file instead of stderr")
+    p.add_argument("--viz-out", default="",
+               help="Bgzipped per-locus alignment file for vizaln / vizalnpdf")
+    p.add_argument("--pass-bam", default="",
+               help="Output BAM of the reads used to genotype each region (PF tag = per-region pass bitmask)")
+    p.add_argument("--filt-bam", default="",
+               help="Output BAM of the reads filtered in each region (FT tag = filter reason)")
+    p.add_argument("--max-flank-indel", type=float, default=0.15,
+               help="Mask a sample when more than this fraction of its reads have an indel in the flanks")
+    p.add_argument("--hide-allreads", action="store_true",
+               help="Do not output the ALLREADS FORMAT field")
+    p.add_argument("--hide-mallreads", action="store_true",
+               help="Do not output the MALLREADS FORMAT field")
+    p.add_argument("--output-gls", action="store_true",
+               help="Write genotype likelihoods (GL) to the VCF")
+    p.add_argument("--output-pls", action="store_true",
+               help="Write phred-scaled likelihoods (PL) to the VCF")
+    p.add_argument("--output-phased-gls", action="store_true",
+               help="Write phased genotype likelihoods (PHASEDGL) to the VCF")
+    p.add_argument("--output-filters", action="store_true",
+               help="Write per-call filter reasons (FILTER) to the VCF")
+    p.add_argument("--bam-samps", default="",
+               help="Comma-separated sample names, one per BAM/CRAM (otherwise samples come from @RG SM tags)")
+    p.add_argument("--bam-libs", default="",
+               help="Comma-separated library names, one per BAM/CRAM (otherwise libraries come from @RG LB tags)")
+    p.add_argument("--lib-from-samp", action="store_true",
+               help="Use the sample name of each read as its library")
+    p.add_argument("--max-haps", type=int, default=1000,
+               help="Skip loci with more candidate haplotypes than this")
+    p.add_argument("--max-hap-flanks", type=int, default=4,
+               help="Maximum non-reference flanking sequences per TR")
+    p.add_argument("--min-flank-freq", type=float, default=0.01,
+               help="Filter candidate flanks below this sample fraction")
     p.add_argument("--def-stutter-model", action="store_true", default=True)
     p.add_argument("--no-def-stutter-model", dest="def_stutter_model",
                    action="store_false",
                    help="Disable the default stutter model (enables EM learning)")
-    p.add_argument("--chrom", default="")
-    p.add_argument("--haploid-chrs", default="")
-    p.add_argument("--hap-chr-file", default="")
-    p.add_argument("--min-reads", type=int, default=10)
-    p.add_argument("--max-reads", type=int, default=1_000_000)
-    p.add_argument("--max-tr-len", type=int, default=1000)
-    p.add_argument("--max-str-len", dest="max_tr_len", type=int)
-    p.add_argument("--max-mate-dist", type=int, default=1000)
-    p.add_argument("--sample-list", default="")
+    p.add_argument("--chrom", default="",
+               help="Only genotype loci on this chromosome")
+    p.add_argument("--haploid-chrs", default="",
+               help="Comma-separated chromosomes to genotype as haploid")
+    p.add_argument("--hap-chr-file", default="",
+               help="File of haploid chromosome names, one per line")
+    p.add_argument("--min-reads", type=int, default=10,
+               help="Skip loci with fewer total reads than this")
+    p.add_argument("--max-reads", type=int, default=1_000_000,
+               help="Skip loci where more paired reads than this were encountered during filtering")
+    p.add_argument("--max-tr-len", type=int, default=1000,
+               help="Skip loci whose reference repeat is longer than this")
+    p.add_argument("--max-str-len", dest="max_tr_len", type=int,
+               help="Alias of --max-tr-len")
+    p.add_argument("--max-mate-dist", type=int, default=1000,
+               help="Maximum distance between mate pairs (also pads the BAM fetch window)")
+    p.add_argument("--sample-list", default="",
+               help="File of sample names to genotype, one per line")
     p.add_argument("--skip-assembly", action="store_true",
                    help="NOTE: like the reference, this flag ENABLES flank "
                         "assembly (the internal default skips it)")
-    p.add_argument("--skip-genotyping", action="store_true")
-    p.add_argument("--use-unpaired", action="store_true")
-    p.add_argument("--no-rmdup", action="store_true")
-    p.add_argument("--quiet", action="store_true")
-    p.add_argument("--silent", action="store_true")
+    p.add_argument("--skip-genotyping", action="store_true",
+               help="Run the read pipeline without genotyping (useful with --pass-bam/--filt-bam)")
+    p.add_argument("--use-unpaired", action="store_true",
+               help="Use unpaired reads (required for single-end long-read data)")
+    p.add_argument("--no-rmdup", action="store_true",
+               help="Do not remove PCR duplicates (duplicate removal is off by default, like the reference)")
+    p.add_argument("--quiet", action="store_true",
+               help="Only output terse logging messages")
+    p.add_argument("--silent", action="store_true",
+               help="Do not output any logging messages")
     p.add_argument("--version", action="version",
                    version=f"LongTR-TPU {__version__}")
     p.add_argument("--dont-use-all-reads", action="store_true",
