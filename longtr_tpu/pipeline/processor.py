@@ -306,6 +306,7 @@ class GenotyperPipeline:
             switch_old_align_len=cfg.switch_old_align_len,
             alignment_params=cfg.alignment_params)
         ok, pairs = gt.genotype_prepare(cfg.max_total_haplotypes)
+        gt.chrom_seq = chrom_seq   # shared reference, used by the viz writer
         self._pending.append((gt, pairs, ok, group))
         self.timer.add("Genotyping", time.time() - t0)
         if len(self._pending) >= max(1, cfg.locus_batch):
@@ -350,7 +351,8 @@ class GenotyperPipeline:
                     for region in group.regions:
                         write_viz_record(self.viz_out, region,
                                          gt.sample_names,
-                                         list(gt.sample_label), gt.alns)
+                                         list(gt.sample_label), gt.alns,
+                                         chrom_seq=gt.chrom_seq)
             else:
                 self.stats.num_genotype_fail += 1
             self._checkpoint_mark(group)

@@ -95,9 +95,19 @@ def overlay_alignments(alignments):
 
 
 def write_viz_record(out, region, sample_names, sample_label, alignments,
-                     ref_line=None):
+                     ref_line=None, chrom_seq=""):
     """One locus block in the viz file."""
     min_start, max_stop, rows = overlay_alignments(alignments)
+    if ref_line is None and chrom_seq and alignments:
+        # reference row on the same overlay columns: gap chars at every
+        # insertion column (AlignmentViz.cpp writes the ref stack likewise)
+        ins = max_insertion_sizes(alignments)
+        chunks = []
+        for pos in range(min_start, max_stop + 1):
+            if pos in ins:
+                chunks.append(SPACE_CHAR * ins[pos])
+            chunks.append(chrom_seq[pos] if pos < len(chrom_seq) else "N")
+        ref_line = "".join(chunks).upper()
     out.write(f"{region.chrom}\t{region.start + 1}\t{region.stop}\tREF\t"
               f"{ref_line or ''}\n")
     for aln, row in zip(alignments, rows):

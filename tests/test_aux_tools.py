@@ -27,7 +27,11 @@ def test_viz_out_and_vizaln(tmp_path, capsys):
     assert os.path.exists(viz)
     with bgzf_open_text(viz) as fh:
         lines = fh.readlines()
-    assert any("\tREF\t" in ln for ln in lines)
+    ref_rows = [ln for ln in lines if "\tREF\t" in ln]
+    assert ref_rows
+    # the REF row carries the actual reference sequence on overlay columns
+    ref_text = ref_rows[0].rstrip("\n").split("\t")[4]
+    assert len(ref_text) > 100 and set(ref_text) <= set("ACGTN*")
     # each locus present
     starts = {ln.split("\t")[1] for ln in lines}
     assert "1001" in starts
