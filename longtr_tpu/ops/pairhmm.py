@@ -314,9 +314,20 @@ def enable_compile_cache():
     global _cache_enabled
     if _cache_enabled:
         return
+    import hashlib
     import os
+    # Key the cache by host CPU features: XLA:CPU AOT results compiled on a
+    # different machine can SIGILL when loaded (observed via cpu_aot_loader
+    # warnings when a shared cache crossed hosts).
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+        host_key = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except OSError:
+        host_key = "generic"
     cache_dir = os.environ.get("LONGTR_XLA_CACHE",
-                               os.path.expanduser("~/.cache/longtr_tpu_xla"))
+                               os.path.expanduser("~/.cache/longtr_tpu_xla-"
+                                                  + host_key))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
