@@ -97,7 +97,8 @@ def main():
             loci.append((f[0], int(f[1]), int(f[2])))
     loci = loci[:n_loci]
 
-    tmp = tempfile.mkdtemp()
+    tmp = os.environ.get("SMOKE_OUT_DIR") or tempfile.mkdtemp()
+    os.makedirs(tmp, exist_ok=True)
     print(f"reconstructing reference over {len(loci)} windows...", flush=True)
     genome = reconstruct_reference(bams, loci, None)
     fasta = os.path.join(tmp, "est_ref.fa")
