@@ -83,6 +83,7 @@ class TrioDenovoScanner:
     def __init__(self, families, output_file, full_command, use_pop_priors):
         self.families = families
         self.use_pop_priors = use_pop_priors
+        self.output_file = output_file
         self.out = BgzfWriter(output_file)
         self._write_header(full_command)
 
@@ -106,6 +107,11 @@ class TrioDenovoScanner:
 
     def finish(self):
         self.out.close()
+        try:
+            from longtr_tpu.io.tabix import build_tbi
+            build_tbi(self.output_file)
+        except Exception:
+            pass
 
     def scan(self, str_vcf, logger=None):
         while True:
@@ -196,6 +202,7 @@ class DenovoScanner:
         self.families = families
         self.use_pop_priors = use_pop_priors
         self.window_size = 500_000
+        self.output_file = output_file
         self.out = BgzfWriter(output_file)
         self._write_header(full_command)
 
@@ -220,6 +227,11 @@ class DenovoScanner:
 
     def finish(self):
         self.out.close()
+        try:
+            from longtr_tpu.io.tabix import build_tbi
+            build_tbi(self.output_file)
+        except Exception:
+            pass
 
     def scan(self, snp_vcf, str_vcf, sites_to_skip=(), logger=None):
         from longtr_tpu.denovo.haplotype_tracker import HaplotypeTracker
