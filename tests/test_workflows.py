@@ -289,3 +289,68 @@ def test_misc_cli_gates(tmp_path):
              gzip.decompress(open(out2, "rb").read()).decode().splitlines()
              if not ln.startswith("#")]
     assert recs2 == []
+
+
+def test_paired_end_reads_e2e(tmp_path):
+    """Paired spanning mates (no --use-unpaired): mate pairing in the
+    filter (bam_processor.cpp:323-345) and the weight-0 second-mate rule
+    in the genotyper (seq_stutter_genotyper.cpp:484-506)."""
+    from synth import Locus, make_genome, sample_haplotype_read, write_bed
+    from longtr_tpu.io.bam import BamRecord
+    from longtr_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(88)
+    loc = Locus("chr1", 1000, "AGAT", 10, "L0")
+    genome = make_genome(rng, [loc], chrom_len=4000)
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, genome)
+    bed = str(tmp_path / "r.bed")
+    write_bed(bed, [loc])
+    recs = []
+    for hap, copies in ((0, 10), (1, 13)):
+        for k in range(12):
+            name = f"tmpl_{hap}_{k}"
+            pos1, seq1, cig1 = sample_haplotype_read(genome, loc, copies,
+                                                     flank=300)
+            pos2, seq2, cig2 = sample_haplotype_read(genome, loc, copies,
+                                                     flank=250)
+            seq2 = seq2[:len(seq2) - 50]
+            cig2 = [("M", len(seq2))] if len(cig2) == 1 else cig2
+            # trim the tail op to keep the CIGAR consistent
+            total = sum(n for op, n in cig2 if op in "MIS=X")
+            if total != len(seq2):
+                op, n = cig2[-1]
+                cig2[-1] = (op, n - (total - len(seq2)))
+            flags1 = 0x1 | 0x40   # paired, first mate
+            flags2 = 0x1 | 0x80   # paired, second mate
+            recs.append(BamRecord(name=name, flag=flags1, ref_id=0, pos=pos1,
+                                  mapq=60, cigar=cig1, mate_ref_id=0,
+                                  mate_pos=pos2, tlen=0, seq=seq1,
+                                  qual="J" * len(seq1), tags={"RG": "rg1"},
+                                  ref_name="chr1", mate_ref_name="chr1"))
+            recs.append(BamRecord(name=name, flag=flags2, ref_id=0, pos=pos2,
+                                  mapq=60, cigar=cig2, mate_ref_id=0,
+                                  mate_pos=pos1, tlen=0, seq=seq2,
+                                  qual="J" * len(seq2), tags={"RG": "rg1"},
+                                  ref_name="chr1", mate_ref_name="chr1"))
+    recs.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "S1.bam")
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:4000\n"
+           "@RG\tID:rg1\tSM:S1\tLB:lib1\n")
+    w = BamWriter(bam, hdr, ["chr1"], [4000])
+    for rec in recs:
+        w.save_alignment(rec)
+    w.close()
+    build_bai(bam)
+    out = str(tmp_path / "calls.vcf.gz")
+    assert cli_main(["--bams", bam, "--fasta", fasta, "--regions", bed,
+                     "--tr-vcf", out, "--min-reads", "5", "--quiet"]) == 0
+    vcf = VCFReader(out)
+    vcf.set_region("chr1", 0)
+    v = vcf.get_next_variant()
+    assert v is not None
+    gt = v.genotype("S1")
+    assert gt is not None
+    lens = sorted(len(v.alleles[a]) for a in gt[:2])
+    assert lens[1] - lens[0] == 12   # 3 extra AGAT copies
+    assert int(v.get_info("DP")) >= 20   # paired reads were used
