@@ -131,70 +131,81 @@ class BamRecord:
 
         Also sets ``deleted`` when the repeat body (the window minus
         FLANK_SIZE padding on each side) is entirely deleted in this read.
+        Run-level arithmetic (no per-base loop) — equivalent to the
+        reference's base-at-a-time walk; see tests/test_trim_oracle.py.
         """
         cigar = [list(c) for c in self.cigar]
         ltrim = 0
         start_pos = self.pos
-        while start_pos < min_read_start and cigar:
-            op = cigar[0][0]
+        ci = 0
+        while start_pos < min_read_start and ci < len(cigar):
+            op, n = cigar[ci]
             if op in "M=X":
-                ltrim += 1
-                start_pos += 1
+                take = min(n, min_read_start - start_pos)
+                ltrim += take
+                start_pos += take
             elif op == "D":
-                start_pos += 1
+                take = min(n, min_read_start - start_pos)
+                start_pos += take
             elif op in "IS":
-                ltrim += 1
+                take = n
+                ltrim += n
             elif op == "H":
-                pass
+                take = n
             else:
                 raise ValueError("Invalid CIGAR op in trim_alignment: " + op)
-            if cigar[0][1] == 1:
-                cigar.pop(0)
+            if take == n:
+                ci += 1
             else:
-                cigar[0][1] -= 1
+                cigar[ci][1] = n - take
+        cigar = cigar[ci:]
 
         # Whole-repeat deletion detection (bam_io.cpp:304-337)
         repeat_pointer = start_pos
         repeat_start = min_read_start + FLANK_SIZE
         repeat_end = max_read_stop - FLANK_SIZE
         deletion_size = 0
-        tmp = [list(c) for c in cigar]
-        while (repeat_pointer >= min_read_start and repeat_pointer < repeat_end
-               and tmp):
-            op = tmp[0][0]
-            if op in "M=X":
-                repeat_pointer += 1
-            elif op == "D":
-                if repeat_pointer >= repeat_start:
-                    deletion_size += 1
-                repeat_pointer += 1
-            # I, S, H: no pointer movement
-            if tmp[0][1] == 1:
-                tmp.pop(0)
-            else:
-                tmp[0][1] -= 1
+        if repeat_pointer >= min_read_start:
+            for op, n in cigar:
+                if repeat_pointer >= repeat_end:
+                    break
+                if op in "M=X":
+                    repeat_pointer += min(n, repeat_end - repeat_pointer)
+                elif op == "D":
+                    take = min(n, repeat_end - repeat_pointer)
+                    lo = max(repeat_pointer, repeat_start)
+                    hi = repeat_pointer + take
+                    if hi > lo:
+                        deletion_size += hi - lo
+                    repeat_pointer += take
+                # I, S, H: no pointer movement; run consumed
         if deletion_size >= (repeat_end - repeat_start):
             self.deleted = True
 
         rtrim = 0
         end_pos = self.end_pos
-        while end_pos > max_read_stop and cigar:
-            op = cigar[-1][0]
+        ci = len(cigar)
+        while end_pos > max_read_stop and ci > 0:
+            op, n = cigar[ci - 1]
             if op in "M=X":
-                rtrim += 1
-                end_pos -= 1
+                take = min(n, end_pos - max_read_stop)
+                rtrim += take
+                end_pos -= take
             elif op == "D":
-                end_pos -= 1
+                take = min(n, end_pos - max_read_stop)
+                end_pos -= take
             elif op in "IS":
-                rtrim += 1
+                take = n
+                rtrim += n
             elif op == "H":
-                pass
+                take = n
             else:
                 raise ValueError("Invalid CIGAR op in trim_alignment: " + op)
-            if cigar[-1][1] == 1:
-                cigar.pop()
+            if take == n:
+                ci -= 1
             else:
-                cigar[-1][1] -= 1
+                cigar[ci - 1][1] = n - take
+        cigar = cigar[:ci]
 
         assert ltrim + rtrim <= len(self.seq)
         self.seq = self.seq[ltrim: len(self.seq) - rtrim]

@@ -76,7 +76,12 @@ class ReadPooler:
 
 def trim_read_for_hapalign(aln, repeat_start: int, repeat_end: int,
                            indel_flank_len: int) -> str:
-    """Trim a read to repeat±INDEL_FLANK_LEN (HapAligner.cpp:346-465)."""
+    """Trim a read to repeat±INDEL_FLANK_LEN (HapAligner.cpp:346-465).
+
+    Run-level arithmetic — equivalent to the reference's base-at-a-time
+    CIGAR walk (property-tested in tests/test_trim_oracle.py); matters
+    because real HiFi reads are 10-25kb and this runs per read per locus.
+    """
     padding = indel_flank_len
     min_read_start = repeat_start - padding
     max_read_stop = repeat_end + padding
@@ -85,67 +90,98 @@ def trim_read_for_hapalign(aln, repeat_start: int, repeat_end: int,
     ltrim = rtrim = 0
     cigar = [list(c) for c in aln.cigar]
 
-    def pop_front():
-        if cigar[0][1] == 1:
-            cigar.pop(0)
-        else:
-            cigar[0][1] -= 1
-
-    def pop_back():
-        if cigar[-1][1] == 1:
-            cigar.pop()
-        else:
-            cigar[-1][1] -= 1
-
-    while start_pos <= min_read_start and cigar:
-        op = cigar[0][0]
+    # phase 1: consume front until start_pos > min_read_start
+    ci = 0
+    while start_pos <= min_read_start and ci < len(cigar):
+        op, n = cigar[ci]
         if op in "M=X":
-            ltrim += 1
-            start_pos += 1
+            take = min(n, min_read_start - start_pos + 1)
+            ltrim += take
+            start_pos += take
         elif op == "D":
-            start_pos += 1
+            take = min(n, min_read_start - start_pos + 1)
+            start_pos += take
         elif op in "IS":
-            ltrim += 1
-        elif op != "H":
+            take = n
+            ltrim += n
+        elif op == "H":
+            take = n
+        else:
             raise ValueError("Invalid CIGAR in trim_read_for_hapalign")
-        pop_front()
+        if take == n:
+            ci += 1
+        else:
+            cigar[ci][1] = n - take
+    cigar = cigar[ci:]
 
+    # phase 2: walk the padding window; deletions give trimmed bases back
     mid = start_pos
-    while mid > min_read_start and mid <= min_read_start + padding and cigar:
-        op = cigar[0][0]
+    ci = 0
+    hi_bound = min_read_start + padding
+    while mid > min_read_start and mid <= hi_bound and ci < len(cigar):
+        op, n = cigar[ci]
         if op in "M=X":
-            mid += 1
+            take = min(n, hi_bound - mid + 1)
+            mid += take
         elif op == "D":
-            ltrim -= 1
-            mid += 1
-        elif op not in "ISH":
+            take = min(n, hi_bound - mid + 1)
+            ltrim -= take
+            mid += take
+        elif op in "ISH":
+            take = n
+        else:
             raise ValueError("Invalid CIGAR in trim_read_for_hapalign")
-        pop_front()
+        if take == n:
+            ci += 1
+        else:
+            cigar[ci][1] = n - take
+    cigar = cigar[ci:]
 
-    while end_pos > max_read_stop and cigar:
-        op = cigar[-1][0]
+    # phase 3: consume back until end_pos <= max_read_stop
+    ci = len(cigar)
+    while end_pos > max_read_stop and ci > 0:
+        op, n = cigar[ci - 1]
         if op in "M=X":
-            rtrim += 1
-            end_pos -= 1
+            take = min(n, end_pos - max_read_stop)
+            rtrim += take
+            end_pos -= take
         elif op == "D":
-            end_pos -= 1
+            take = min(n, end_pos - max_read_stop)
+            end_pos -= take
         elif op in "IS":
-            rtrim += 1
-        elif op != "H":
+            take = n
+            rtrim += n
+        elif op == "H":
+            take = n
+        else:
             raise ValueError("Invalid CIGAR in trim_read_for_hapalign")
-        pop_back()
+        if take == n:
+            ci -= 1
+        else:
+            cigar[ci - 1][1] = n - take
+    cigar = cigar[:ci]
 
+    # phase 4: back padding window
     mid = end_pos
-    while mid > max_read_stop - padding and mid <= max_read_stop and cigar:
-        op = cigar[-1][0]
+    ci = len(cigar)
+    lo_bound = max_read_stop - padding
+    while mid > lo_bound and mid <= max_read_stop and ci > 0:
+        op, n = cigar[ci - 1]
         if op in "M=X":
-            mid -= 1
+            take = min(n, mid - lo_bound)
+            mid -= take
         elif op == "D":
-            rtrim -= 1
-            mid -= 1
-        elif op not in "ISH":
+            take = min(n, mid - lo_bound)
+            rtrim -= take
+            mid -= take
+        elif op in "ISH":
+            take = n
+        else:
             raise ValueError("Invalid CIGAR in trim_read_for_hapalign")
-        pop_back()
+        if take == n:
+            ci -= 1
+        else:
+            cigar[ci - 1][1] = n - take
 
     ltrim = max(ltrim, 0)
     rtrim = max(rtrim, 0)
