@@ -134,7 +134,7 @@ class DecodedBatch:
 
     def record_fields(self, i):
         """(ref_id, pos, mapq, flag, mate_ref, mate_pos, tlen, l_seq)."""
-        return tuple(int(x) for x in self.fixed[i])
+        return tuple(self.fixed[i].tolist())
 
     def name(self, i):
         o, ln = self.offsets[i, 0], self.offsets[i, 1]
@@ -143,8 +143,7 @@ class DecodedBatch:
     def cigar(self, i):
         o, cn = self.offsets[i, 2], self.offsets[i, 3]
         ops = self.cigar_ops[o: o + cn].tobytes().decode()
-        lens = self.cigar_lens[o: o + cn]
-        return [(ops[k], int(lens[k])) for k in range(cn)]
+        return list(zip(ops, self.cigar_lens[o: o + cn].tolist()))
 
     def seq(self, i):
         o, l = self.offsets[i, 4], self.fixed[i, 7]
