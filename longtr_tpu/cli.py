@@ -203,6 +203,18 @@ def config_from_args(args) -> Config:
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except (OSError, ValueError) as e:
+        # printErrorAndDie analog (error.h:6): clean message, nonzero exit.
+        # Set LONGTR_TRACEBACK=1 to see the full traceback when debugging.
+        import os
+        if os.environ.get("LONGTR_TRACEBACK"):
+            raise
+        sys.exit(f"ERROR: {e}")
+
+
+def _main(argv=None):
     args = build_parser().parse_args(argv)
     import os
     platform = os.environ.get("LONGTR_PLATFORM")

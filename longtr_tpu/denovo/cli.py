@@ -34,6 +34,16 @@ def build_parser():
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except (OSError, ValueError) as e:
+        import os
+        if os.environ.get("LONGTR_TRACEBACK"):
+            raise
+        sys.exit(f"ERROR: {e}")
+
+
+def _main(argv=None):
     args = build_parser().parse_args(argv)
     full_command = "DenovoFinder-TPU-" + __version__ + " " + \
         " ".join(argv or sys.argv[1:])
