@@ -205,13 +205,22 @@ def config_from_args(args) -> Config:
 def main(argv=None):
     try:
         return _main(argv)
-    except (OSError, ValueError) as e:
+    except (OSError, ValueError, EOFError) as e:
         # printErrorAndDie analog (error.h:6): clean message, nonzero exit.
         # Set LONGTR_TRACEBACK=1 to see the full traceback when debugging.
         import os
         if os.environ.get("LONGTR_TRACEBACK"):
             raise
         sys.exit(f"ERROR: {e}")
+    except Exception as e:
+        import struct
+        import zlib
+        if isinstance(e, (zlib.error, struct.error)):
+            import os
+            if os.environ.get("LONGTR_TRACEBACK"):
+                raise
+            sys.exit(f"ERROR: corrupt or truncated input: {e}")
+        raise
 
 
 def _main(argv=None):

@@ -36,11 +36,20 @@ def build_parser():
 def main(argv=None):
     try:
         return _main(argv)
-    except (OSError, ValueError) as e:
+    except (OSError, ValueError, EOFError) as e:
         import os
         if os.environ.get("LONGTR_TRACEBACK"):
             raise
         sys.exit(f"ERROR: {e}")
+    except Exception as e:
+        import struct
+        import zlib
+        if isinstance(e, (zlib.error, struct.error)):
+            import os
+            if os.environ.get("LONGTR_TRACEBACK"):
+                raise
+            sys.exit(f"ERROR: corrupt or truncated input: {e}")
+        raise
 
 
 def _main(argv=None):
