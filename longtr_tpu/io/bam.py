@@ -588,29 +588,41 @@ class BamReader:
                     span = cigar_ref_len(batch.cigar(i))
                     if span > max_span:
                         max_span = span
-                cached = (batch, positions, runs, max_span)
+                cached = (batch, positions, runs, max_span, {})
                 # sorted-locus access pattern: a tiny LRU suffices
                 if len(self._chunk_cache) >= 4:
                     self._chunk_cache.pop(next(iter(self._chunk_cache)))
                 self._chunk_cache[key] = cached
-            batch, positions, runs, max_span = cached
+            batch, positions, runs, max_span, templates = cached
             run = runs.get(rid)
             if run is None:
                 continue
             i0 = bisect_left(positions, start - max_span, run[0], run[1])
             for i in range(i0, run[1]):
-                ref_id, pos, mapq, flag, mref, mpos, tlen, l_seq = \
-                    batch.record_fields(i)
-                if ref_id != rid or pos >= end:
+                tmpl = templates.get(i)
+                if tmpl is None:
+                    ref_id, pos, mapq, flag, mref, mpos, tlen, l_seq = \
+                        batch.record_fields(i)
+                    if ref_id != rid or pos >= end:
+                        break
+                    cigar = batch.cigar(i)
+                    tmpl = BamRecord(
+                        batch.name(i), flag, ref_id, pos, mapq, cigar,
+                        mref, mpos, tlen, batch.seq(i), batch.qual(i),
+                        _decode_tags(batch.tag_blob(i), 0),
+                        self.path, self.header.ref_name(ref_id),
+                        self.header.ref_name(mref))
+                    templates[i] = tmpl
+                elif tmpl.ref_id != rid or tmpl.pos >= end:
                     break
-                cigar = batch.cigar(i)
-                if pos + cigar_ref_len(cigar) <= start:
+                if tmpl.pos + (tmpl.end_pos - tmpl.pos) <= start:
                     continue
-                rec = BamRecord(batch.name(i), flag, ref_id, pos, mapq, cigar,
-                                mref, mpos, tlen, batch.seq(i), batch.qual(i),
-                                _decode_tags(batch.tag_blob(i), 0),
-                                self.path, self.header.ref_name(ref_id),
-                                self.header.ref_name(mref))
+                # fresh copy: downstream trims mutate records in place
+                rec = BamRecord(tmpl.name, tmpl.flag, tmpl.ref_id, tmpl.pos,
+                                tmpl.mapq, list(tmpl.cigar), tmpl.mate_ref_id,
+                                tmpl.mate_pos, tmpl.tlen, tmpl.seq, tmpl.qual,
+                                dict(tmpl.tags), tmpl.filename, tmpl.ref_name,
+                                tmpl.mate_ref_name)
                 out.append(rec)
         return out
 
