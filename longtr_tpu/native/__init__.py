@@ -21,7 +21,11 @@ _lib = None
 
 def _build():
     src = os.path.join(_DIR, "longtr_native.cc")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, src, "-lz"]
+    # -ffp-contract=off: the pair-HMM mirrors the jnp scan's f32 expression
+    # order; FMA contraction would change last-ulp results and break the
+    # bit-identity invariant with the device paths.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-o", _LIB_PATH, src, "-lz"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -57,6 +61,13 @@ def get_lib():
     lib.ltr_rans_decode.restype = ctypes.c_int
     lib.ltr_rans_decode.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                     ctypes.c_char_p, ctypes.c_long]
+    lib.ltr_pairhmm_batch.restype = None
+    lib.ltr_pairhmm_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float)]
     lib.ltr_poa_consensus.restype = ctypes.c_long
     lib.ltr_poa_consensus.argtypes = [ctypes.c_char_p,
                                       ctypes.POINTER(ctypes.c_long),
@@ -65,6 +76,34 @@ def get_lib():
     lib.ltr_bam_decode.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def pairhmm_batch_native(hap, hap_len, read, read_len, full_hap_len,
+                         trans) -> "np.ndarray | None":
+    """Native batch pair-HMM; None if the library is unavailable.
+    Bit-identical to the jnp scan (same f32 op order, no FMA)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    hap = np.ascontiguousarray(hap, dtype=np.uint8)
+    read = np.ascontiguousarray(read, dtype=np.uint8)
+    hl = np.ascontiguousarray(hap_len, dtype=np.int32)
+    rl = np.ascontiguousarray(read_len, dtype=np.int32)
+    fl = np.ascontiguousarray(full_hap_len, dtype=np.int32)
+    tr = np.ascontiguousarray(trans, dtype=np.float32)
+    B, N = hap.shape
+    M = read.shape[1]
+    out = np.empty(B, dtype=np.float32)
+    lib.ltr_pairhmm_batch(
+        hap.ctypes.data_as(ctypes.c_char_p),
+        read.ctypes.data_as(ctypes.c_char_p),
+        hl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        B, N, M,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
 
 
 def poa_consensus(seqs) -> str | None:

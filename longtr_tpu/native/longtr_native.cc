@@ -620,3 +620,154 @@ extern "C" long ltr_poa_consensus(const char* seqs, const long* lens,
   std::copy(c.begin(), c.end(), out);
   return (long)c.size();
 }
+
+// ---------------------------------------------------------------------------
+// Batch pair-HMM (mode A) for the host CPU path.  Mirrors
+// longtr_tpu/ops/pairhmm.py::pairhmm_scan operation-for-operation in f32
+// (same expression order, no FMA contraction — the library builds with
+// -ffp-contract=off) so results are bit-identical to the jnp scan and the
+// Pallas kernel.  Vectorizes over a tile of pairs in the inner loops.
+
+#include <cmath>
+#include <cstdlib>
+#include <cstring>
+
+namespace phmm {
+
+constexpr float NEG = -1000000000.0f;       // IMPOSSIBLE
+constexpr float MA = -0.000100005f;         // MATCH_EMIT
+constexpr float MI = -9.0f;                 // MISMATCH_EMIT
+constexpr float BAND_FAIL = -700.0f;
+constexpr float BAND_THRESH = -600.0f;
+constexpr int LEN_DIFF_LIMIT = 600;
+constexpr int MIN_FULL_HAP_LEN = 60;
+
+inline float fmaxf2(float a, float b) { return a > b ? a : b; }
+
+}  // namespace phmm
+
+static void pairhmm_range(
+    const uint8_t* hap, const uint8_t* read,
+    const int32_t* hap_len, const int32_t* read_len,
+    const int32_t* full_hap_len, const float* trans,
+    long b_lo, long b_hi, long N, long Mdim, float* out) {
+  using namespace phmm;
+  const float i2i = trans[0], i2m = trans[1], d2d = trans[2], d2m = trans[3],
+              m2m = trans[4], m2i = trans[5], m2d = trans[6];
+
+  std::vector<float> Mp(Mdim), Ip(Mdim), Dp(Mdim),
+      Mn(Mdim), In(Mdim), Dn(Mdim);
+  for (long b = b_lo; b < b_hi; b++) {
+    const uint8_t* h = hap + b * N;
+    const uint8_t* r = read + b * Mdim;
+    const int n = hap_len[b];
+    const int m = read_len[b];
+
+    // row 0 (closed forms; see pairhmm_scan)
+    const uint8_t r0 = r[0];
+    for (long j = 0; j < Mdim; j++) {
+      float Dk = (j >= 1) ? m2d + (float)(j - 1) * d2d : NEG;
+      float Dk_prev = (j >= 2) ? m2d + (float)(j - 2) * d2d : NEG;
+      float emit0 = ((j < N ? h[j] : 0) == r0) ? MA : MI;
+      float M0 = (j == 0) ? ((h[0] == r0) ? MA : MI) : Dk_prev + d2m + emit0;
+      bool valid = j < m;
+      Mp[j] = valid ? M0 : NEG;
+      Dp[j] = valid ? Dk : NEG;
+      Ip[j] = NEG;
+    }
+    const uint8_t c0r = (m > 1) ? r[1] : r[0];
+    const float col0_emit = (h[0] == c0r) ? MA : MI;
+    const long corner_j = m - 1 < 0 ? 0 : (m - 1 >= Mdim ? Mdim - 1 : m - 1);
+    float outv = NEG;
+    {
+      float c = fmaxf2(fmaxf2(Mp[corner_j], Ip[corner_j]), Dp[corner_j]);
+      if (n == 1) outv = c;
+    }
+    bool bandfail = false;
+
+    for (int i = 1; i < n; i++) {
+      const uint8_t hc = h[i];
+      // M and I rows
+      for (long j = 0; j < Mdim; j++) {
+        float emit = (hc == r[j]) ? MA : MI;
+        float pm = (j == 0) ? NEG : Mp[j - 1] + m2m;
+        float pd = (j == 0) ? NEG : Dp[j - 1] + d2m;
+        float pi = (j == 0) ? NEG : Ip[j - 1] + i2m;
+        Mn[j] = emit + fmaxf2(fmaxf2(pm, pd), pi);
+        In[j] = MA + fmaxf2(Mp[j] + m2i, Ip[j] + i2i);
+      }
+      Mn[0] = Ip[0] + i2m + col0_emit;
+      In[0] = MA + m2i + (float)(i - 1) * i2i;
+      // D row via the same decayed running max as the scan
+      float run = -INFINITY;
+      Dn[0] = NEG;
+      for (long j = 0; j < Mdim; j++) {
+        float c = Mn[j] + m2d - (float)(j + 1) * d2d;
+        run = fmaxf2(run, c);
+        if (j + 1 < Mdim) Dn[j + 1] = (float)(j + 1) * d2d + run;
+      }
+      // masks + band + corner
+      float row_best = NEG;
+      for (long j = 0; j < Mdim; j++) {
+        bool valid = j < m;
+        float mv = valid ? Mn[j] : NEG;
+        float iv = valid ? In[j] : NEG;
+        float dv = valid ? Dn[j] : NEG;
+        Mn[j] = mv;
+        In[j] = iv;
+        Dn[j] = dv;
+        float best = fmaxf2(fmaxf2(mv, iv), dv);
+        if (j >= 1 && j <= m - 1) {
+          int bd = (n - m) - (i - (int)j);
+          float band = (float)(bd < 0 ? -bd : bd) * d2d;
+          float cand = best + band;
+          if (cand > row_best) row_best = cand;
+        }
+      }
+      if (row_best < BAND_THRESH) bandfail = true;
+      if (i == n - 1) {
+        float best_c = fmaxf2(fmaxf2(Mn[corner_j], In[corner_j]),
+                              Dn[corner_j]);
+        outv = best_c;
+      }
+      Mp.swap(Mn);
+      Ip.swap(In);
+      Dp.swap(Dn);
+    }
+
+    float score = bandfail ? BAND_FAIL : outv;
+    int diff = n - m;
+    if ((diff < 0 ? -diff : diff) > LEN_DIFF_LIMIT) score = BAND_FAIL;
+    if (full_hap_len[b] <= MIN_FULL_HAP_LEN) score = NEG;
+    out[b] = score;
+  }
+}
+
+#include <thread>
+
+extern "C" void ltr_pairhmm_batch(
+    const uint8_t* hap, const uint8_t* read,       // (B, N), (B, M) row-major
+    const int32_t* hap_len, const int32_t* read_len,
+    const int32_t* full_hap_len, const float* trans,  // 7
+    long B, long N, long Mdim, float* out) {
+  unsigned nt = std::thread::hardware_concurrency();
+  const char* env = getenv("LONGTR_NATIVE_THREADS");
+  if (env && *env) nt = (unsigned)atoi(env);
+  if (nt < 1) nt = 1;
+  if ((long)nt > B) nt = (unsigned)B;
+  if (nt == 1) {
+    pairhmm_range(hap, read, hap_len, read_len, full_hap_len, trans,
+                  0, B, N, Mdim, out);
+    return;
+  }
+  std::vector<std::thread> ths;
+  long chunk = (B + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    long lo = (long)t * chunk;
+    long hi = lo + chunk < B ? lo + chunk : B;
+    if (lo >= hi) break;
+    ths.emplace_back(pairhmm_range, hap, read, hap_len, read_len,
+                     full_hap_len, trans, lo, hi, N, Mdim, out);
+  }
+  for (auto& th : ths) th.join();
+}

@@ -365,10 +365,30 @@ def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
             return pairhmm_batch_pallas(hap_codes, hap_lens, read_codes,
                                         read_lens, full_hap_lens, params)
         # ultra-long pairs (multi-kb VNTRs): the kernel's VMEM-resident
-        # rows don't fit; score these rare pairs with the scan on the host
-        # CPU backend (exact same math)
+        # rows don't fit; score these rare pairs on the host (bit-identical
+        # C++ path, threaded over the batch; jnp scan as fallback)
+        out = _host_batch(hap_codes, hap_lens, read_codes, read_lens,
+                          full_hap_lens, params)
+        if out is not None:
+            return out
         with jax.default_device(jax.devices("cpu")[0]):
             return pairhmm_batch(hap_codes, hap_lens, read_codes,
                                  read_lens, full_hap_lens, params)
+    out = _host_batch(hap_codes, hap_lens, read_codes, read_lens,
+                      full_hap_lens, params)
+    if out is not None:
+        return out
     return pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens,
                          full_hap_lens, params)
+
+
+def _host_batch(hap_codes, hap_lens, read_codes, read_lens, full_hap_lens,
+                params):
+    """Native C++ batch scorer (threaded; bit-identical to the scan)."""
+    try:
+        from longtr_tpu import native
+        return native.pairhmm_batch_native(
+            hap_codes, hap_lens, read_codes, read_lens, full_hap_lens,
+            params.as_array())
+    except Exception:
+        return None
