@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import os
 import struct
+
+import numpy as np
 from dataclasses import dataclass, field
 
 from longtr_tpu.io.bgzf import BgzfReader
@@ -574,20 +576,18 @@ class BamReader:
                     return None
                 # positions reset at chromosome boundaries, so record the
                 # contiguous index run of each ref_id for a valid bisect
-                positions = []
+                ref_ids = batch.fixed[:, 0]
+                positions = batch.fixed[:, 1].tolist()
                 runs = {}
-                max_span = 1
-                for i in range(batch.n):
-                    rf = batch.record_fields(i)
-                    positions.append(rf[1])
-                    lohi = runs.get(rf[0])
-                    if lohi is None:
-                        runs[rf[0]] = [i, i + 1]
-                    else:
-                        lohi[1] = i + 1
-                    span = cigar_ref_len(batch.cigar(i))
-                    if span > max_span:
-                        max_span = span
+                bounds = np.flatnonzero(np.diff(ref_ids)) + 1 \
+                    if batch.n else np.zeros(0, np.int64)
+                starts_idx = [0] + list(bounds)
+                ends_idx = list(bounds) + [batch.n]
+                for lo2, hi2 in zip(starts_idx, ends_idx):
+                    if lo2 < hi2:
+                        runs[int(ref_ids[lo2])] = [lo2, hi2]
+                max_span = int(batch.ref_lens.max()) if batch.n else 1
+                max_span = max(max_span, 1)
                 cached = (batch, positions, runs, max_span, {})
                 # sorted-locus access pattern: a tiny LRU suffices
                 if len(self._chunk_cache) >= 4:
@@ -605,6 +605,8 @@ class BamReader:
                         batch.record_fields(i)
                     if ref_id != rid or pos >= end:
                         break
+                    if pos + int(batch.ref_lens[i]) <= start:
+                        continue
                     cigar = batch.cigar(i)
                     tmpl = BamRecord(
                         batch.name(i), flag, ref_id, pos, mapq, cigar,

@@ -157,10 +157,10 @@ class DecodedBatch:
     """Columnar decode of a BAM record region."""
 
     __slots__ = ("n", "fixed", "offsets", "names", "cigar_ops", "cigar_lens",
-                 "seqs", "quals", "tags")
+                 "seqs", "quals", "tags", "ref_lens")
 
     def __init__(self, n, fixed, offsets, names, cigar_ops, cigar_lens,
-                 seqs, quals, tags):
+                 seqs, quals, tags, ref_lens=None):
         self.n = n
         self.fixed = fixed
         self.offsets = offsets
@@ -170,6 +170,7 @@ class DecodedBatch:
         self.seqs = seqs
         self.quals = quals
         self.tags = tags
+        self.ref_lens = ref_lens
 
     def record_fields(self, i):
         """(ref_id, pos, mapq, flag, mate_ref, mate_pos, tlen, l_seq)."""
@@ -209,10 +210,11 @@ def bam_decode(buf: bytes, max_records: int | None = None):
     if max_records is not None:
         n_rec = min(n_rec, max_records)
     if n_rec <= 0:
+        z8 = np.zeros(0, np.uint8)
         return DecodedBatch(0, np.zeros((0, 8), np.int32),
                             np.zeros((0, 8), np.int64),
-                            *(np.zeros(0, np.uint8) for _ in range(4)),
-                            np.zeros(0, np.int32), np.zeros(0, np.uint8))
+                            z8, z8, np.zeros(0, np.int32), z8, z8, z8,
+                            np.zeros(0, np.int32))
     fixed = np.zeros((n_rec, 8), dtype=np.int32)
     offsets = np.zeros((n_rec, 8), dtype=np.int64)
     names = np.zeros(len(buf), dtype=np.uint8)
@@ -221,6 +223,7 @@ def bam_decode(buf: bytes, max_records: int | None = None):
     seqs = np.zeros(2 * len(buf) + 16, dtype=np.uint8)
     quals = np.zeros(2 * len(buf) + 16, dtype=np.uint8)
     tags = np.zeros(len(buf), dtype=np.uint8)
+    ref_lens = np.zeros(n_rec, dtype=np.int32)
 
     def P(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
@@ -233,8 +236,9 @@ def bam_decode(buf: bytes, max_records: int | None = None):
         P(cigar_ops), cigar_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(len(cigar_ops)),
         P(seqs), P(quals), ctypes.c_int64(len(seqs)),
-        P(tags), ctypes.c_int64(len(tags)))
+        P(tags), ctypes.c_int64(len(tags)),
+        ref_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if got < 0:
         return None
     return DecodedBatch(int(got), fixed, offsets, names, cigar_ops,
-                        cigar_lens, seqs, quals, tags)
+                        cigar_lens, seqs, quals, tags, ref_lens)

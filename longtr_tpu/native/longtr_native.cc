@@ -137,7 +137,8 @@ int64_t ltr_bam_decode(const uint8_t* buf, int64_t n, int64_t max_records,
                        uint8_t* names, int64_t names_cap,
                        uint8_t* cigar_ops, int32_t* cigar_lens, int64_t cigar_cap,
                        uint8_t* seqs, uint8_t* quals, int64_t seq_cap,
-                       uint8_t* tags, int64_t tags_cap) {
+                       uint8_t* tags, int64_t tags_cap,
+                       int32_t* ref_lens) {
   int64_t off = 0, rec = 0;
   int64_t name_out = 0, cig_out = 0, seq_out = 0, tag_out = 0;
   while (off + 4 <= n && rec < max_records) {
@@ -176,12 +177,18 @@ int64_t ltr_bam_decode(const uint8_t* buf, int64_t n, int64_t max_records,
     // cigar
     if (cig_out + n_cigar > cigar_cap) return -2;
     o[2] = cig_out; o[3] = n_cigar;
+    int64_t span = 0;
     for (int k = 0; k < n_cigar; ++k) {
       uint32_t v;
       memcpy(&v, p + 4 * k, 4);
-      cigar_ops[cig_out + k] = (uint8_t)CIGAR_OPS[v & 0xF];
+      uint8_t opc = (uint8_t)CIGAR_OPS[v & 0xF];
+      cigar_ops[cig_out + k] = opc;
       cigar_lens[cig_out + k] = (int32_t)(v >> 4);
+      // reference-consuming ops: M, D, N, =, X
+      if (opc == 'M' || opc == 'D' || opc == 'N' || opc == '=' || opc == 'X')
+        span += (int64_t)(v >> 4);
     }
+    ref_lens[rec] = (int32_t)span;
     cig_out += n_cigar;
     p += 4 * (int64_t)n_cigar;
 
