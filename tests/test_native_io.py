@@ -94,3 +94,33 @@ def test_native_speedup(lib):
     t_py = time.time() - t0
     # informative, not strict: native should not be slower than 2x python
     assert t_native < t_py * 2
+
+
+def test_native_and_pure_python_vcfs_identical(tmp_path, monkeypatch):
+    """LONGTR_NO_NATIVE=1 (pure Python IO + jnp scan + Python POA) must
+    produce the same VCF as the native fast paths — the bit-identity
+    guarantee the C++ layer is built around."""
+    import gzip
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import standard_fixture
+
+    from longtr_tpu.cli import main as cli_main
+
+    fx = standard_fixture(str(tmp_path))
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--use-unpaired", "--quiet"]
+    out1 = str(tmp_path / "native.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", out1]) == 0
+    monkeypatch.setenv("LONGTR_NO_NATIVE", "1")
+    out2 = str(tmp_path / "pure.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", out2]) == 0
+
+    def body(p):
+        return [ln for ln in
+                gzip.decompress(open(p, "rb").read()).decode().splitlines()
+                if not ln.startswith("##command")]
+
+    assert body(out1) == body(out2)
