@@ -88,3 +88,35 @@ def test_ref_vcf_missing_locus_fails_gracefully(tmp_path):
     vcf = VCFReader(out)
     vcf.set_region("chr1", 0)
     assert vcf.get_next_variant() is None  # locus skipped, run completes
+
+
+def test_ref_vcf_round_trip_reproduces_genotypes(tmp_path):
+    """Re-genotyping against our own emitted VCF as the reference panel
+    reproduces the original calls (the panel-mode loop users run for
+    population-consistent allele sets)."""
+    import gzip
+
+    from synth import standard_fixture
+
+    from longtr_tpu.cli import main as cli_main
+
+    fx = standard_fixture(str(tmp_path))
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--use-unpaired", "--quiet"]
+    first = str(tmp_path / "first.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", first]) == 0
+    second = str(tmp_path / "second.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", second, "--ref-vcf", first]) == 0
+
+    def gts(p):
+        out = {}
+        for ln in gzip.decompress(open(p, "rb").read()).decode().splitlines():
+            if ln.startswith("#"):
+                continue
+            c = ln.split("\t")
+            out[(c[0], c[1])] = [s.split(":")[0] for s in c[9:]]
+        return out
+    a, b = gts(first), gts(second)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], k
