@@ -662,91 +662,128 @@ static void pairhmm_range(
   const float i2i = trans[0], i2m = trans[1], d2d = trans[2], d2m = trans[3],
               m2m = trans[4], m2i = trans[5], m2d = trans[6];
 
-  std::vector<float> Mp(Mdim), Ip(Mdim), Dp(Mdim),
-      Mn(Mdim), In(Mdim), Dn(Mdim);
-  for (long b = b_lo; b < b_hi; b++) {
-    const uint8_t* h = hap + b * N;
-    const uint8_t* r = read + b * Mdim;
-    const int n = hap_len[b];
-    const int m = read_len[b];
+  // Transposed tiles: TL pairs ride the SIMD lanes (same layout idea as the
+  // Pallas kernel); every inner loop over t vectorizes, including the D
+  // running max (independent per lane, same op order as the jnp scan).
+  constexpr long TL = 16;
+  std::vector<float> Mp(Mdim * TL), Ip(Mdim * TL), Dp(Mdim * TL),
+      Mn(Mdim * TL), In(Mdim * TL), Dn(Mdim * TL);
+  std::vector<uint8_t> rt(Mdim * TL), ht(N * TL);
+  std::vector<int> nL(TL), mL(TL);
+  std::vector<float> col0_emit(TL), run(TL), row_best(TL), outv(TL);
+  std::vector<uint8_t> bandfail(TL);
+  std::vector<long> cornj(TL);
 
-    // row 0 (closed forms; see pairhmm_scan)
-    const uint8_t r0 = r[0];
+  for (long b0 = b_lo; b0 < b_hi; b0 += TL) {
+    const long tl = (b0 + TL <= b_hi) ? TL : (b_hi - b0);
+    int max_n = 1;
+    for (long t = 0; t < TL; t++) {
+      long b = (t < tl) ? b0 + t : b0;        // clone last lanes; discarded
+      nL[t] = hap_len[b];
+      mL[t] = read_len[b];
+      if (nL[t] > max_n) max_n = nL[t];
+      for (long j = 0; j < Mdim; j++) rt[j * TL + t] = read[b * Mdim + j];
+      for (long j = 0; j < N; j++) ht[j * TL + t] = hap[b * N + j];
+      cornj[t] = mL[t] - 1 < 0 ? 0 : (mL[t] - 1 >= Mdim ? Mdim - 1 : mL[t] - 1);
+    }
+
+    // row 0 init
     for (long j = 0; j < Mdim; j++) {
       float Dk = (j >= 1) ? m2d + (float)(j - 1) * d2d : NEG;
       float Dk_prev = (j >= 2) ? m2d + (float)(j - 2) * d2d : NEG;
-      float emit0 = ((j < N ? h[j] : 0) == r0) ? MA : MI;
-      float M0 = (j == 0) ? ((h[0] == r0) ? MA : MI) : Dk_prev + d2m + emit0;
-      bool valid = j < m;
-      Mp[j] = valid ? M0 : NEG;
-      Dp[j] = valid ? Dk : NEG;
-      Ip[j] = NEG;
+      for (long t = 0; t < TL; t++) {
+        uint8_t r0 = rt[t];
+        float emit0 = ((j < N ? ht[j * TL + t] : 0) == r0) ? MA : MI;
+        float M0 = (j == 0) ? ((ht[t] == r0) ? MA : MI)
+                            : Dk_prev + d2m + emit0;
+        bool valid = j < mL[t];
+        Mp[j * TL + t] = valid ? M0 : NEG;
+        Dp[j * TL + t] = valid ? Dk : NEG;
+        Ip[j * TL + t] = NEG;
+      }
     }
-    const uint8_t c0r = (m > 1) ? r[1] : r[0];
-    const float col0_emit = (h[0] == c0r) ? MA : MI;
-    const long corner_j = m - 1 < 0 ? 0 : (m - 1 >= Mdim ? Mdim - 1 : m - 1);
-    float outv = NEG;
-    {
-      float c = fmaxf2(fmaxf2(Mp[corner_j], Ip[corner_j]), Dp[corner_j]);
-      if (n == 1) outv = c;
+    for (long t = 0; t < TL; t++) {
+      uint8_t c0r = (mL[t] > 1) ? rt[TL + t] : rt[t];
+      col0_emit[t] = (ht[t] == c0r) ? MA : MI;
+      float c = fmaxf2(fmaxf2(Mp[cornj[t] * TL + t], Ip[cornj[t] * TL + t]),
+                       Dp[cornj[t] * TL + t]);
+      outv[t] = (nL[t] == 1) ? c : NEG;
+      bandfail[t] = 0;
     }
-    bool bandfail = false;
 
-    for (int i = 1; i < n; i++) {
-      const uint8_t hc = h[i];
-      // M and I rows
-      for (long j = 0; j < Mdim; j++) {
-        float emit = (hc == r[j]) ? MA : MI;
-        float pm = (j == 0) ? NEG : Mp[j - 1] + m2m;
-        float pd = (j == 0) ? NEG : Dp[j - 1] + d2m;
-        float pi = (j == 0) ? NEG : Ip[j - 1] + i2m;
-        Mn[j] = emit + fmaxf2(fmaxf2(pm, pd), pi);
-        In[j] = MA + fmaxf2(Mp[j] + m2i, Ip[j] + i2i);
-      }
-      Mn[0] = Ip[0] + i2m + col0_emit;
-      In[0] = MA + m2i + (float)(i - 1) * i2i;
-      // D row via the same decayed running max as the scan
-      float run = -INFINITY;
-      Dn[0] = NEG;
-      for (long j = 0; j < Mdim; j++) {
-        float c = Mn[j] + m2d - (float)(j + 1) * d2d;
-        run = fmaxf2(run, c);
-        if (j + 1 < Mdim) Dn[j + 1] = (float)(j + 1) * d2d + run;
-      }
-      // masks + band + corner
-      float row_best = NEG;
-      for (long j = 0; j < Mdim; j++) {
-        bool valid = j < m;
-        float mv = valid ? Mn[j] : NEG;
-        float iv = valid ? In[j] : NEG;
-        float dv = valid ? Dn[j] : NEG;
-        Mn[j] = mv;
-        In[j] = iv;
-        Dn[j] = dv;
-        float best = fmaxf2(fmaxf2(mv, iv), dv);
-        if (j >= 1 && j <= m - 1) {
-          int bd = (n - m) - (i - (int)j);
-          float band = (float)(bd < 0 ? -bd : bd) * d2d;
-          float cand = best + band;
-          if (cand > row_best) row_best = cand;
+    for (int i = 1; i < max_n; i++) {
+      // M and I rows (j >= 1)
+      const uint8_t* hrow = &ht[(long)i * TL];
+      for (long j = Mdim - 1; j >= 1; j--) {
+        for (long t = 0; t < TL; t++) {
+          float emit = (hrow[t] == rt[j * TL + t]) ? MA : MI;
+          float pm = Mp[(j - 1) * TL + t] + m2m;
+          float pd = Dp[(j - 1) * TL + t] + d2m;
+          float pi = Ip[(j - 1) * TL + t] + i2m;
+          Mn[j * TL + t] = emit + fmaxf2(fmaxf2(pm, pd), pi);
+          In[j * TL + t] = MA + fmaxf2(Mp[j * TL + t] + m2i,
+                                       Ip[j * TL + t] + i2i);
         }
       }
-      if (row_best < BAND_THRESH) bandfail = true;
-      if (i == n - 1) {
-        float best_c = fmaxf2(fmaxf2(Mn[corner_j], In[corner_j]),
-                              Dn[corner_j]);
-        outv = best_c;
+      for (long t = 0; t < TL; t++) {
+        Mn[t] = Ip[t] + i2m + col0_emit[t];
+        In[t] = MA + m2i + (float)(i - 1) * i2i;
+        run[t] = -INFINITY;
+        Dn[t] = NEG;
+      }
+      // D running max (same op order as the scan's cummax trick)
+      for (long j = 0; j < Mdim; j++) {
+        float jm = m2d - (float)(j + 1) * d2d;
+        float jd = (float)(j + 1) * d2d;
+        for (long t = 0; t < TL; t++) {
+          float c = Mn[j * TL + t] + m2d - (float)(j + 1) * d2d;
+          run[t] = fmaxf2(run[t], c);
+          if (j + 1 < Mdim) Dn[(j + 1) * TL + t] = jd + run[t];
+        }
+        (void)jm;
+      }
+      // masks + band + corner + keep
+      for (long t = 0; t < TL; t++) row_best[t] = NEG;
+      for (long j = 0; j < Mdim; j++) {
+        for (long t = 0; t < TL; t++) {
+          bool valid = j < mL[t];
+          float mv = valid ? Mn[j * TL + t] : NEG;
+          float iv = valid ? In[j * TL + t] : NEG;
+          float dv = valid ? Dn[j * TL + t] : NEG;
+          float best = fmaxf2(fmaxf2(mv, iv), dv);
+          bool in_band = j >= 1 && (long)j <= (long)mL[t] - 1;
+          int bd = (nL[t] - mL[t]) - (i - (int)j);
+          float band = (float)(bd < 0 ? -bd : bd) * d2d;
+          float cand = best + band;
+          if (in_band && cand > row_best[t]) row_best[t] = cand;
+          bool keep = i <= nL[t] - 1;
+          Mn[j * TL + t] = keep ? mv : Mp[j * TL + t];
+          In[j * TL + t] = keep ? iv : Ip[j * TL + t];
+          Dn[j * TL + t] = keep ? dv : Dp[j * TL + t];
+        }
+      }
+      for (long t = 0; t < TL; t++) {
+        bool active = i <= nL[t] - 1;
+        if (active && row_best[t] < BAND_THRESH) bandfail[t] = 1;
+        if (i == nL[t] - 1) {
+          long cj = cornj[t];
+          outv[t] = fmaxf2(fmaxf2(Mn[cj * TL + t], In[cj * TL + t]),
+                           Dn[cj * TL + t]);
+        }
       }
       Mp.swap(Mn);
       Ip.swap(In);
       Dp.swap(Dn);
     }
 
-    float score = bandfail ? BAND_FAIL : outv;
-    int diff = n - m;
-    if ((diff < 0 ? -diff : diff) > LEN_DIFF_LIMIT) score = BAND_FAIL;
-    if (full_hap_len[b] <= MIN_FULL_HAP_LEN) score = NEG;
-    out[b] = score;
+    for (long t = 0; t < tl; t++) {
+      long b = b0 + t;
+      float score = bandfail[t] ? BAND_FAIL : outv[t];
+      int diff = nL[t] - mL[t];
+      if ((diff < 0 ? -diff : diff) > LEN_DIFF_LIMIT) score = BAND_FAIL;
+      if (full_hap_len[b] <= MIN_FULL_HAP_LEN) score = NEG;
+      out[b] = score;
+    }
   }
 }
 
