@@ -43,7 +43,7 @@ int64_t ltr_bgzf_total_isize(const uint8_t* src, int64_t n) {
       }
       xoff += 4 + slen;
     }
-    if (bsize < 0) return -1;
+    if (bsize < 18 || bsize < 12 + (int32_t)xlen + 8) return -1;
     if (off + bsize > n) break;  // truncated trailing block: stop
     uint32_t isize;
     memcpy(&isize, src + off + bsize - 4, 4);
@@ -75,7 +75,9 @@ int64_t ltr_bgzf_inflate_all(const uint8_t* src, int64_t n,
       }
       xoff += 4 + slen;
     }
-    if (bsize < 0) return -1;
+    // bsize must cover header (12 + xlen) + trailer (CRC32 + ISIZE = 8);
+    // anything smaller makes clen negative and the (uInt) cast huge.
+    if (bsize < 18 || bsize < 12 + (int32_t)xlen + 8) return -1;
     if (off + bsize > n) break;
     const uint8_t* cdata = src + off + 12 + xlen;
     int64_t clen = bsize - 12 - xlen - 8;
@@ -160,6 +162,15 @@ int64_t ltr_bam_decode(const uint8_t* buf, int64_t n, int64_t max_records,
     memcpy(&next_pos, r + 24, 4);
     memcpy(&tlen, r + 28, 4);
 
+    // Per-record sanity: a corrupt block must produce a clean error, not an
+    // out-of-bounds read/write (l_read_name==0 would underflow the name
+    // copy; negative l_seq would walk p backwards; oversized counts would
+    // read past the record).
+    if (l_read_name < 1 || l_seq < 0) return -1;
+    int64_t need = 32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar +
+                   ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq;
+    if (need > (int64_t)block_size) return -1;
+
     int32_t* f = fixed + rec * 8;
     f[0] = ref_id; f[1] = pos; f[2] = mapq; f[3] = flag;
     f[4] = next_ref; f[5] = next_pos; f[6] = tlen; f[7] = l_seq;
@@ -238,11 +249,20 @@ struct FreqTable {
   uint32_t freq[256];
   uint32_t cum[257];
   uint8_t lut[kTotFreq];
-  void finish() {
+  // Frequencies must sum to exactly kTotFreq (4096, CRAM 3.0 §13); a
+  // malformed table would otherwise overflow lut[] below.  Returns false
+  // on a bad table so callers can reject the block.
+  bool finish() {
     cum[0] = 0;
-    for (int i = 0; i < 256; i++) cum[i + 1] = cum[i] + freq[i];
+    for (int i = 0; i < 256; i++) {
+      if (freq[i] > kTotFreq) return false;
+      cum[i + 1] = cum[i] + freq[i];
+      if (cum[i + 1] > kTotFreq) return false;
+    }
+    if (cum[256] != kTotFreq) return false;
     for (int s = 0; s < 256; s++)
       for (uint32_t k = 0; k < freq[s]; k++) lut[cum[s] + k] = (uint8_t)s;
+    return true;
   }
 };
 
@@ -278,7 +298,7 @@ long read_freqs_o0(const uint8_t* d, long pos, long n, FreqTable* t) {
     sym = d[pos++];
     if (sym == 0) break;
   }
-  t->finish();
+  if (!t->finish()) return -1;
   return pos;
 }
 

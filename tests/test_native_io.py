@@ -124,3 +124,56 @@ def test_native_and_pure_python_vcfs_identical(tmp_path, monkeypatch):
                 if not ln.startswith("##command")]
 
     assert body(out1) == body(out2)
+
+
+def test_corrupt_inputs_rejected_cleanly(lib):
+    """Hardening: malformed BGZF/BAM/rANS inputs must yield clean error
+    returns (None), never out-of-bounds access (ADVICE.md r1 items)."""
+    import ctypes
+    import struct
+    import zlib
+
+    # -- BGZF block whose xlen is inconsistent with bsize (clen < 0) --
+    payload = zlib.compress(b"hello", 9)[2:-4]
+    xtra = struct.pack("<BBHH", 66, 67, 2, 0)  # BSIZE+1 = 1 -> bsize 1 < 18
+    blk = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 + struct.pack("<H", len(xtra))
+           + xtra + payload + struct.pack("<II", 0, 5))
+    assert native.bgzf_inflate_all(blk) is None
+
+    # oversized xlen: bsize < 12 + xlen + 8
+    xtra2 = struct.pack("<BBHH", 66, 67, 2, 25)  # bsize 26 but xlen says 200
+    blk2 = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 + struct.pack("<H", 200)
+            + xtra2 + b"\x00" * 8)
+    assert native.bgzf_inflate_all(blk2 + b"\x00" * 200) is None
+
+    # -- BAM record with l_read_name == 0 (would memcpy (size_t)-1) --
+    rec = bytearray(40)
+    struct.pack_into("<i", rec, 0, 36)          # block_size
+    struct.pack_into("<ii", rec, 4, 0, 100)     # ref_id, pos
+    rec[12] = 0                                  # l_read_name = 0
+    assert native.bam_decode(bytes(rec)) is None
+
+    # -- BAM record whose l_seq overruns the block --
+    rec2 = bytearray(44)
+    struct.pack_into("<i", rec2, 0, 40)
+    rec2[12] = 2                                 # l_read_name
+    struct.pack_into("<H", rec2, 16, 0)          # n_cigar
+    struct.pack_into("<i", rec2, 20, 10**6)      # l_seq huge
+    assert native.bam_decode(bytes(rec2)) is None
+
+    # negative l_seq
+    rec3 = bytearray(44)
+    struct.pack_into("<i", rec3, 0, 40)
+    rec3[12] = 2
+    struct.pack_into("<i", rec3, 20, -5)
+    assert native.bam_decode(bytes(rec3)) is None
+
+    # -- rANS order-0 stream whose frequency table sums > 4096 --
+    # header: order 0, csize, usize placeholders (9 bytes)
+    body = bytearray()
+    body.append(0)                               # order
+    body += struct.pack("<II", 0, 64)            # csize, usize (unused here)
+    # freq table: symbol 65 freq 0x7FFF (32767), end marker 0
+    body += bytes([65, 0xFF, 0xFF, 0])
+    body += b"\x00" * 16                         # 4 states
+    assert native.rans_decode(bytes(body), 64) is None

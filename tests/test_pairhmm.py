@@ -135,3 +135,31 @@ def test_large_random_batch():
         hap = rand_seq(n)
         pairs.append((hap, mutate(hap, sub=0.02, ind=0.01)))
     check_pairs(pairs)
+
+
+def test_native_bit_identical_to_scan():
+    """The C++ batch scorer must be bit-identical to the jnp scan (the
+    invariant every other path is anchored to).  Covers batch sizes not
+    divisible by the native 16-lane tile and n==1 / m==1 edge pairs."""
+    from longtr_tpu.native import pairhmm_batch_native
+
+    for nb in (1, 3, 16, 21, 50):
+        pairs = []
+        for _ in range(nb):
+            n = int(RNG.integers(1, 220))
+            hap = rand_seq(n)
+            r = RNG.random()
+            if r < 0.2:
+                read = rand_seq(int(RNG.integers(1, 220)))
+            elif r < 0.3:
+                read = hap[0]  # m == 1
+            else:
+                read = mutate(hap, sub=0.03, ind=0.015)
+            pairs.append((hap, read))
+        pairs.append(("A", "A"))  # n == 1, m == 1
+        H, hl, R, rl, fl = batch_from_pairs(pairs)
+        want = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+        got = pairhmm_batch_native(H, hl, R, rl, fl,
+                                   AlignmentParams().as_array())
+        assert got is not None, "native library unavailable"
+        np.testing.assert_array_equal(got, want)
