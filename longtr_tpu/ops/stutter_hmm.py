@@ -35,7 +35,12 @@ MIN_SEED_DIST = 5
 
 
 def fast_lse(vals) -> float:
-    """fast_log_sum_exp semantics (term dropping), computed exactly."""
+    """fast_log_sum_exp semantics (term dropping); exact by default, the
+    reference's Mineiro bit patterns in reference-fidelity mode."""
+    from longtr_tpu.utils import mathops
+    if mathops.ref_fidelity():
+        from longtr_tpu.utils import fastapprox
+        return fastapprox.fast_log_sum_exp_vec(vals)
     arr = np.asarray(vals, dtype=np.float64)
     m = arr.max()
     if not np.isfinite(m):
@@ -97,7 +102,10 @@ class StutterAligner:
             log_prob = 0.0
             j = 0
             di = 0
-            lim = min(L - i, self.max_deletion)
+            # C++ loops on -max_deletion_ (the positive magnitude,
+            # StutterAlignerClass.cpp:28,33); max_deletion here mirrors the
+            # negative C++ member.
+            lim = min(L - i, -self.max_deletion)
             while j < lim:
                 log_prob += (lc_rev[i + j] if seq_rev[i + j] == blk_rev[j]
                              else lw_rev[i + j])
@@ -105,7 +113,7 @@ class StutterAligner:
                     self.del_probs[i, di] = log_prob
                     di += 1
                 j += 1
-            while j < self.max_deletion:
+            while j < -self.max_deletion:
                 if (j + 1) % self.period == 0:
                     di += 1
                 j += 1

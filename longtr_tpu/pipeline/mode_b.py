@@ -205,31 +205,20 @@ class ModeBAligner:
                     # Stutter block must be followed by a match (:132-141)
                     M[h, 1:] = emit[1:] + M[h - 1, :-1]
                 else:
-                    # match from previous row's diagonal + same-row insert
-                    # insert is a decayed running max along j
-                    base = np.empty(L)
-                    base[0] = I[h, 0]
                     # I[h, j] = blc[j] + max(M[h-1,j-1]+i2m, I[h,j-1]+i2i)
-                    inj = M[h - 1, :-1] + self.i2m          # source at j>=1
-                    c = np.empty(L)
-                    c[0] = I[h, 0]
-                    # running max: I[h,j] - blc[j] = max(inj[j-1], I[h,j-1]+i2i)
-                    vals = np.empty(L)
-                    vals[0] = I[h, 0] - blc[0] if L else 0.0
-                    # sequential-free scan: t[j] = max over k<=j of
-                    # (src[k] - k*i2i) then + j*i2i, where src[0]=I[h,0]-blc[0]
+                    # (HapAligner.cpp:152-153).  The within-row chain through
+                    # I accumulates blc at EVERY step, so the closed form is
+                    #   I[h,j] = blc[j] + prefix[j] + j*i2i
+                    #            + max_{k<=j}(src[k] - prefix[k] - k*i2i)
+                    # with prefix[j] = sum_{t<j} blc[t], src[0] = I[h,0] -
+                    # blc[0], src[k>=1] = M[h-1,k-1] + i2m — one cummax.
                     jj = np.arange(L)
                     src = np.empty(L)
                     src[0] = I[h, 0] - blc[0]
-                    src[1:] = inj
-                    run = np.maximum.accumulate(src - jj * self.i2i)
-                    t = run + jj * self.i2i
-                    I[h] = blc + t
+                    src[1:] = M[h - 1, :-1] + self.i2m
+                    run = np.maximum.accumulate(src - prefix - jj * self.i2i)
+                    I[h] = blc + prefix + jj * self.i2i + run
                     I[h, 0] = IMPOSSIBLE if h == stutter_R + 1 else blc[0]
-                    # recompute t with corrected I[h,0]
-                    src[0] = I[h, 0] - blc[0]
-                    run = np.maximum.accumulate(src - jj * self.i2i)
-                    I[h] = blc + run + jj * self.i2i
                     M[h, 1:] = emit[1:] + np.maximum(
                         I[h, :-1] + self.m2i,
                         np.maximum(M[h - 1, :-1] + self.m2m,

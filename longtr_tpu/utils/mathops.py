@@ -2,14 +2,23 @@
 
 Reference: src/mathops.{h,cpp}.  The reference mixes exact log-sum-exp with a
 "fast" variant that drops terms smaller than ``max + log(0.001)`` and uses the
-Mineiro fastlog/fastexp approximations (src/mathops.cpp:87-107).  On TPU we use
-exact f32/f64 math; the term-dropping threshold is preserved where the
-reference's *selection* behaviour (not just precision) depends on it.
+Mineiro fastlog/fastexp approximations (src/mathops.cpp:87-107).
+
+Two math modes:
+
+* default — exact f64 math with the reference's term-dropping *selection*
+  behaviour preserved (PARITY.md "conscious fixes": better numerics).
+* reference-fidelity (``set_ref_fidelity(True)`` or env
+  ``LONGTR_REF_FIDELITY=1``) — the Mineiro bit patterns evaluated exactly as
+  the compiled reference does (utils/fastapprox.py, verified bit-identical
+  against the compiled reference header by tests/test_ref_oracle.py).  This
+  is the path to bit-identical VCF output.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -40,12 +49,29 @@ def log_sum_exp(vals) -> float:
     return float(m + np.log(np.exp(arr - m).sum()))
 
 
-def fast_log_sum_exp(vals) -> float:
-    """Log-sum-exp that drops terms below max+LOG_THRESH.
+_ref_fidelity = os.environ.get("LONGTR_REF_FIDELITY", "") == "1"
 
-    Mirrors mathops.cpp:98-107 (selection behaviour), computed exactly rather
-    than with Mineiro float approximations.
+
+def set_ref_fidelity(on: bool) -> None:
+    """Switch between exact math (default) and the reference's Mineiro
+    fastapprox bit patterns for all fast-LSE call sites."""
+    global _ref_fidelity
+    _ref_fidelity = bool(on)
+
+
+def ref_fidelity() -> bool:
+    return _ref_fidelity
+
+
+def fast_log_sum_exp(vals) -> float:
+    """Log-sum-exp that drops terms below max+LOG_THRESH (mathops.cpp:98-107).
+
+    Exact math by default; the Mineiro fasterexp/fasterlog bit patterns in
+    reference-fidelity mode.
     """
+    if _ref_fidelity:
+        from longtr_tpu.utils import fastapprox
+        return fastapprox.fast_log_sum_exp_vec(vals)
     arr = np.asarray(vals, dtype=np.float64)
     if arr.size == 0:
         return -np.inf
@@ -55,6 +81,23 @@ def fast_log_sum_exp(vals) -> float:
     d = arr - m
     kept = d[d > LOG_THRESH]
     return float(m + np.log(np.exp(kept).sum()))
+
+
+def fast_log_sum_exp2(log_v1: float, log_v2: float) -> float:
+    """Two-argument fast LSE (mathops.cpp:87-96).
+
+    The reference keeps only the max when the difference is below LOG_THRESH
+    (strict <); fidelity mode additionally reproduces its fastlog/fastexp
+    float arithmetic.
+    """
+    if _ref_fidelity:
+        from longtr_tpu.utils import fastapprox
+        return fastapprox.fast_log_sum_exp2(log_v1, log_v2)
+    hi, lo = (log_v1, log_v2) if log_v1 > log_v2 else (log_v2, log_v1)
+    diff = lo - hi
+    if diff < LOG_THRESH:
+        return hi
+    return hi + math.log1p(math.exp(diff))
 
 
 def streaming_lse_update(log_val: float, max_val: float, total: float):

@@ -1,0 +1,351 @@
+"""Reference-source oracle: compiles htslib-free sources from the read-only
+reference checkout (/root/reference/src) together with a C-ABI wrapper into a
+test-only shared library, so parity tests can assert against *actual compiled
+reference code* instead of hand transcriptions (VERDICT r1 item 1).
+
+Nothing from the reference tree is copied into this repository; the build
+reads the sources in place.  If the reference checkout or g++ is missing the
+loader returns None and dependent tests skip.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_REF_SRC = "/root/reference/src"
+_LIB_PATH = os.path.join(_DIR, "libref_oracle.so")
+
+_REF_SOURCES = [
+    "mathops.cpp",
+    "stutter_model.cpp",
+    "region.cpp",
+    "stringops.cpp",
+    "zalgorithm.cpp",
+    "debruijn_graph.cpp",
+    "directed_graph.cpp",
+    "base_quality.cpp",
+    "SeqAlignment/HapAligner.cpp",
+    "SeqAlignment/Haplotype.cpp",
+    "SeqAlignment/HapBlock.cpp",
+    "SeqAlignment/NeedlemanWunsch.cpp",
+    "SeqAlignment/StutterAlignerClass.cpp",
+    "SeqAlignment/AlignmentTraceback.cpp",
+]
+
+_lib = None
+_build_failed = False
+
+
+def _build():
+    srcs = [os.path.join(_REF_SRC, s) for s in _REF_SOURCES]
+    cmd = [
+        "g++", "-std=c++11", "-O2", "-fPIC", "-shared",
+        # neutralize the htslib-backed bam_io.h (see stub_bam_io.h)
+        "-include", os.path.join(_DIR, "stub_bam_io.h"),
+        "-I", _REF_SRC,
+        # the reference Makefile builds with default FP behavior; keep it
+        "-o", _LIB_PATH,
+        os.path.join(_DIR, "wrapper.cc"), *srcs,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """The oracle library, or None if the reference tree/g++ is absent."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.isdir(_REF_SRC):
+        _build_failed = True
+        return None
+    newest_src = max(
+        (os.path.getmtime(os.path.join(_REF_SRC, s)) for s in _REF_SOURCES),
+        default=0.0)
+    wrapper_mtime = os.path.getmtime(os.path.join(_DIR, "wrapper.cc"))
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < max(newest_src, wrapper_mtime))
+    if stale:
+        try:
+            _build()
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                _build_failed = True
+                return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _build_failed = True
+        return None
+
+    f = ctypes.c_float
+    d = ctypes.c_double
+    i = ctypes.c_int
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    s = ctypes.c_char_p
+
+    for name in ("ro_fastlog", "ro_fastexp", "ro_fasterlog", "ro_fasterexp"):
+        fn = getattr(lib, name)
+        fn.restype = f
+        fn.argtypes = [f]
+    for name in ("ro_fastlog_arr", "ro_fastexp_arr", "ro_fasterlog_arr",
+                 "ro_fasterexp_arr"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [fp, fp, ctypes.c_long]
+
+    lib.ro_int_log.restype = d
+    lib.ro_int_log.argtypes = [i]
+    lib.ro_log_sum_exp_vec.restype = d
+    lib.ro_log_sum_exp_vec.argtypes = [dp, ctypes.c_long]
+    lib.ro_log_sum_exp2.restype = d
+    lib.ro_log_sum_exp2.argtypes = [d, d]
+    lib.ro_log_sum_exp3.restype = d
+    lib.ro_log_sum_exp3.argtypes = [d, d, d]
+    lib.ro_fast_log_sum_exp2.restype = d
+    lib.ro_fast_log_sum_exp2.argtypes = [d, d]
+    lib.ro_fast_log_sum_exp_vec.restype = d
+    lib.ro_fast_log_sum_exp_vec.argtypes = [dp, ctypes.c_long]
+
+    lib.ro_stutter_log_pmf.restype = d
+    lib.ro_stutter_log_pmf.argtypes = [d, d, d, d, d, d, i, i, i]
+
+    lib.ro_z_prefix.restype = i
+    lib.ro_z_prefix.argtypes = [s, s, ip, ctypes.c_long]
+    lib.ro_z_suffix.restype = i
+    lib.ro_z_suffix.argtypes = [s, s, ip, ctypes.c_long]
+
+    lib.ro_db_kmer_length.restype = i
+    lib.ro_db_kmer_length.argtypes = [s, i, i]
+    lib.ro_db_paths.restype = i
+    lib.ro_db_paths.argtypes = [i, s, s, i32p, i, d, i, i, i, s,
+                                ctypes.c_long, i32p]
+
+    lib.ro_hap_aligner_scores.restype = i
+    lib.ro_hap_aligner_scores.argtypes = [
+        s, ctypes.c_int32, s, s, i32p, i, ctypes.c_int32, i, s,
+        d, d, d, d, d, d,
+        s, s, ctypes.c_int32, ctypes.c_int32, s, i32p, i,
+        i, i, fp, dp, ip]
+
+    lib.ro_hap_enumeration.restype = i
+    lib.ro_hap_enumeration.argtypes = [s, s, s, i32p, i, i, s, s,
+                                       ctypes.c_long]
+
+    lib.ro_stutter_align.restype = d
+    lib.ro_stutter_align.argtypes = [s, i, d, d, d, d, d, d, s, dp, dp,
+                                     i, i, i, ip]
+
+    _lib = lib
+    return _lib
+
+
+# ---------------------------------------------------------------------------
+# Convenience Python wrappers
+# ---------------------------------------------------------------------------
+
+def _i32arr(vals):
+    a = np.ascontiguousarray(vals, dtype=np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def fast_fn_arr(name, x):
+    """Vector fastapprox evaluation: name in {fastlog,fastexp,fasterlog,fasterexp}."""
+    lib = get_lib()
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty_like(x)
+    getattr(lib, f"ro_{name}_arr")(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.size)
+    return out
+
+
+def log_sum_exp(vals):
+    lib = get_lib()
+    a = np.ascontiguousarray(vals, dtype=np.float64)
+    return lib.ro_log_sum_exp_vec(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), a.size)
+
+
+def fast_log_sum_exp(vals):
+    lib = get_lib()
+    a = np.ascontiguousarray(vals, dtype=np.float64)
+    return lib.ro_fast_log_sum_exp_vec(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), a.size)
+
+
+def stutter_log_pmf(params, period, sample_bps, read_bps):
+    """params = (in_geom, in_up, in_down, out_geom, out_up, out_down)."""
+    lib = get_lib()
+    v = lib.ro_stutter_log_pmf(*[float(p) for p in params], period,
+                               sample_bps, read_bps)
+    if v > 0:
+        raise ValueError("reference StutterModel rejected parameters")
+    return v
+
+
+def z_prefix(s1: str, s2: str):
+    lib = get_lib()
+    out = (ctypes.c_int * (len(s2) + 1))()
+    n = lib.ro_z_prefix(s1.encode(), s2.encode(), out, len(s2) + 1)
+    assert n >= 0
+    return list(out[:n])
+
+
+def z_suffix(s1: str, s2: str):
+    lib = get_lib()
+    out = (ctypes.c_int * (len(s2) + 1))()
+    n = lib.ro_z_suffix(s1.encode(), s2.encode(), out, len(s2) + 1)
+    assert n >= 0
+    return list(out[:n])
+
+
+def db_kmer_length(ref_seq: str, min_k=10, max_k=15):
+    lib = get_lib()
+    k = lib.ro_db_kmer_length(ref_seq.encode(), min_k, max_k)
+    return None if k < 0 else k
+
+
+def db_paths(k, ref_seq, seqs, min_edge_freq=0.02, min_weight_prune=2,
+             min_weight_paths=2, max_paths=10):
+    lib = get_lib()
+    cat = "".join(seqs).encode()
+    lens, lens_p = _i32arr([len(x) for x in seqs])
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    weights = np.zeros(max_paths + 1, dtype=np.int32)
+    n = lib.ro_db_paths(k, ref_seq.encode(), cat, lens_p, len(seqs),
+                        min_edge_freq, min_weight_prune, min_weight_paths,
+                        max_paths, out, cap,
+                        weights.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int32)))
+    assert n >= 0, f"ro_db_paths failed: {n}"
+    paths = []
+    off = 0
+    raw = out.raw
+    for j in range(n):
+        end = raw.index(b"\x00", off)
+        paths.append((raw[off:end].decode(), int(weights[j])))
+        off = end + 1
+    return paths
+
+
+def hap_aligner_scores(lflank, lflank_start, repeat_ref, alts, repeat_start,
+                       period, rflank, stutter_params, read_seq, read_quals,
+                       read_start, read_stop, cigar, indel_flank_len=5,
+                       switch_old_align_len=0, aln_params=None):
+    """Per-haplotype log-probs from the ACTUAL reference HapAligner.
+
+    stutter_params = (in_geom, in_up, in_down, out_geom, out_up, out_down).
+    cigar = [(op_char, length), ...] in expanded =/X/I/D form.
+    Returns (probs array in reference enumeration order, seed_base).
+    """
+    lib = get_lib()
+    alt_cat = "".join(alts).encode()
+    alt_lens, alt_lens_p = _i32arr([len(a) for a in alts])
+    ctypes_cigar_types = "".join(op for op, _ in cigar).encode()
+    cig_lens, cig_lens_p = _i32arr([n for _, n in cigar])
+    n_combs = 1 + len(alts)
+    probs = np.zeros(n_combs, dtype=np.float64)
+    seed = ctypes.c_int(-99)
+    if aln_params is not None:
+        ap = np.ascontiguousarray(aln_params, dtype=np.float32)
+        ap_ptr = ap.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        ap_ptr = None
+    rc = lib.ro_hap_aligner_scores(
+        lflank.encode(), lflank_start, repeat_ref.encode(), alt_cat,
+        alt_lens_p, len(alts), repeat_start, period, rflank.encode(),
+        *[float(p) for p in stutter_params],
+        read_seq.encode(), read_quals.encode(), read_start, read_stop,
+        ctypes_cigar_types, cig_lens_p, len(cigar),
+        indel_flank_len, switch_old_align_len, ap_ptr,
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(seed))
+    assert rc == n_combs, f"ro_hap_aligner_scores failed: {rc}"
+    return probs, seed.value
+
+
+def hap_enumeration(lflank, repeat_ref, alts, period, rflank):
+    """Haplotype sequences in reference Gray-code iteration order."""
+    lib = get_lib()
+    alt_cat = "".join(alts).encode()
+    alt_lens, alt_lens_p = _i32arr([len(a) for a in alts])
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    n = lib.ro_hap_enumeration(lflank.encode(), repeat_ref.encode(), alt_cat,
+                               alt_lens_p, len(alts), period, rflank.encode(),
+                               out, cap)
+    assert n > 0, f"ro_hap_enumeration failed: {n}"
+    seqs = []
+    off = 0
+    raw = out.raw
+    for _ in range(n):
+        end = raw.index(b"\x00", off)
+        seqs.append(raw[off:end].decode())
+        off = end + 1
+    return seqs
+
+
+def stutter_align(block_seq, period, stutter_params, read_seq, log_wrong,
+                  log_correct, j, artifact_size):
+    """Reference StutterAlignerClass block score at read index j for a
+    size-D artifact.  Returns (log_prob, best_pos)."""
+    lib = get_lib()
+    lw = np.ascontiguousarray(log_wrong, dtype=np.float64)
+    lc = np.ascontiguousarray(log_correct, dtype=np.float64)
+    pos = ctypes.c_int(-1)
+    p = lib.ro_stutter_align(
+        block_seq.encode(), period, *[float(x) for x in stutter_params],
+        read_seq.encode(),
+        lw.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(read_seq), j, artifact_size, ctypes.byref(pos))
+    if p > 1e29:
+        raise ValueError("ro_stutter_align error")
+    return p, pos.value
+
+
+def mode_b_left_matrix(lflank, lflank_start, repeat_ref, alts, repeat_start,
+                       period, rflank, stutter_params, config_index,
+                       seg_seq, log_wrong, log_correct):
+    """Reference align_seq_to_hap_short matrices for one haplotype config.
+
+    Returns (match, insert, del) arrays of shape (cur_size, seg_len) and
+    l_prob."""
+    lib = get_lib()
+    lib.ro_mode_b_left_matrix.restype = ctypes.c_int
+    alt_cat = "".join(alts).encode()
+    alt_lens, alt_lens_p = _i32arr([len(a) for a in alts])
+    L = len(seg_seq)
+    max_size = (len(lflank) + max(len(repeat_ref), *(len(a) for a in alts))
+                + len(rflank)) if alts else len(lflank) + len(repeat_ref) + len(rflank)
+    mm = np.zeros(L * max_size + 8)
+    im = np.zeros(L * max_size + 8)
+    dm = np.zeros(L * max_size + 8)
+    lw = np.ascontiguousarray(log_wrong, dtype=np.float64)
+    lc = np.ascontiguousarray(log_correct, dtype=np.float64)
+    lp = ctypes.c_double(0)
+    dp = ctypes.POINTER(ctypes.c_double)
+    hapsize = lib.ro_mode_b_left_matrix(
+        lflank.encode(), ctypes.c_int32(lflank_start), repeat_ref.encode(),
+        alt_cat, alt_lens_p, len(alts), ctypes.c_int32(repeat_start),
+        period, rflank.encode(),
+        *[ctypes.c_double(float(p)) for p in stutter_params],
+        config_index, seg_seq.encode(),
+        lw.ctypes.data_as(dp), lc.ctypes.data_as(dp), L,
+        mm.ctypes.data_as(dp), im.ctypes.data_as(dp), dm.ctypes.data_as(dp),
+        ctypes.byref(lp))
+    assert hapsize > 0, f"ro_mode_b_left_matrix failed: {hapsize}"
+    shape = (hapsize, L)
+    return (mm[:L * hapsize].reshape(shape), im[:L * hapsize].reshape(shape),
+            dm[:L * hapsize].reshape(shape), lp.value)

@@ -1,0 +1,440 @@
+// C-ABI wrappers over ACTUAL reference source code (test oracle only).
+//
+// This file contains no reimplementation of reference logic: every exported
+// function constructs reference objects (StutterModel, HapBlock/RepeatBlock,
+// Haplotype, HapAligner, DebruijnGraph, ...) from the htslib-free sources
+// under /root/reference/src and calls them directly.  The resulting .so is a
+// *test fixture* giving parity tests ground truth from the compiler instead
+// of hand transcription (VERDICT r1 item 1).
+//
+// printErrorAndDie is redefined here to throw instead of exit(1) so a
+// mis-driven oracle call fails the test, not the pytest process (the
+// reference's error.cpp is deliberately not compiled in).
+
+#include <cstdint>
+#include <cstring>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+#include "error.h"
+
+void printErrorAndDie(std::string message) {
+  throw std::runtime_error("ref_oracle printErrorAndDie: " + message);
+}
+
+#include "fastonebigheader.h"
+#include "mathops.h"
+#include "stutter_model.h"
+#include "zalgorithm.h"
+#include "debruijn_graph.h"
+#include "base_quality.h"
+#include "SeqAlignment/AlignmentData.h"
+#include "SeqAlignment/HapBlock.h"
+#include "SeqAlignment/RepeatBlock.h"
+#include "SeqAlignment/Haplotype.h"
+// Test-only: expose HapAligner's private per-segment DP entry points so
+// parity tests can diff matrices row by row (never shipped; oracle only).
+#define private public
+#include "SeqAlignment/HapAligner.h"
+#undef private
+#include "SeqAlignment/StutterAlignerClass.h"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// fastonebigheader.h (Mineiro fastapprox) — ground truth for the
+// bit-exactness workstream.
+// ---------------------------------------------------------------------------
+
+float ro_fastlog(float x) { return fastlog(x); }
+float ro_fastexp(float x) { return fastexp(x); }
+float ro_fasterlog(float x) { return fasterlog(x); }
+float ro_fasterexp(float x) { return fasterexp(x); }
+
+void ro_fastlog_arr(const float* in, float* out, long n) {
+  for (long i = 0; i < n; i++) out[i] = fastlog(in[i]);
+}
+void ro_fastexp_arr(const float* in, float* out, long n) {
+  for (long i = 0; i < n; i++) out[i] = fastexp(in[i]);
+}
+void ro_fasterlog_arr(const float* in, float* out, long n) {
+  for (long i = 0; i < n; i++) out[i] = fasterlog(in[i]);
+}
+void ro_fasterexp_arr(const float* in, float* out, long n) {
+  for (long i = 0; i < n; i++) out[i] = fasterexp(in[i]);
+}
+
+// ---------------------------------------------------------------------------
+// mathops.cpp
+// ---------------------------------------------------------------------------
+
+static bool logs_ready = false;
+static void ensure_logs() {
+  if (!logs_ready) {
+    precompute_integer_logs();
+    logs_ready = true;
+  }
+}
+
+double ro_int_log(int v) {
+  ensure_logs();
+  return int_log(v);
+}
+
+double ro_log_sum_exp_vec(const double* v, long n) {
+  std::vector<double> vals(v, v + n);
+  return log_sum_exp(vals);
+}
+
+double ro_log_sum_exp2(double a, double b) { return log_sum_exp(a, b); }
+double ro_log_sum_exp3(double a, double b, double c) {
+  return log_sum_exp(a, b, c);
+}
+
+double ro_fast_log_sum_exp2(double a, double b) {
+  return fast_log_sum_exp(a, b);
+}
+
+double ro_fast_log_sum_exp_vec(const double* v, long n) {
+  std::vector<double> vals(v, v + n);
+  return fast_log_sum_exp(vals);
+}
+
+// ---------------------------------------------------------------------------
+// stutter_model.cpp
+// ---------------------------------------------------------------------------
+
+double ro_stutter_log_pmf(double in_geom, double in_up, double in_down,
+                          double out_geom, double out_up, double out_down,
+                          int period, int sample_bps, int read_bps) {
+  try {
+    std::string motif(period, 'A');
+    StutterModel m(in_geom, in_up, in_down, out_geom, out_up, out_down, motif);
+    return m.log_stutter_pmf(sample_bps, read_bps);
+  } catch (const std::exception&) {
+    return 1.0;  // log-prob can never be positive: error marker
+  }
+}
+
+// ---------------------------------------------------------------------------
+// zalgorithm.cpp
+// ---------------------------------------------------------------------------
+
+int ro_z_prefix(const char* s1, const char* s2, int* out, long cap) {
+  std::vector<int> matches;
+  ZAlgorithm::GetPrefixMatchCounts(std::string(s1), std::string(s2), matches);
+  if ((long)matches.size() > cap) return -1;
+  for (size_t i = 0; i < matches.size(); i++) out[i] = matches[i];
+  return (int)matches.size();
+}
+
+int ro_z_suffix(const char* s1, const char* s2, int* out, long cap) {
+  std::vector<int> matches;
+  ZAlgorithm::GetSuffixMatchCounts(std::string(s1), std::string(s2), matches);
+  if ((long)matches.size() > cap) return -1;
+  for (size_t i = 0; i < matches.size(); i++) out[i] = matches[i];
+  return (int)matches.size();
+}
+
+// ---------------------------------------------------------------------------
+// debruijn_graph.cpp
+// ---------------------------------------------------------------------------
+
+// calc_kmer_length over [min_kmer, max_kmer]; returns chosen k or -1.
+int ro_db_kmer_length(const char* ref_seq, int min_kmer, int max_kmer) {
+  int k = -1;
+  bool ok = DebruijnGraph::calc_kmer_length(std::string(ref_seq), min_kmer,
+                                            max_kmer, k);
+  return ok ? k : -1;
+}
+
+// Build graph over ref + reads, prune, enumerate paths.
+// seqs: concatenated read strings; lens/weights per read.
+// Paths are written as NUL-joined strings into out (cap bytes); weights into
+// out_weights.  Returns number of paths, or -1 on overflow/-2 on error.
+int ro_db_paths(int k, const char* ref_seq, const char* seqs,
+                const int32_t* lens, int n_seqs, double min_edge_freq,
+                int min_weight_prune, int min_weight_paths, int max_paths,
+                char* out, long cap, int32_t* out_weights) {
+  try {
+    DebruijnGraph g(k, std::string(ref_seq));
+    const char* p = seqs;
+    for (int i = 0; i < n_seqs; i++) {
+      g.add_string(std::string(p, p + lens[i]));
+      p += lens[i];
+    }
+    g.prune_edges(min_edge_freq, min_weight_prune);
+    if (!g.is_source_ok() || !g.is_sink_ok()) return 0;
+    std::vector<std::pair<std::string, int> > paths;
+    g.enumerate_paths(min_weight_paths, max_paths, paths);
+    long off = 0;
+    for (size_t i = 0; i < paths.size(); i++) {
+      long need = (long)paths[i].first.size() + 1;
+      if (off + need > cap) return -1;
+      memcpy(out + off, paths[i].first.c_str(), need);
+      off += need;
+      out_weights[i] = paths[i].second;
+    }
+    return (int)paths.size();
+  } catch (const std::exception&) {
+    return -2;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// HapAligner (modes A and B) — the alignment-core oracle.
+//
+// Builds the canonical 3-block haplotype [flank, repeat, flank] exactly as
+// HaplotypeGenerator::add_haplotype_block + fuse_haplotype_blocks do
+// (RepeatBlock(start,end,ref,period,model) + flank HapBlocks), wraps it in a
+// Haplotype, and drives HapAligner::process_read on a caller-supplied
+// Alignment.  Returns per-haplotype log-probs in reference Gray-code
+// iteration order.
+// ---------------------------------------------------------------------------
+
+int ro_hap_aligner_scores(
+    // haplotype spec
+    const char* lflank, int32_t lflank_start, const char* repeat_ref,
+    const char* alt_concat, const int32_t* alt_lens, int n_alts,
+    int32_t repeat_start, int period, const char* rflank,
+    // stutter model (reference ctor order: in_geom, in_up, in_down, ...)
+    double in_geom, double in_up, double in_down, double out_geom,
+    double out_up, double out_down,
+    // read
+    const char* read_seq, const char* read_quals, int32_t read_start,
+    int32_t read_stop, const char* cigar_types, const int32_t* cigar_nums,
+    int n_cigar,
+    // config
+    int indel_flank_len, int switch_old_align_len,
+    const float* aln_params,  // 7 values or NULL for Dindel defaults
+    // outputs
+    double* out_probs, int* out_seed) {
+  try {
+    std::string motif(period > 0 ? period : 1, 'A');
+    StutterModel model(in_geom, in_up, in_down, out_geom, out_up, out_down,
+                       motif);
+
+    std::string lf(lflank), rep(repeat_ref), rf(rflank);
+    int32_t repeat_end = repeat_start + (int32_t)rep.size();
+    std::vector<HapBlock*> blocks;
+    blocks.push_back(
+        new HapBlock(lflank_start, repeat_start, lf));
+    RepeatBlock* rb =
+        new RepeatBlock(repeat_start, repeat_end, rep, period, &model);
+    const char* ap = alt_concat;
+    for (int i = 0; i < n_alts; i++) {
+      rb->add_alternate(
+          std::pair<std::string, bool>(std::string(ap, ap + alt_lens[i]),
+                                       false));
+      ap += alt_lens[i];
+    }
+    blocks.push_back(rb);
+    blocks.push_back(
+        new HapBlock(repeat_end, repeat_end + (int32_t)rf.size(), rf));
+
+    int ncombs;
+    {
+      Haplotype hap(blocks);
+      ncombs = (int)hap.num_combs();
+      std::vector<bool> realign(hap.num_combs(), true);
+      std::vector<float> params;
+      if (aln_params)
+        for (int i = 0; i < 7; i++) params.push_back(aln_params[i]);
+      HapAligner aligner(&hap, realign, indel_flank_len,
+                         switch_old_align_len, params);
+
+      Alignment aln(read_start, read_stop, false, false, "oracle_read",
+                    std::string(read_quals), std::string(read_seq),
+                    std::string());
+      std::vector<CigarElement> cl;
+      for (int i = 0; i < n_cigar; i++)
+        cl.push_back(CigarElement(cigar_types[i], cigar_nums[i]));
+      aln.set_cigar_list(cl);
+
+      ensure_logs();
+
+      // Mirror process_reads' mode selection (HapAligner.cpp:551-579)
+      int short_ = (period == 1 && switch_old_align_len) ? 1 : 0;
+      AlignmentTrace trace(hap.num_blocks());
+      if (short_ == 0) {
+        int seed_base = (int)aln.get_sequence().size() - 1;
+        *out_seed = seed_base;
+        BaseQuality bq;
+        aligner.process_read(aln, seed_base, &bq, false, out_probs, trace,
+                             short_);
+      } else {
+        int seed_base = aligner.calc_seed_base(aln);
+        *out_seed = seed_base;
+        if (seed_base == -1) {
+          for (unsigned int i = 0; i < hap.num_combs(); ++i)
+            out_probs[i] = 0;
+        } else {
+          BaseQuality bq;
+          aligner.process_read(aln, seed_base, &bq, false, out_probs, trace,
+                               short_);
+        }
+      }
+    }
+    // Haplotype does not own its blocks (no dtor); free them here after the
+    // aligner (which holds pointers into them) is gone.
+    for (size_t i = 0; i < blocks.size(); i++) delete blocks[i];
+    return ncombs;
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// Mode-B left-segment matrices for one haplotype config: runs
+// align_seq_to_hap_short on the forward haplotype and returns the match /
+// insert / deletion matrices (seq_len x cur_size, flattened row-major by
+// haplotype position) plus l_prob.  For diffing our transcription row by
+// row.
+int ro_mode_b_left_matrix(
+    const char* lflank, int32_t lflank_start, const char* repeat_ref,
+    const char* alt_concat, const int32_t* alt_lens, int n_alts,
+    int32_t repeat_start, int period, const char* rflank,
+    double in_geom, double in_up, double in_down, double out_geom,
+    double out_up, double out_down,
+    int config_index,
+    const char* seg_seq, const double* base_log_wrong,
+    const double* base_log_correct, int seg_len,
+    double* out_match, double* out_insert, double* out_del,
+    double* out_lprob) {
+  try {
+    ensure_logs();
+    std::string motif(period > 0 ? period : 1, 'A');
+    StutterModel model(in_geom, in_up, in_down, out_geom, out_up, out_down,
+                       motif);
+    std::string lf(lflank), rep(repeat_ref), rf(rflank);
+    int32_t repeat_end = repeat_start + (int32_t)rep.size();
+    std::vector<HapBlock*> blocks;
+    blocks.push_back(new HapBlock(lflank_start, repeat_start, lf));
+    RepeatBlock* rb =
+        new RepeatBlock(repeat_start, repeat_end, rep, period, &model);
+    const char* ap = alt_concat;
+    for (int i = 0; i < n_alts; i++) {
+      rb->add_alternate(std::pair<std::string, bool>(
+          std::string(ap, ap + alt_lens[i]), false));
+      ap += alt_lens[i];
+    }
+    blocks.push_back(rb);
+    blocks.push_back(
+        new HapBlock(repeat_end, repeat_end + (int32_t)rf.size(), rf));
+    int hapsize;
+    {
+      Haplotype hap(blocks);
+      std::vector<bool> realign(hap.num_combs(), true);
+      std::vector<float> params;
+      HapAligner aligner(&hap, realign, 5, 25, params);
+      hap.go_to(config_index);
+      hapsize = hap.cur_size();
+      int max_hap_size = hap.max_size();
+      int nb = hap.num_blocks();
+      std::vector<double> mm(seg_len * max_hap_size),
+          im(seg_len * max_hap_size), dm(seg_len * max_hap_size);
+      std::vector<int> bas(seg_len * nb), bap(seg_len * nb);
+      double lp;
+      aligner.align_seq_to_hap_short(&hap, false, seg_seq, seg_len,
+                                     base_log_wrong, base_log_correct,
+                                     mm.data(), im.data(), dm.data(),
+                                     bas.data(), bap.data(), lp);
+      for (int i = 0; i < seg_len * hapsize; i++) {
+        out_match[i] = mm[i];
+        out_insert[i] = im[i];
+        out_del[i] = dm[i];
+      }
+      *out_lprob = lp;
+      hap.reset();
+    }
+    for (size_t i = 0; i < blocks.size(); i++) delete blocks[i];
+    return hapsize;
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// Gray-code haplotype enumeration order for the same 3-block haplotype:
+// writes the full haplotype sequence of each combination (NUL-joined).
+int ro_hap_enumeration(const char* lflank, const char* repeat_ref,
+                       const char* alt_concat, const int32_t* alt_lens,
+                       int n_alts, int period, const char* rflank,
+                       char* out, long cap) {
+  try {
+    StutterModel model(0.9, 0.05, 0.05, 0.9, 0.01, 0.01,
+                       std::string(period > 0 ? period : 1, 'A'));
+    std::string lf(lflank), rep(repeat_ref), rf(rflank);
+    int32_t start = 100;
+    int32_t rs = start + (int32_t)lf.size();
+    int32_t re = rs + (int32_t)rep.size();
+    std::vector<HapBlock*> blocks;
+    blocks.push_back(new HapBlock(start, rs, lf));
+    RepeatBlock* rb = new RepeatBlock(rs, re, rep, period, &model);
+    const char* ap = alt_concat;
+    for (int i = 0; i < n_alts; i++) {
+      rb->add_alternate(
+          std::pair<std::string, bool>(std::string(ap, ap + alt_lens[i]),
+                                       false));
+      ap += alt_lens[i];
+    }
+    blocks.push_back(rb);
+    blocks.push_back(new HapBlock(re, re + (int32_t)rf.size(), rf));
+    long off = 0;
+    int count = 0;
+    {
+      Haplotype hap(blocks);
+      do {
+        std::string seq = hap.get_seq();
+        long need = (long)seq.size() + 1;
+        if (off + need > cap) return -1;
+        memcpy(out + off, seq.c_str(), need);
+        off += need;
+        count++;
+      } while (hap.next());
+      hap.reset();
+    }
+    for (size_t i = 0; i < blocks.size(); i++) delete blocks[i];
+    return count;
+  } catch (const std::exception&) {
+    return -2;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// StutterAlignerClass direct scoring (mode-B repeat-block primitive).
+// Scores base_len read bases ending at read index (offset) against the
+// block with a size-D artifact, exactly as HapAligner's stutter-block rows
+// do (HapAligner.cpp:76-106).
+// ---------------------------------------------------------------------------
+
+double ro_stutter_align(const char* block_seq, int period,
+                        double in_geom, double in_up, double in_down,
+                        double out_geom, double out_up, double out_down,
+                        const char* read_seq, const double* log_wrong,
+                        const double* log_correct, int seq_len, int j,
+                        int artifact_size, int* best_pos) {
+  try {
+    ensure_logs();
+    std::string motif(period > 0 ? period : 1, 'A');
+    StutterModel model(in_geom, in_up, in_down, out_geom, out_up, out_down,
+                       motif);
+    RepeatStutterInfo info(period, std::string(block_seq), &model);
+    StutterAlignerClass sa(std::string(block_seq), period, true, &info);
+    sa.load_read(seq_len, read_seq + seq_len - 1, log_wrong + seq_len - 1,
+                 log_correct + seq_len - 1);
+    int offset = seq_len - 1 - j;
+    int block_len = (int)strlen(block_seq);
+    int base_len = std::min(block_len + artifact_size, j + 1);
+    if (base_len < 0) return 1e30;
+    int pos = -1;
+    double p = sa.align_stutter_region_reverse(
+        base_len, read_seq + j, offset, log_wrong + j, log_correct + j,
+        artifact_size, pos);
+    *best_pos = pos;
+    return p;
+  } catch (const std::exception&) {
+    return 1e30;  // error marker (valid LLs can be tiny positives)
+  }
+}
+
+}  // extern "C"
