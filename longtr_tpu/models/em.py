@@ -17,7 +17,8 @@ from __future__ import annotations
 import numpy as np
 
 from longtr_tpu.models.stutter import StutterModel, _c_div
-from longtr_tpu.utils.mathops import LOG_ONE_HALF
+from longtr_tpu.utils.mathops import LOG_ONE_HALF, fast_log_sum_exp, \
+    fast_log_sum_exp2, fast_log_sum_exp2_arr
 
 TOLERANCE = 1e-10
 
@@ -99,7 +100,8 @@ class EMStutterGenotyper:
         # log_phase_one depends on allele 1; phase two on allele 2
         one = LOG_ONE_HALF + self.log_p1[:, None, None] + LL[:, :, None]
         two = LOG_ONE_HALF + self.log_p2[:, None, None] + LL[:, None, :]
-        total = np.logaddexp(one, two)
+        # fast_log_sum_exp in the reference (em_stutter_genotyper.cpp:161)
+        total = fast_log_sum_exp2_arr(one, two)
         return np.stack([one - total, two - total], axis=-1)
 
     # -- M step -------------------------------------------------------------
@@ -159,14 +161,19 @@ class EMStutterGenotyper:
             out_down.append(_lse(flat_f[m]))
             out_diffs.append(_lse(flat_f[m] + np.log(np.abs(eff[m]))))
 
-        in_tot_up = _lse(in_up)
-        in_tot_down = _lse(in_down)
-        in_tot_eq = _lse(in_eq)
-        in_tot_diffs = _lse(in_diffs)
-        out_tot_up = _lse(out_up)
-        out_tot_down = _lse(out_down)
-        out_tot_diffs = _lse(out_diffs)
-        out_tot = np.logaddexp(out_tot_up, out_tot_down)
+        # Reference M-step totals use fast_log_sum_exp over the flat factor
+        # vectors (em_stutter_genotyper.cpp:109-116).  Our accumulation is
+        # two-stage (exact inner category LSEs), so fidelity here is
+        # approximate rather than bit-exact — acceptable: EM runs only when
+        # no default stutter model is installed.
+        in_tot_up = fast_log_sum_exp(in_up)
+        in_tot_down = fast_log_sum_exp(in_down)
+        in_tot_eq = fast_log_sum_exp(in_eq)
+        in_tot_diffs = fast_log_sum_exp(in_diffs)
+        out_tot_up = fast_log_sum_exp(out_up)
+        out_tot_down = fast_log_sum_exp(out_down)
+        out_tot_diffs = fast_log_sum_exp(out_diffs)
+        out_tot = fast_log_sum_exp2(out_tot_up, out_tot_down)
         in_pgeom = min(0.999, np.exp(np.logaddexp(in_tot_up, in_tot_down) - in_tot_diffs))
         out_pgeom = min(0.999, np.exp(out_tot - out_tot_diffs))
         log_total = np.logaddexp(_lse([in_tot_up, in_tot_down, in_tot_eq]), out_tot)

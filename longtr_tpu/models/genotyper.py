@@ -15,7 +15,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from longtr_tpu.utils.mathops import LOG_E_BASE_10, TOLERANCE, int_log
+from longtr_tpu.utils.mathops import (LOG_E_BASE_10, TOLERANCE,
+                                      fast_log_sum_exp2, int_log)
 
 NEG_INF = -np.inf
 
@@ -103,8 +104,10 @@ def extract_genotypes_and_likelihoods(
                 np.exp(vals - m[:, None]).sum(axis=1))
 
     hap_phased = np.array([P[s, a, b] for s, (a, b) in enumerate(best_haps)])
+    # genotyper.cpp:181 uses fast_log_sum_exp here (term-dropping; Mineiro
+    # bit patterns in fidelity mode) — unlike :196 below which is exact.
     hap_unphased = np.array([
-        P[s, a, b] if a == b else np.logaddexp(P[s, a, b], P[s, b, a])
+        P[s, a, b] if a == b else fast_log_sum_exp2(P[s, a, b], P[s, b, a])
         for s, (a, b) in enumerate(best_haps)])
 
     log_phased = np.array([T[s, ga, gb] for s, (ga, gb) in enumerate(best_gts)])
@@ -133,8 +136,9 @@ def extract_genotypes_and_likelihoods(
                 pgl_corr = (hom_corr if i1 == i2 else het_corr) + pgl_nconfig
                 for s in range(S):
                     if i2 <= i1 and (not haploid or i1 == i2):
+                        # fast_log_sum_exp in the reference (genotyper.cpp:232)
                         v = (sample_total_lls[s] - gl_corr
-                             + np.logaddexp(T[s, i1, i2], T[s, i2, i1]))
+                             + fast_log_sum_exp2(T[s, i1, i2], T[s, i2, i1]))
                         gls[s].append(v * LOG_E_BASE_10)
                     if calc_phased_gls and (not haploid or i1 == i2):
                         pgls[s].append((sample_total_lls[s] - pgl_corr

@@ -117,6 +117,18 @@ def fast_log_sum_exp2(log_v1: float, log_v2: float) -> float:
     return hi + float(fastlog(t))
 
 
+def fast_log_sum_exp2_arr(a, b):
+    """Elementwise fast_log_sum_exp2 over arrays (same op boundaries)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    hi = np.maximum(a, b)
+    lo = np.minimum(a, b)
+    diff = lo - hi
+    fe = fastexp(diff.astype(np.float32))
+    t = np.float32(1.0) + fe
+    return np.where(diff < _LOG_THRESH, hi, hi + fastlog(t).astype(np.float64))
+
+
 def fast_log_sum_exp_vec(log_vals) -> float:
     """mathops.cpp:98-107 (vector form, fasterexp/fasterlog)."""
     arr = np.asarray(log_vals, dtype=np.float64)

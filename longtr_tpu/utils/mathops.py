@@ -100,6 +100,18 @@ def fast_log_sum_exp2(log_v1: float, log_v2: float) -> float:
     return hi + math.log1p(math.exp(diff))
 
 
+def fast_log_sum_exp2_arr(a, b):
+    """Elementwise two-argument fast LSE over arrays."""
+    if _ref_fidelity:
+        from longtr_tpu.utils import fastapprox
+        return fastapprox.fast_log_sum_exp2_arr(a, b)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    hi = np.maximum(a, b)
+    diff = np.minimum(a, b) - hi
+    return np.where(diff < LOG_THRESH, hi, hi + np.log1p(np.exp(diff)))
+
+
 def streaming_lse_update(log_val: float, max_val: float, total: float):
     """One step of the streaming log-sum-exp (mathops.cpp:73-81)."""
     if log_val <= max_val:

@@ -363,3 +363,44 @@ def test_mode_b_hapaligner_matches_reference():
     finally:
         mathops.set_ref_fidelity(False)
     assert n_compared >= 200, n_compared
+
+
+def test_e2e_pipeline_runs_in_fidelity_mode(tmp_path):
+    """The full CLI pipeline produces a well-formed VCF with the Mineiro
+    fidelity math switched on, and calls stay concordant with exact math
+    (the approximations perturb LLs ~1e-5, far under call resolution)."""
+    import gzip
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import standard_fixture
+
+    from longtr_tpu.cli import main as cli_main
+    from longtr_tpu.utils import mathops
+
+    fx = standard_fixture(str(tmp_path))
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--use-unpaired", "--quiet"]
+    out1 = str(tmp_path / "exact.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", out1]) == 0
+    mathops.set_ref_fidelity(True)
+    try:
+        out2 = str(tmp_path / "fidelity.vcf.gz")
+        assert cli_main(base + ["--tr-vcf", out2]) == 0
+    finally:
+        mathops.set_ref_fidelity(False)
+
+    def records(p):
+        return [ln.split("\t") for ln in
+                gzip.decompress(open(p, "rb").read()).decode().splitlines()
+                if not ln.startswith("#")]
+
+    r1, r2 = records(out1), records(out2)
+    assert len(r1) == len(r2) > 0
+    for a, b in zip(r1, r2):
+        assert a[:5] == b[:5]          # same loci and alleles
+        # same GT calls per sample
+        gts1 = [f.split(":")[0] for f in a[9:]]
+        gts2 = [f.split(":")[0] for f in b[9:]]
+        assert gts1 == gts2
