@@ -135,6 +135,35 @@ def main():
         n_called += sum(1 for c in cols[9:] if not c.startswith("."))
     print(f"records: {n_rec}/{len(loci)}  sample-calls: {n_called}")
     print(f"wall: {dt:.1f}s -> {len(loci) / dt:.2f} loci/s", flush=True)
+
+    # Mendelian-consistency validation: HG002 is the child of HG003
+    # (father) and HG004 (mother) — the only truth check available without
+    # external benchmarks (machinery: denovo/pedigree.py, reference analog
+    # src/pedigree.cpp:71-88).  Child alleles must be drawable one from
+    # each parent at every fully-called locus.
+    from longtr_tpu.denovo.pedigree import NuclearFamily
+    from longtr_tpu.io.vcf import VCFReader
+
+    fam = NuclearFamily("trio", mother="HG004", father="HG003",
+                        children=["HG002"])
+    reader = VCFReader(out)
+    n_full = n_mendel = 0
+    for chrom in reader.chromosomes():
+        reader.set_region(chrom, 0)
+        while (var := reader.get_next_variant()) is not None:
+            if fam.is_missing_genotype(var):
+                continue
+            n_full += 1
+            if fam.is_mendelian(var):
+                n_mendel += 1
+    rate = n_mendel / n_full if n_full else 0.0
+    print(f"mendelian: {n_mendel}/{n_full} fully-called loci "
+          f"({100 * rate:.1f}%)", flush=True)
+    # Threshold: de novo TR mutation rates are ~1e-4/locus; residual
+    # discordance here reflects genotyping errors (plus the majority-vote
+    # reference estimate).  Fail the smoke below 80%.
+    assert n_full >= min(5, n_rec), "too few fully-called trio loci"
+    assert rate >= 0.8, f"Mendelian consistency {rate:.2f} below threshold"
     return 0
 
 
