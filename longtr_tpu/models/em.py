@@ -184,18 +184,90 @@ class EMStutterGenotyper:
         self.stutter_model = StutterModel(in_pgeom, in_pup, in_pdown,
                                           out_pgeom, out_pup, out_pdown, self.motif)
 
+    # -- device (mesh) E-step ----------------------------------------------
+    def _estep_category_tables(self):
+        """(cat, w_in, w_out) (R, A) arrays for the device E-step: category
+        id in {in_eq, in_up, in_down, out_up, out_down} plus the |rep|/|eff|
+        magnitudes for the diff-weighted sums."""
+        d1 = (self.bps_per_allele[self.allele_index][:, None]
+              - self.bps_per_allele[None, :])
+        p = self.motif_len
+        in_frame = (d1 % p) == 0
+        rep = _c_div(d1, p)
+        eff = d1 - rep
+        cat = np.where(in_frame,
+                       np.where(rep == 0, 0, np.where(rep > 0, 1, 2)),
+                       np.where(d1 > 0, 3, 4)).astype(np.int32)
+        w_in = np.where(in_frame & (rep != 0), np.abs(rep), 0).astype(np.float64)
+        w_out = np.where(~in_frame, np.abs(eff), 0).astype(np.float64)
+        return cat, w_in, w_out
+
+    def _estep_mesh(self, mesh, aln_LL, cat, w_in, w_out):
+        """Run the full E-step on the device mesh (reads sharded, posterior
+        + stats psum over ICI); returns the iteration LL and stores the
+        posteriors + stats for the M step."""
+        from longtr_tpu.parallel.mesh import em_estep_sharded
+        A, S = self.num_alleles, self.num_samples
+        if self.haploid:
+            prior = np.full((A, A), -1e30)
+            np.fill_diagonal(prior, self.log_gt_priors)
+        else:
+            prior = self.log_gt_priors[:, None] + self.log_gt_priors[None, :]
+        Pn, totals, stats = em_estep_sharded(
+            mesh, np.clip(aln_LL, -600.0, None), self.log_p1, self.log_p2,
+            self.sample_label, np.ones(self.num_reads, bool), cat, w_in,
+            w_out, prior, S)
+        self.posteriors = np.asarray(Pn, dtype=np.float64)
+        self.sample_total_lls = np.asarray(totals, dtype=np.float64)
+        self._mesh_stats = np.asarray(stats, dtype=np.float64)
+        return float(self.sample_total_lls.sum())
+
+    def _recalc_stutter_model_from_stats(self, stats):
+        """Closed-form M step from the device category sums; pseudocounts
+        enter as +1 (=exp(0.0)) / +1.1 exactly as the host lists do."""
+        s_in_eq, s_in_up, s_in_down, s_out_up, s_out_down, din, dout = stats
+        in_tot_up = np.log(1.0 + s_in_up)
+        in_tot_down = np.log(1.0 + s_in_down)
+        in_tot_eq = np.log(1.0 + s_in_eq)
+        in_tot_diffs = np.log(1.0 + 1.1 + din)
+        out_tot_up = np.log(1.0 + s_out_up)
+        out_tot_down = np.log(1.0 + s_out_down)
+        out_tot_diffs = np.log(1.0 + 1.1 + dout)
+        out_tot = np.logaddexp(out_tot_up, out_tot_down)
+        in_pgeom = min(0.999, np.exp(np.logaddexp(in_tot_up, in_tot_down)
+                                     - in_tot_diffs))
+        out_pgeom = min(0.999, np.exp(out_tot - out_tot_diffs))
+        log_total = np.logaddexp(_lse([in_tot_up, in_tot_down, in_tot_eq]),
+                                 out_tot)
+        self.stutter_model = StutterModel(
+            in_pgeom, np.exp(in_tot_up - log_total),
+            np.exp(in_tot_down - log_total), out_pgeom,
+            np.exp(out_tot_up - log_total), np.exp(out_tot_down - log_total),
+            self.motif)
+
     # -- training loop ------------------------------------------------------
     def train(self, max_iter=100, min_ll_abs=0.01, min_ll_frac=0.001,
-              logger=None) -> bool:
-        """em_stutter_genotyper.cpp:170-226."""
+              logger=None, mesh=None) -> bool:
+        """em_stutter_genotyper.cpp:170-226.
+
+        With ``mesh`` the E-step runs read-sharded on the device mesh
+        (posterior accumulation + sufficient statistics psum over ICI);
+        the closed-form M step stays host-side.
+        """
         max_param_diff = 0.0001
         self._init_log_gt_priors()
         self.stutter_model = StutterModel(0.9, 0.1, 0.1, 0.8, 0.01, 0.01, self.motif)
         LL = -np.inf
+        cat = w_in = w_out = None
+        if mesh is not None:
+            cat, w_in, w_out = self._estep_category_tables()
         for it in range(1, max_iter + 1):
             aln_LL = self._pmf_matrix()
-            new_LL = self._calc_posteriors(aln_LL)
-            phase_post = self._calc_read_phase_posteriors(aln_LL)
+            if mesh is not None:
+                new_LL = self._estep_mesh(mesh, aln_LL, cat, w_in, w_out)
+            else:
+                new_LL = self._calc_posteriors(aln_LL)
+                phase_post = self._calc_read_phase_posteriors(aln_LL)
             if logger:
                 logger(f"EM iteration {it}: LL = {new_LL}")
             assert new_LL <= TOLERANCE
@@ -203,7 +275,10 @@ class EMStutterGenotyper:
                 return True  # non-monotonic due to pseudocounts: accept
             self._recalc_log_gt_priors()
             prev = self.stutter_model
-            self._recalc_stutter_model(phase_post)
+            if mesh is not None:
+                self._recalc_stutter_model_from_stats(self._mesh_stats)
+            else:
+                self._recalc_stutter_model(phase_post)
             abs_change = new_LL - LL
             frac_change = -(new_LL - LL) / LL if LL != -np.inf else np.inf
             if abs_change < min_ll_abs and frac_change < min_ll_frac:

@@ -115,6 +115,73 @@ def calc_log_sample_posteriors(log_aln_probs, log_p1, log_p2, sample_label,
     return P, totals, totals.sum()
 
 
+def batched_posteriors(loci, mesh=None):
+    """One device dispatch computing posteriors for a WINDOW of loci.
+
+    ``loci``: list of dicts with keys ``log_aln_probs`` (R_i, A_i),
+    ``log_p1``/``log_p2`` (R_i,), ``sample_label`` (R_i,), ``num_samples``
+    S_i, ``haploid``.  Each locus is padded to (R_max, A_max, S_max); padded
+    alleles get prior/LL of -1e30 (contribute nothing), padded reads are
+    masked out.  The batch is vmapped on one device, or sharded over the
+    'locus' axis of ``mesh`` — each locus's reduction stays on a single
+    device, so results are bit-identical for any mesh size.
+
+    Returns a list of (posteriors (S_i, A_i, A_i), totals (S_i,)) float32.
+    """
+    L = len(loci)
+    R_max = max(l["log_aln_probs"].shape[0] for l in loci)
+    A_max = max(l["log_aln_probs"].shape[1] for l in loci)
+    S_max = max(l["num_samples"] for l in loci)
+    LL = np.full((L, R_max, A_max), NEG_HALF_DBL_MAX, dtype=np.float32)
+    p1 = np.zeros((L, R_max), dtype=np.float32)
+    p2 = np.zeros((L, R_max), dtype=np.float32)
+    label = np.zeros((L, R_max), dtype=np.int32)
+    mask = np.zeros((L, R_max), dtype=bool)
+    prior = np.full((L, A_max, A_max), NEG_HALF_DBL_MAX, dtype=np.float32)
+    for i, l in enumerate(loci):
+        R, A = l["log_aln_probs"].shape
+        LL[i, :R, :A] = l["log_aln_probs"]
+        p1[i, :R] = l["log_p1"]
+        p2[i, :R] = l["log_p2"]
+        label[i, :R] = l["sample_label"]
+        mask[i, :R] = True
+        prior[i, :A, :A] = genotype_log_priors(A, l["haploid"])
+
+    def one(LLi, p1i, p2i, labi, maski, pri):
+        return calc_log_sample_posteriors(LLi, p1i, p2i, labi, S_max, pri,
+                                          read_mask=maski)
+
+    fn = jax.vmap(one)
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndev = mesh.devices.size
+        pad = (-L) % ndev
+        if pad:
+            LL = np.pad(LL, ((0, pad), (0, 0), (0, 0)),
+                        constant_values=NEG_HALF_DBL_MAX)
+            p1 = np.pad(p1, ((0, pad), (0, 0)))
+            p2 = np.pad(p2, ((0, pad), (0, 0)))
+            label = np.pad(label, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+            prior = np.pad(prior, ((0, pad), (0, 0), (0, 0)),
+                           constant_values=NEG_HALF_DBL_MAX)
+        axis = "locus" if "locus" in mesh.axis_names else mesh.axis_names[0]
+        shard = lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+        args = tuple(map(shard, (LL, p1, p2, label, mask, prior)))
+        P_all, totals, _ = jax.jit(fn)(*args)
+    else:
+        P_all, totals, _ = jax.jit(fn)(LL, p1, p2, label, mask, prior)
+    P_all = np.asarray(P_all)
+    totals = np.asarray(totals)
+    out = []
+    for i, l in enumerate(loci):
+        A = l["log_aln_probs"].shape[1]
+        S = l["num_samples"]
+        out.append((P_all[i, :S, :A, :A], totals[i, :S]))
+    return out
+
+
 def map_genotypes(posteriors):
     """Per-sample argmax diplotype (genotyper.cpp:85-100).
 

@@ -127,60 +127,74 @@ def pairhmm_batch_sharded(hap_codes, hap_lens, read_codes, read_lens,
     return np.asarray(out)[:B]
 
 
-def _em_stats_local(LL, log_p1, log_p2, diff1, valid, n_categories):
-    """Per-shard EM sufficient statistics with a psum reduction.
+def _em_estep_local(LL, log_p1, log_p2, sample_label, valid, cat, w_in,
+                    w_out, prior, num_samples: int):
+    """Full EM E-step for one read shard with cross-shard psum.
 
-    LL: (R, A) read-vs-allele lls; diff1: (R, A) integer category ids in
-    [0, n_categories); valid: (R,) mask.  Produces the category-binned
-    expected counts the M step consumes, reduced across the mesh.
-    This runs INSIDE shard_map.
+    The production E-step: diplotype posteriors under the
+    population-frequency prior, read-phase posteriors, and the seven
+    category-binned sufficient statistics the closed-form M step consumes
+    (em_stutter_genotyper.cpp:63-168).
+
+    LL (R, A): stutter-PMF read-vs-allele log-likelihoods; cat (R, A) int32
+    in {0:in_eq, 1:in_up, 2:in_down, 3:out_up, 4:out_down}; w_in/w_out
+    (R, A): |rep| / |eff| magnitudes for the diff-weighted sums.  Reads are
+    sharded; the posterior accumulation and the final stats ride psums.
     """
     LLc = jnp.clip(LL, LL_CLAMP, None)
     a = LLc + log_p1[:, None] + LOG_ONE_HALF
     b = LLc + log_p2[:, None] + LOG_ONE_HALF
-    # per-read allele responsibilities (phase-marginal, flat prior)
-    m = jnp.maximum(a, b)
-    w = jnp.exp(m - jax.scipy.special.logsumexp(m, axis=1, keepdims=True))
-    w = jnp.where(valid[:, None], w, 0.0)
-    flat = jax.ops.segment_sum(w.reshape(-1), diff1.reshape(-1),
-                               num_segments=n_categories)
-    return jax.lax.psum(flat, AXIS)
+    T = jnp.logaddexp(a[:, :, None], b[:, None, :])
+    T = jnp.where(valid[:, None, None], T, 0.0)
+    Ppart = jax.ops.segment_sum(T, sample_label, num_segments=num_samples)
+    P = jax.lax.psum(Ppart, AXIS) + prior[None]
+    totals = jax.scipy.special.logsumexp(
+        P.reshape(num_samples, -1), axis=1)
+    Pn = P - totals[:, None, None]
+
+    one = LOG_ONE_HALF + log_p1[:, None, None] + LLc[:, :, None]
+    two = LOG_ONE_HALF + log_p2[:, None, None] + LLc[:, None, :]
+    tot2 = jnp.logaddexp(one, two)
+    Pr = Pn[sample_label]                        # (R, A, A)
+    f0 = jax.scipy.special.logsumexp(Pr + (one - tot2), axis=2)   # (R, A)
+    f1 = jax.scipy.special.logsumexp(Pr + (two - tot2), axis=1)   # (R, A)
+    lin = jnp.exp(f0) + jnp.exp(f1)
+    lin = jnp.where(valid[:, None], lin, 0.0)
+    sums = jax.ops.segment_sum(lin.reshape(-1), cat.reshape(-1),
+                               num_segments=5)
+    din = jnp.sum(lin * w_in)
+    dout = jnp.sum(lin * w_out)
+    stats = jax.lax.psum(jnp.concatenate([sums, jnp.stack([din, dout])]),
+                         AXIS)
+    return Pn, totals, stats
 
 
-def sharded_em_stats(mesh: Mesh, LL, log_p1, log_p2, diff_cats, valid,
-                     n_categories: int):
-    """All-reduced EM sufficient statistics over a read-sharded batch."""
+def em_estep_sharded(mesh: Mesh, LL, log_p1, log_p2, sample_label, valid,
+                     cat, w_in, w_out, prior, num_samples: int):
+    """Read-sharded production E-step: posteriors replicated via psum,
+    category stats all-reduced.  Returns (posteriors (S,A,A), totals (S,),
+    stats (7,)) as numpy arrays."""
+    ndev = mesh.devices.size
+    arrays, R = pad_to_multiple((np.asarray(LL, np.float32),
+                                 np.asarray(log_p1, np.float32),
+                                 np.asarray(log_p2, np.float32),
+                                 np.asarray(sample_label, np.int32),
+                                 np.asarray(valid, bool),
+                                 np.asarray(cat, np.int32),
+                                 np.asarray(w_in, np.float32),
+                                 np.asarray(w_out, np.float32)), ndev)
+    LLp, p1p, p2p, labp, vp, catp, wip, wop = arrays
+    if LLp.shape[0] != R:
+        vp = vp.copy()
+        vp[R:] = False
+    sharded = shard_batch(mesh, LLp, p1p, p2p, labp, vp, catp, wip, wop)
     fn = jax.jit(
         jax.shard_map(
-            partial(_em_stats_local, n_categories=n_categories),
+            partial(_em_estep_local, num_samples=num_samples),
             mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None), P(AXIS)),
-            out_specs=P(),
-        ),
-        static_argnames=(),
-    )
-    return fn(LL, log_p1, log_p2, diff_cats, valid)
-
-
-def training_step(mesh: Mesh, hap, hap_len, read, read_len, full_len, trans,
-                  log_p1, log_p2, diff_cats, valid, n_categories: int):
-    """One full 'training step': sharded pair-HMM + all-reduced EM stats.
-
-    This is the step ``__graft_entry__.dryrun_multichip`` compiles over an
-    N-device mesh: compute is locus-sharded, the EM statistics ride a psum.
-    """
-    def step(h, hl, r, rl, fl, tr, p1, p2, dc, v):
-        scores = pairhmm_scan(h, hl, r, rl, fl, tr)
-        LL = scores[:, None] + jnp.zeros((1, dc.shape[1]), scores.dtype)
-        stats = _em_stats_local(LL, p1, p2, dc, v, n_categories)
-        return scores, stats
-
-    fn = jax.jit(
-        jax.shard_map(
-            step, mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS), P(AXIS),
-                      P(), P(AXIS), P(AXIS), P(AXIS, None), P(AXIS)),
-            out_specs=(P(AXIS), P()),
+            in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS, None), P(AXIS, None), P(AXIS, None), P()),
+            out_specs=(P(), P(), P()),
         ))
-    return fn(hap, hap_len, read, read_len, full_len, trans, log_p1, log_p2,
-              diff_cats, valid)
+    Pn, totals, stats = fn(*sharded, jnp.asarray(prior, jnp.float32))
+    return np.asarray(Pn), np.asarray(totals), np.asarray(stats)

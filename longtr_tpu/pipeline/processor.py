@@ -238,7 +238,19 @@ class GenotyperPipeline:
             return None
         em = EMStutterGenotyper(haploid, region.motif, str_bp_lengths,
                                 str_p1s, str_p2s, rg_names)
-        if em.train(cfg.max_em_iter, cfg.abs_ll_converge, cfg.frac_ll_converge):
+        # When a device mesh is active, the E-step runs read-sharded with
+        # psum collectives (parallel/mesh.em_estep_sharded); M step stays
+        # host-side closed form.
+        mesh = None
+        import os as _os
+        import jax as _jax
+        if (_jax.local_device_count() > 1
+                and (_os.environ.get("LONGTR_FORCE_MESH") == "1"
+                     or _jax.default_backend() in ("tpu", "axon"))):
+            from longtr_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        if em.train(cfg.max_em_iter, cfg.abs_ll_converge, cfg.frac_ll_converge,
+                    mesh=mesh):
             self.stats.num_em_converge += 1
             model = em.stutter_model.copy()
             if self.stutter_out_fh:
@@ -334,14 +346,40 @@ class GenotyperPipeline:
                       if self.config.alignment_params else AlignmentParams())
             scores = score_pairs(all_pairs, params)
         cfg = self.config
-        for (gt, pairs, ok, group), sl in zip(self._pending, slices):
+        for (gt, pairs, ok, _group), sl in zip(self._pending, slices):
+            if ok and sl is not None:
+                lo, n = sl
+                gt._pool_scores = scores[lo: lo + n].reshape(gt._request_shape)
+        # Batched device posterior: the pruning-decision posteriors for the
+        # whole flush window run as ONE vmapped dispatch, loci sharded over
+        # the mesh when one is active (each locus's reduction stays on a
+        # single device, so results are mesh-size invariant).  Final VCF
+        # numbers are always recomputed host-side in f64 (genotyper.cpp
+        # parity) inside genotype_finalize.
+        import os as _os
+        initial = {}
+        use_device_post = (_os.environ.get("LONGTR_DEVICE_POSTERIOR") == "1"
+                           or _os.environ.get("LONGTR_FORCE_MESH") == "1")
+        if use_device_post:
+            from longtr_tpu.ops.posterior import batched_posteriors
+            live = [(i, gt) for i, (gt, _p, ok, _g) in
+                    enumerate(self._pending) if ok]
+            if live:
+                reqs = [gt.posterior_request() for _i, gt in live]
+                mesh = None
+                import jax as _jax
+                if _jax.local_device_count() > 1:
+                    from longtr_tpu.parallel.mesh import make_mesh
+                    mesh = make_mesh()
+                results = batched_posteriors(reqs, mesh=mesh)
+                for (i, _gt), res in zip(live, results):
+                    initial[i] = res
+        for idx, ((gt, pairs, ok, group), sl) in enumerate(
+                zip(self._pending, slices)):
             if not ok:
                 self.stats.num_genotype_fail += 1
                 continue
-            if sl is not None:
-                lo, n = sl
-                gt._pool_scores = scores[lo: lo + n].reshape(gt._request_shape)
-            if gt.genotype_finalize():
+            if gt.genotype_finalize(initial_posterior=initial.get(idx)):
                 self.stats.num_genotype_success += 1
                 write_vcf_record(gt, self.samples_to_genotype,
                                  cfg.output_flags(), self.vcf_writer,

@@ -653,8 +653,9 @@ class SeqStutterGenotyper:
         self._request_shape = (P, H)
         return True, pairs
 
-    def genotype_finalize(self, pool_scores=None) -> bool:
-        """Post-alignment phase: LL fan-out, posteriors, allele pruning."""
+    def posterior_request(self, pool_scores=None):
+        """Finish LL fan-out and expose the posterior inputs for the batched
+        device dispatch (ops.posterior.batched_posteriors)."""
         if pool_scores is not None:
             self._pool_scores = np.asarray(pool_scores).reshape(
                 self._request_shape)
@@ -664,13 +665,37 @@ class SeqStutterGenotyper:
             LL[i - 1] = tot
             LL[i] = tot
         self.log_aln_probs = LL
-        self._calc_posteriors()
+        return {"log_aln_probs": self.log_aln_probs, "log_p1": self.log_p1,
+                "log_p2": self.log_p2, "sample_label": self.sample_label,
+                "num_samples": self.num_samples, "haploid": self.haploid}
+
+    def genotype_finalize(self, pool_scores=None,
+                          initial_posterior=None) -> bool:
+        """Post-alignment phase: LL fan-out, posteriors, allele pruning.
+
+        ``initial_posterior``: optional (P (S,A,A), totals (S,)) computed by
+        the batched device dispatch; used for the allele-pruning decision.
+        The FINAL posterior numbers are always recomputed host-side in
+        float64 (genotyper.cpp:45-83 parity).
+        """
+        if self.log_aln_probs is None or pool_scores is not None:
+            self.posterior_request(pool_scores)
+        if initial_posterior is not None:
+            P, totals = initial_posterior
+            self.posteriors = np.asarray(P, dtype=np.float64)
+            self.sample_total_lls = np.asarray(totals, dtype=np.float64)
+        else:
+            self._calc_posteriors()
+        pruned = False
         if self.ref_vcf is None:
             unused, n_blocks, n_alleles = self._get_unused_alleles()
             if n_alleles:
                 self.logger(f"Recomputing posteriors after removing {n_alleles} "
                             f"uncalled alleles across {n_blocks} blocks")
-                self._remove_alleles(unused)
+                self._remove_alleles(unused)   # ends with host-f64 posteriors
+                pruned = True
+        if initial_posterior is not None and not pruned:
+            self._calc_posteriors()            # final f64 refinement
         # Flank reassembly: no-op under the default configuration (see module
         # docstring); retained as a hook for the assembly workstream.
         return True

@@ -70,3 +70,53 @@ def test_em_haploid():
     em = EMStutterGenotyper(True, "N", num_bps, zeros, zeros,
                             [f"S{i}" for i in range(len(pairs))])
     assert em.train()
+
+
+def test_em_mesh_estep_matches_host():
+    """The read-sharded device E-step (psum collectives) trains to the same
+    stutter model as the host path on the 8-device CPU mesh."""
+    from longtr_tpu.parallel.mesh import make_mesh
+
+    truth = StutterModel(0.9, 0.10, 0.12, 0.85, 0.015, 0.015, "NN")
+    alleles = [(0, 0), (0, 4), (4, 4), (0, -4), (-4, 4), (4, 8)]
+    pairs = alleles * 8
+    num_bps = simulate_reads(truth, pairs, 25)
+    zeros = [[0.0] * len(s) for s in num_bps]
+    names = [f"S{i}" for i in range(len(pairs))]
+
+    host = EMStutterGenotyper(False, "NN", num_bps, zeros, zeros, names)
+    assert host.train()
+    mesh_em = EMStutterGenotyper(False, "NN", num_bps, zeros, zeros, names)
+    assert mesh_em.train(mesh=make_mesh(8))
+
+    h, m = host.stutter_model, mesh_em.stutter_model
+    # f32 device E-step + exact-vs-fast phase LSE leave small drift
+    assert m.in_geom == pytest.approx(h.in_geom, abs=2e-3)
+    assert m.in_up == pytest.approx(h.in_up, abs=2e-3)
+    assert m.in_down == pytest.approx(h.in_down, abs=2e-3)
+    assert m.out_geom == pytest.approx(h.out_geom, abs=2e-3)
+    assert m.out_up == pytest.approx(h.out_up, abs=2e-3)
+    assert m.out_down == pytest.approx(h.out_down, abs=2e-3)
+    # posteriors agree too (replicated psum result vs host accumulation)
+    np.testing.assert_allclose(mesh_em.posteriors, host.posteriors,
+                               atol=1e-3)
+
+
+def test_em_mesh_recovers_stutter_params():
+    """EM through the mesh E-step still recovers simulation truth."""
+    from longtr_tpu.parallel.mesh import make_mesh
+
+    truth = StutterModel(0.9, 0.10, 0.12, 0.85, 0.015, 0.015, "NN")
+    alleles = [(0, 0), (0, 4), (4, 4), (0, -4), (-4, 4), (0, 0), (4, 8), (0, 8)]
+    pairs = alleles * 12
+    num_bps = simulate_reads(truth, pairs, 30)
+    zeros = [[0.0] * len(s) for s in num_bps]
+    em = EMStutterGenotyper(False, "NN", num_bps, zeros, zeros,
+                            [f"S{i}" for i in range(len(pairs))])
+    assert em.train(mesh=make_mesh(8))
+    m = em.stutter_model
+    assert m.in_up == pytest.approx(truth.in_up, abs=0.05)
+    assert m.in_down == pytest.approx(truth.in_down, abs=0.05)
+    assert m.in_geom == pytest.approx(truth.in_geom, abs=0.1)
+    assert m.out_up == pytest.approx(truth.out_up, abs=0.03)
+    assert m.out_down == pytest.approx(truth.out_down, abs=0.03)
