@@ -66,12 +66,18 @@ def main():
 
     from longtr_tpu.cli import main as cli_main
     out = os.path.join(tmpdir, "calls.vcf.gz")
+    metrics_path = os.path.join(tmpdir, "metrics.json")
     t0 = time.time()
     rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
                    "--regions", bed, "--tr-vcf", out,
-                   "--min-reads", "5", "--quiet"])
+                   "--min-reads", "5", "--quiet",
+                   "--metrics-out", metrics_path])
     dt = time.time() - t0
     assert rc == 0
+    import json
+    m = json.load(open(metrics_path))
+    print(f"device dispatches: {m.get('num_dispatches')}  "
+          f"host syncs: {m.get('num_syncs')}")
     from longtr_tpu.io.bgzf import bgzf_open_text
     # genotype concordance vs simulation truth (GB = bp diffs from ref)
     n_rec = 0

@@ -40,6 +40,8 @@ class RunStats:
     num_genotype_success: int = 0
     num_genotype_fail: int = 0
     loci_processed: int = 0
+    num_dispatches: int = 0      # device dispatches (pair-HMM chunks)
+    num_syncs: int = 0           # host syncs (one per completed window)
 
 
 class GenotyperPipeline:
@@ -66,6 +68,7 @@ class GenotyperPipeline:
         self.snp_tracker = None      # HaplotypeTracker for --fam SNP filtering
         self.filt_bam = None         # BamWriter for --filt-bam
         self._pending = []           # loci awaiting the fused device dispatch
+        self._inflight = None        # dispatched window not yet completed
         self._checkpoint_fh = None
         self._checkpoint_done = set()
 
@@ -322,16 +325,26 @@ class GenotyperPipeline:
         self._pending.append((gt, pairs, ok, group))
         self.timer.add("Genotyping", time.time() - t0)
         if len(self._pending) >= max(1, cfg.locus_batch):
-            self._flush_pending()
+            self._dispatch_pending()
 
     def _flush_pending(self):
-        """Fuse all pending loci's pair-HMM work into one device dispatch
-        (the reference aligns per read per haplotype per locus —
-        HapAligner.cpp:545-581; here a window of loci shares one call)."""
-        from longtr_tpu.pipeline.seq_genotyper import score_pairs
+        """Synchronous flush: dispatch the pending window and complete it
+        (plus any window still in flight)."""
+        self._dispatch_pending()
+        self._complete_inflight()
+
+    def _dispatch_pending(self):
+        """Enqueue the pending window's fused pair-HMM work on the device
+        WITHOUT waiting (the reference aligns per read per haplotype per
+        locus — HapAligner.cpp:545-581; here a window of loci shares one
+        dispatch).  Completing the previous window first keeps at most one
+        window in flight, so host IO/decode of window k+1 overlaps device
+        scoring of window k (double buffering)."""
+        from longtr_tpu.pipeline.seq_genotyper import score_pairs_async
         from longtr_tpu.ops.pairhmm import AlignmentParams
         if not self._pending:
             return
+        self._complete_inflight()
         t0 = time.time()
         all_pairs = []
         slices = []
@@ -341,12 +354,29 @@ class GenotyperPipeline:
                 all_pairs.extend(pairs)
             else:
                 slices.append(None)
+        handle = None
         if all_pairs:
             params = (AlignmentParams.from_list(self.config.alignment_params)
                       if self.config.alignment_params else AlignmentParams())
-            scores = score_pairs(all_pairs, params)
+            handle = score_pairs_async(all_pairs, params)
+            self.stats.num_dispatches += handle.n_dispatches
+        self._inflight = (list(self._pending), slices, handle)
+        self._pending.clear()
+        self.timer.add("Genotyping", time.time() - t0)
+
+    def _complete_inflight(self):
+        """Materialize the in-flight window's scores (the host sync), run
+        posteriors, finalize calls and write VCF records."""
+        if self._inflight is None:
+            return
+        window, slices, handle = self._inflight
+        self._inflight = None
+        t0 = time.time()
+        if handle is not None:
+            scores = handle.result()
+            self.stats.num_syncs += 1
         cfg = self.config
-        for (gt, pairs, ok, _group), sl in zip(self._pending, slices):
+        for (gt, pairs, ok, _group), sl in zip(window, slices):
             if ok and sl is not None:
                 lo, n = sl
                 gt._pool_scores = scores[lo: lo + n].reshape(gt._request_shape)
@@ -363,7 +393,7 @@ class GenotyperPipeline:
         if use_device_post:
             from longtr_tpu.ops.posterior import batched_posteriors
             live = [(i, gt) for i, (gt, _p, ok, _g) in
-                    enumerate(self._pending) if ok]
+                    enumerate(window) if ok]
             if live:
                 reqs = [gt.posterior_request() for _i, gt in live]
                 mesh = None
@@ -375,7 +405,7 @@ class GenotyperPipeline:
                 for (i, _gt), res in zip(live, results):
                     initial[i] = res
         for idx, ((gt, pairs, ok, group), sl) in enumerate(
-                zip(self._pending, slices)):
+                zip(window, slices)):
             if not ok:
                 self.stats.num_genotype_fail += 1
                 continue
@@ -394,7 +424,6 @@ class GenotyperPipeline:
             else:
                 self.stats.num_genotype_fail += 1
             self._checkpoint_mark(group)
-        self._pending.clear()
         self.timer.add("Genotyping", time.time() - t0)
 
     def metrics(self) -> dict:
@@ -410,6 +439,8 @@ class GenotyperPipeline:
             "num_missing_models": s.num_missing_models,
             "num_genotype_success": s.num_genotype_success,
             "num_genotype_fail": s.num_genotype_fail,
+            "num_dispatches": s.num_dispatches,
+            "num_syncs": s.num_syncs,
             "stage_seconds": dict(self.timer.totals),
         }
 

@@ -200,16 +200,45 @@ def _bucket(n: int, step: int = 64) -> int:
 BATCH_LADDER = (256, 2048, 8192, 65536)
 
 
-def score_pairs(pairs, params=None):
-    """Score a flat list of (hap_seq, read_seq, full_hap_len) triplets.
+class ScoreHandle:
+    """In-flight pair-HMM work: dispatched to the device, not yet synced.
+
+    On the axon backend a dispatch returns at enqueue, so between
+    :func:`score_pairs_async` and :meth:`result` the device computes while
+    the host does other work (IO/decode of the next locus window — the
+    double-buffered flush in pipeline/processor.py).
+    """
+
+    __slots__ = ("_pending", "_out", "n_dispatches")
+
+    def __init__(self, pending, out):
+        self._pending = pending
+        self._out = out
+        self.n_dispatches = len(pending)
+
+    def result(self) -> np.ndarray:
+        """Materialize all chunk scores (the only host sync)."""
+        if self._pending is not None:
+            for sel, scores in self._pending:
+                vals = np.asarray(scores, dtype=np.float64)
+                for i, k in enumerate(sel):
+                    self._out[k] = vals[i]
+            self._pending = None
+        return self._out
+
+
+def score_pairs_async(pairs, params=None) -> ScoreHandle:
+    """Dispatch scoring for a flat list of (hap_seq, read_seq, full_hap_len)
+    triplets WITHOUT waiting for results.
 
     Encodes, pads (length-bucketed + batch ladder) and dispatches through the
     backend-adaptive pair-HMM.  This is the single funnel every locus's
     alignment work goes through, so the cross-locus scheduler can fuse
-    arbitrarily many loci into one call.
+    arbitrarily many loci into one call and overlap device compute with the
+    next window's host work.
     """
     if not pairs:
-        return np.zeros(0)
+        return ScoreHandle([], np.zeros(0))
     params = params or pairhmm.AlignmentParams()
     B = len(pairs)
     out = np.empty(B, dtype=np.float64)
@@ -248,11 +277,12 @@ def score_pairs(pairs, params=None):
             scores = pairhmm.pairhmm_batch_auto(
                 hap_codes, hap_lens, read_codes, read_lens, full_lens, params)
             pending.append((sel, scores))
-    for sel, scores in pending:
-        vals = np.asarray(scores, dtype=np.float64)
-        for i, k in enumerate(sel):
-            out[k] = vals[i]
-    return out
+    return ScoreHandle(pending, out)
+
+
+def score_pairs(pairs, params=None):
+    """Synchronous wrapper: dispatch + materialize in one call."""
+    return score_pairs_async(pairs, params).result()
 
 
 def _plan_chunks(B: int):
