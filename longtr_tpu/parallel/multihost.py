@@ -50,15 +50,13 @@ def merge_sorted_vcfs(paths, out_path: str):
     for line in header or []:
         out.write(line)
 
-    contig_order = {}
-    for line in header or []:
-        if line.startswith("##contig=<ID="):
-            name = line.split("ID=", 1)[1].split(",")[0].split(">")[0]
-            contig_order[name] = len(contig_order)
-
+    # Order must match the single-run emission order: regions are processed
+    # in lexicographic (chrom, start) order (regions.sort_key, mirroring the
+    # reference's orderRegions), NOT ##contig/FASTA order — the two diverge
+    # past 9 chromosomes ("chr126" < "chr13" lexicographically).
     def key(line):
         chrom, pos = line.split("\t", 2)[:2]
-        return (contig_order.get(chrom, 1 << 30), chrom, int(pos))
+        return (chrom, int(pos))
 
     heap = []
     for idx, (lines, first) in enumerate(readers):
