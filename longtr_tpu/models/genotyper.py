@@ -16,7 +16,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from longtr_tpu.utils.mathops import (LOG_E_BASE_10, TOLERANCE,
-                                      fast_log_sum_exp2, int_log)
+                                      fast_log_sum_exp2, int_log,
+                                      log_sum_exp2)
 
 NEG_INF = -np.inf
 
@@ -29,7 +30,7 @@ def log_homozygous_prior(num_alleles: int, haploid: bool) -> float:
 
 def log_heterozygous_prior(num_alleles: int, haploid: bool) -> float:
     if haploid:
-        return -8.988465674311579e307 / 2  # -DBL_MAX/2 semantics
+        return -8.988465674311579e307  # -DBL_MAX/2 (genotyper.cpp:31)
     return -int_log(num_alleles) - int_log(num_alleles + 1)
 
 
@@ -91,17 +92,23 @@ def extract_genotypes_and_likelihoods(
     best_haps = [(int(i // A), int(i % A)) for i in flat_idx]
     best_gts = [(int(h2a[a]), int(h2a[b])) for a, b in best_haps]
 
-    # Marginalize haplotype pairs -> variant pairs with logsumexp
-    T = np.full((S, V, V), NEG_INF)
-    gt_of_pair = (h2a[:, None] * V + h2a[None, :]).ravel()   # (A*A,)
-    Pflat = P.reshape(S, -1)
-    for g in range(V * V):
-        mask = gt_of_pair == g
-        if mask.any():
-            vals = Pflat[:, mask]
-            m = vals.max(axis=1)
-            T.reshape(S, -1)[:, g] = m + np.log(
-                np.exp(vals - m[:, None]).sum(axis=1))
+    # Marginalize haplotype pairs -> variant pairs with the reference's
+    # STREAMING log-sum-exp in hap-pair scan order (genotyper.cpp:153-170,
+    # mathops.cpp:73-86) — bit-identical, vectorized over samples.
+    maxv = np.full((S, V * V), -8.988465674311579e307)
+    totv = np.zeros((S, V * V))
+    for a1 in range(A):
+        g_base = V * int(h2a[a1])
+        for a2 in range(A):
+            g = g_base + int(h2a[a2])
+            lv = P[:, a1, a2]
+            le = lv <= maxv[:, g]
+            totv[le, g] += np.exp(lv[le] - maxv[le, g])
+            gt = ~le
+            totv[gt, g] = totv[gt, g] * np.exp(maxv[gt, g] - lv[gt]) + 1.0
+            maxv[gt, g] = lv[gt]
+    with np.errstate(divide="ignore"):
+        T = (maxv + np.log(totv)).reshape(S, V, V)
 
     hap_phased = np.array([P[s, a, b] for s, (a, b) in enumerate(best_haps)])
     # genotyper.cpp:181 uses fast_log_sum_exp here (term-dropping; Mineiro
@@ -111,8 +118,9 @@ def extract_genotypes_and_likelihoods(
         for s, (a, b) in enumerate(best_haps)])
 
     log_phased = np.array([T[s, ga, gb] for s, (ga, gb) in enumerate(best_gts)])
+    # exact log_sum_exp in the reference (genotyper.cpp:196, mathops.cpp:53)
     log_unphased = np.array([
-        T[s, ga, gb] if ga == gb else np.logaddexp(T[s, ga, gb], T[s, gb, ga])
+        T[s, ga, gb] if ga == gb else log_sum_exp2(T[s, ga, gb], T[s, gb, ga])
         for s, (ga, gb) in enumerate(best_gts)])
 
     out = GenotypeExtraction(best_haps, best_gts, log_phased, log_unphased,

@@ -36,8 +36,12 @@ from longtr_tpu.utils.mathops import LOG_ONE_HALF, int_log
 
 LL_CLAMP = -600.0
 # The reference uses -DBL_MAX/2 for impossible haploid heterozygotes
-# (genotyper.cpp:31); we use a value that stays finite in float32.
-NEG_HALF_DBL_MAX = -1e30
+# (genotyper.cpp:31); the host f64 path uses the same value (bit parity).
+# It becomes -inf when cast to float32 for the device path, which is
+# equally absorbing under exp/logsumexp.  Padded cells in batched dispatch
+# use the f32-finite NEG_PAD instead.
+NEG_HALF_DBL_MAX = -8.988465674311579e307
+NEG_PAD = -1e30
 
 
 def genotype_log_priors(num_alleles: int, haploid: bool) -> np.ndarray:
@@ -132,12 +136,12 @@ def batched_posteriors(loci, mesh=None):
     R_max = max(l["log_aln_probs"].shape[0] for l in loci)
     A_max = max(l["log_aln_probs"].shape[1] for l in loci)
     S_max = max(l["num_samples"] for l in loci)
-    LL = np.full((L, R_max, A_max), NEG_HALF_DBL_MAX, dtype=np.float32)
+    LL = np.full((L, R_max, A_max), NEG_PAD, dtype=np.float32)
     p1 = np.zeros((L, R_max), dtype=np.float32)
     p2 = np.zeros((L, R_max), dtype=np.float32)
     label = np.zeros((L, R_max), dtype=np.int32)
     mask = np.zeros((L, R_max), dtype=bool)
-    prior = np.full((L, A_max, A_max), NEG_HALF_DBL_MAX, dtype=np.float32)
+    prior = np.full((L, A_max, A_max), NEG_PAD, dtype=np.float32)
     for i, l in enumerate(loci):
         R, A = l["log_aln_probs"].shape
         LL[i, :R, :A] = l["log_aln_probs"]
@@ -145,7 +149,8 @@ def batched_posteriors(loci, mesh=None):
         p2[i, :R] = l["log_p2"]
         label[i, :R] = l["sample_label"]
         mask[i, :R] = True
-        prior[i, :A, :A] = genotype_log_priors(A, l["haploid"])
+        prior[i, :A, :A] = np.maximum(genotype_log_priors(A, l["haploid"]),
+                                      NEG_PAD)
 
     def one(LLi, p1i, p2i, labi, maski, pri):
         return calc_log_sample_posteriors(LLi, p1i, p2i, labi, S_max, pri,
@@ -158,13 +163,13 @@ def batched_posteriors(loci, mesh=None):
         pad = (-L) % ndev
         if pad:
             LL = np.pad(LL, ((0, pad), (0, 0), (0, 0)),
-                        constant_values=NEG_HALF_DBL_MAX)
+                        constant_values=NEG_PAD)
             p1 = np.pad(p1, ((0, pad), (0, 0)))
             p2 = np.pad(p2, ((0, pad), (0, 0)))
             label = np.pad(label, ((0, pad), (0, 0)))
             mask = np.pad(mask, ((0, pad), (0, 0)))
             prior = np.pad(prior, ((0, pad), (0, 0), (0, 0)),
-                           constant_values=NEG_HALF_DBL_MAX)
+                           constant_values=NEG_PAD)
         axis = "locus" if "locus" in mesh.axis_names else mesh.axis_names[0]
         shard = lambda a: jax.device_put(
             a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))

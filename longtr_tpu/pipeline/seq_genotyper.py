@@ -558,12 +558,19 @@ class SeqStutterGenotyper:
         (ops.posterior.calc_log_sample_posteriors) serves multi-locus
         dispatch.
         """
+        from longtr_tpu.utils import mathops
         from longtr_tpu.utils.mathops import LOG_ONE_HALF
         prior = genotype_log_priors(self.num_alleles, self.haploid)
         LL = np.clip(self.log_aln_probs, -600.0, None)
         a = LL + self.log_p1[:, None] + LOG_ONE_HALF
         b = LL + self.log_p2[:, None] + LOG_ONE_HALF
-        T = np.logaddexp(a[:, :, None], b[:, None, :])
+        if mathops.ref_fidelity():
+            # the reference's literal log(exp+exp) (genotyper.cpp:60) —
+            # bit-identical to the compiled kernel (safe: clamp keeps the
+            # exponent above double underflow)
+            T = np.log(np.exp(a[:, :, None]) + np.exp(b[:, None, :]))
+        else:
+            T = np.logaddexp(a[:, :, None], b[:, None, :])
         P = np.tile(prior[None], (self.num_samples, 1, 1))
         np.add.at(P, self.sample_label, T)
         flat = P.reshape(self.num_samples, -1)

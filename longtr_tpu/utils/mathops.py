@@ -49,6 +49,14 @@ def log_sum_exp(vals) -> float:
     return float(m + np.log(np.exp(arr - m).sum()))
 
 
+def log_sum_exp2(a: float, b: float) -> float:
+    """Two-argument exact LSE with the reference's exact float expression
+    (mathops.cpp:53-58: hi + log(1 + exp(lo - hi)), strict >)."""
+    if a > b:
+        return a + math.log(1.0 + math.exp(b - a))
+    return b + math.log(1.0 + math.exp(a - b))
+
+
 _ref_fidelity = os.environ.get("LONGTR_REF_FIDELITY", "") == "1"
 
 

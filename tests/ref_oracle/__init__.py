@@ -22,6 +22,7 @@ _LIB_PATH = os.path.join(_DIR, "libref_oracle.so")
 
 _REF_SOURCES = [
     "mathops.cpp",
+    "genotyper.cpp",
     "stutter_model.cpp",
     "region.cpp",
     "stringops.cpp",
@@ -45,8 +46,9 @@ def _build():
     srcs = [os.path.join(_REF_SRC, s) for s in _REF_SOURCES]
     cmd = [
         "g++", "-std=c++11", "-O2", "-fPIC", "-shared",
-        # neutralize the htslib-backed bam_io.h (see stub_bam_io.h)
+        # neutralize the htslib-backed headers (see stub_*.h)
         "-include", os.path.join(_DIR, "stub_bam_io.h"),
+        "-include", os.path.join(_DIR, "stub_fasta_reader.h"),
         "-I", _REF_SRC,
         # the reference Makefile builds with default FP behavior; keep it
         "-o", _LIB_PATH,
@@ -349,3 +351,62 @@ def mode_b_left_matrix(lflank, lflank_start, repeat_ref, alts, repeat_start,
     shape = (hapsize, L)
     return (mm[:L * hapsize].reshape(shape), im[:L * hapsize].reshape(shape),
             dm[:L * hapsize].reshape(shape), lp.value)
+
+
+def posteriors(LL, log_p1, log_p2, read_counts, haploid):
+    """Reference Genotyper::calc_log_sample_posteriors.
+
+    LL: (R, A) with reads of sample i contiguous (read_counts[i] each).
+    Returns (P (S,A,A), totals (S,), total_ll)."""
+    lib = get_lib()
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.ro_posteriors.restype = ctypes.c_double
+    LL = np.ascontiguousarray(LL, dtype=np.float64)
+    R, A = LL.shape
+    S = len(read_counts)
+    rc, rc_p = _i32arr(read_counts)
+    p1 = np.ascontiguousarray(log_p1, dtype=np.float64)
+    p2 = np.ascontiguousarray(log_p2, dtype=np.float64)
+    out_post = np.zeros(S * A * A)
+    out_tot = np.zeros(S)
+    total = lib.ro_posteriors(
+        A, S, int(haploid), rc_p, LL.ctypes.data_as(dp),
+        p1.ctypes.data_as(dp), p2.ctypes.data_as(dp),
+        out_post.ctypes.data_as(dp), out_tot.ctypes.data_as(dp))
+    assert total < 1e29, "ro_posteriors failed"
+    return out_post.reshape(S, A, A), out_tot, total
+
+
+def extract_gls(LL, log_p1, log_p2, read_counts, haploid, num_variants,
+                hap_to_allele):
+    """Reference extract_genotypes_and_likelihoods (GLs + MAP + GLDIFF)."""
+    lib = get_lib()
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.ro_extract_gls.restype = ctypes.c_int
+    LL = np.ascontiguousarray(LL, dtype=np.float64)
+    R, A = LL.shape
+    S = len(read_counts)
+    rc, rc_p = _i32arr(read_counts)
+    h2a, h2a_p = _i32arr(hap_to_allele)
+    p1 = np.ascontiguousarray(log_p1, dtype=np.float64)
+    p2 = np.ascontiguousarray(log_p2, dtype=np.float64)
+    V = num_variants
+    gls_stride = V * (V + 1) // 2 if not haploid else V
+    best_haps = np.zeros(2 * S, dtype=np.int32)
+    best_gts = np.zeros(2 * S, dtype=np.int32)
+    gls = np.zeros((S, gls_stride))
+    gl_diffs = np.zeros(S)
+    phased = np.zeros(S)
+    unphased = np.zeros(S)
+    n = lib.ro_extract_gls(
+        A, S, int(haploid), rc_p, LL.ctypes.data_as(dp),
+        p1.ctypes.data_as(dp), p2.ctypes.data_as(dp), V, h2a_p,
+        best_haps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        best_gts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        gls.ctypes.data_as(dp), gls_stride, gl_diffs.ctypes.data_as(dp),
+        phased.ctypes.data_as(dp), unphased.ctypes.data_as(dp))
+    assert n >= 0, "ro_extract_gls failed"
+    return {"best_haps": best_haps.reshape(S, 2),
+            "best_gts": best_gts.reshape(S, 2), "gls": gls,
+            "gl_diffs": gl_diffs, "log_phased": phased,
+            "log_unphased": unphased, "n_gls": n}

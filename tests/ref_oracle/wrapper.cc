@@ -39,6 +39,7 @@ void printErrorAndDie(std::string message) {
 #include "SeqAlignment/HapAligner.h"
 #undef private
 #include "SeqAlignment/StutterAlignerClass.h"
+#include "genotyper.h"
 
 extern "C" {
 
@@ -349,6 +350,114 @@ int ro_mode_b_left_matrix(
     }
     for (size_t i = 0; i < blocks.size(); i++) delete blocks[i];
     return hapsize;
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Genotyper posterior kernel + genotype/likelihood extraction
+// (genotyper.cpp:45-83, 132-256) via a thin subclass that exposes the
+// protected state.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+class OracleGenotyper : public Genotyper {
+ public:
+  OracleGenotyper(bool haploid, const std::vector<std::string>& names,
+                  const std::vector<std::vector<double> >& p1,
+                  const std::vector<std::vector<double> >& p2)
+      : Genotyper(haploid, names, p1, p2) {}
+
+  void set_alleles(int A, const double* LL) {
+    num_alleles_ = A;
+    log_aln_probs_ = new double[num_reads_ * A];
+    for (unsigned int i = 0; i < num_reads_ * A; i++)
+      log_aln_probs_[i] = LL[i];
+    log_sample_posteriors_ = new double[num_samples_ * A * A];
+  }
+
+  double run_posteriors() { return calc_log_sample_posteriors(); }
+  const double* posts() const { return log_sample_posteriors_; }
+  const double* totals() const { return sample_total_LLs_; }
+};
+
+}  // namespace
+
+// Posterior kernel: reads grouped per sample via read_counts (reads of
+// sample i are contiguous).  Outputs the normalized (S, A, A) posterior
+// tensor and per-sample total LLs; returns total LL.
+double ro_posteriors(int A, int S, int haploid, const int32_t* read_counts,
+                     const double* LL, const double* p1, const double* p2,
+                     double* out_post, double* out_totals) {
+  try {
+    ensure_logs();
+    std::vector<std::string> names;
+    std::vector<std::vector<double> > lp1(S), lp2(S);
+    long r = 0;
+    for (int s = 0; s < S; s++) {
+      names.push_back("S" + std::to_string(s));
+      for (int k = 0; k < read_counts[s]; k++, r++) {
+        lp1[s].push_back(p1[r]);
+        lp2[s].push_back(p2[r]);
+      }
+    }
+    OracleGenotyper g(haploid != 0, names, lp1, lp2);
+    g.set_alleles(A, LL);
+    double total = g.run_posteriors();
+    for (long i = 0; i < (long)S * A * A; i++) out_post[i] = g.posts()[i];
+    for (int s = 0; s < S; s++) out_totals[s] = g.totals()[s];
+    return total;
+  } catch (const std::exception&) {
+    return 1e30;
+  }
+}
+
+// Full genotype/likelihood extraction (genotyper.cpp:132-256): runs the
+// posterior kernel then extract_genotypes_and_likelihoods.  GLs flattened
+// per sample as reference emits them (lower-triangle scan order).
+int ro_extract_gls(int A, int S, int haploid, const int32_t* read_counts,
+                   const double* LL, const double* p1, const double* p2,
+                   int num_variants, const int32_t* hap_to_allele,
+                   int32_t* out_best_haps, int32_t* out_best_gts,
+                   double* out_gls, int gls_stride, double* out_gl_diffs,
+                   double* out_phased, double* out_unphased) {
+  try {
+    ensure_logs();
+    std::vector<std::string> names;
+    std::vector<std::vector<double> > lp1(S), lp2(S);
+    long r = 0;
+    for (int s = 0; s < S; s++) {
+      names.push_back("S" + std::to_string(s));
+      for (int k = 0; k < read_counts[s]; k++, r++) {
+        lp1[s].push_back(p1[r]);
+        lp2[s].push_back(p2[r]);
+      }
+    }
+    OracleGenotyper g(haploid != 0, names, lp1, lp2);
+    g.set_alleles(A, LL);
+    g.run_posteriors();
+    std::vector<int> h2a(hap_to_allele, hap_to_allele + A);
+    std::vector<std::pair<int, int> > best_haps, best_gts;
+    std::vector<double> lpp, lup, hlpp, hlup, gl_diffs;
+    std::vector<std::vector<double> > gls, pgls;
+    std::vector<std::vector<int> > pls;
+    g.extract_genotypes_and_likelihoods(
+        num_variants, h2a, best_haps, best_gts, lpp, lup, hlpp, hlup,
+        true, gls, gl_diffs, false, pls, false, pgls);
+    for (int s = 0; s < S; s++) {
+      out_best_haps[2 * s] = best_haps[s].first;
+      out_best_haps[2 * s + 1] = best_haps[s].second;
+      out_best_gts[2 * s] = best_gts[s].first;
+      out_best_gts[2 * s + 1] = best_gts[s].second;
+      out_gl_diffs[s] = gl_diffs[s];
+      out_phased[s] = lpp[s];
+      out_unphased[s] = lup[s];
+      for (size_t k = 0; k < gls[s].size() && (int)k < gls_stride; k++)
+        out_gls[(long)s * gls_stride + k] = gls[s][k];
+    }
+    return (int)gls.empty() ? 0 : (int)gls[0].size();
   } catch (const std::exception&) {
     return -1;
   }

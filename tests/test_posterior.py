@@ -26,9 +26,12 @@ def check(R=40, A=5, S=3, haploid=False, phased=False):
     LL, p1, p2, labels = random_case(R, A, S, haploid, phased)
     want_P, want_tot, want_LL = posteriors_oracle(LL, p1, p2, labels, S, haploid)
     prior = genotype_log_priors(A, haploid)
+    with np.errstate(over="ignore"):
+        # the haploid het prior (-DBL_MAX/2) intentionally becomes -inf in f32
+        prior32 = prior.astype(np.float32)
     got_P, got_tot, got_LL = calc_log_sample_posteriors(
         LL.astype(np.float32), p1.astype(np.float32), p2.astype(np.float32),
-        labels, S, prior.astype(np.float32))
+        labels, S, prior32)
     got_P = np.asarray(got_P, dtype=np.float64)
     # normalized log posteriors: compare where not astronomically small
     mask = want_P > -50

@@ -404,3 +404,82 @@ def test_e2e_pipeline_runs_in_fidelity_mode(tmp_path):
         gts1 = [f.split(":")[0] for f in a[9:]]
         gts2 = [f.split(":")[0] for f in b[9:]]
         assert gts1 == gts2
+
+
+def test_posterior_kernel_matches_reference():
+    """Genotyper::calc_log_sample_posteriors vs our production math:
+    bit-identical in fidelity mode (raw log(exp+exp) T), 1e-12 otherwise.
+    Includes sub--600 LLs to exercise the in-place clamp quirk."""
+    from longtr_tpu.ops.posterior import genotype_log_priors, posteriors_oracle
+    from longtr_tpu.utils import mathops
+    from longtr_tpu.utils.mathops import LOG_ONE_HALF
+
+    for haploid in (False, True):
+        for trial in range(5):
+            S = int(RNG.integers(2, 6))
+            A = int(RNG.integers(2, 7))
+            counts = [int(RNG.integers(1, 12)) for _ in range(S)]
+            R = sum(counts)
+            labels = np.repeat(np.arange(S), counts)
+            LL = RNG.uniform(-650, 0, (R, A))
+            p1 = RNG.uniform(-3, 0, R)
+            p2 = RNG.uniform(-3, 0, R)
+            P, tot, total = ro.posteriors(LL, p1, p2, counts, haploid)
+            # f64 oracle: bit-exact
+            P2, tot2, total2 = posteriors_oracle(LL, p1, p2, labels, S,
+                                                 haploid)
+            np.testing.assert_array_equal(P2, P)
+            np.testing.assert_array_equal(tot2, tot)
+            # production expression in fidelity mode: bit-exact
+            mathops.set_ref_fidelity(True)
+            try:
+                prior = genotype_log_priors(A, haploid)
+                LLc = np.clip(LL, -600.0, None)
+                a = LLc + p1[:, None] + LOG_ONE_HALF
+                b = LLc + p2[:, None] + LOG_ONE_HALF
+                T = np.log(np.exp(a[:, :, None]) + np.exp(b[:, None, :]))
+                Pp = np.tile(prior[None], (S, 1, 1))
+                np.add.at(Pp, labels, T)
+                flat = Pp.reshape(S, -1)
+                m = flat.max(axis=1)
+                totals = m + np.log(np.exp(flat - m[:, None]).sum(axis=1))
+                Pp -= totals[:, None, None]
+                np.testing.assert_array_equal(Pp, P)
+                np.testing.assert_array_equal(totals, tot)
+            finally:
+                mathops.set_ref_fidelity(False)
+
+
+def test_genotype_extraction_matches_reference():
+    """extract_genotypes_and_likelihoods (MAP, GL, GLDIFF, phased/unphased
+    posteriors) bit-identical to the compiled reference in fidelity mode."""
+    from longtr_tpu.models.genotyper import extract_genotypes_and_likelihoods
+    from longtr_tpu.utils import mathops
+
+    mathops.set_ref_fidelity(True)
+    try:
+        for trial in range(8):
+            S = int(RNG.integers(2, 6))
+            V = int(RNG.integers(2, 5))
+            A = V + int(RNG.integers(0, 4))       # some haps share a variant
+            h2a = np.concatenate([np.arange(V),
+                                  RNG.integers(0, V, A - V)]).astype(np.int32)
+            counts = [int(RNG.integers(1, 10)) for _ in range(S)]
+            LL = RNG.uniform(-40, 0, (sum(counts), A))
+            p1 = RNG.uniform(-3, 0, sum(counts))
+            p2 = RNG.uniform(-3, 0, sum(counts))
+            want = ro.extract_gls(LL, p1, p2, counts, False, V, h2a)
+            P, tot, _ = ro.posteriors(LL, p1, p2, counts, False)
+            got = extract_genotypes_and_likelihoods(
+                P, tot, h2a, V, False, calc_gls=True, want_pls=True)
+            assert [tuple(x) for x in want["best_haps"]] == got.best_haplotypes
+            assert [tuple(x) for x in want["best_gts"]] == got.best_gts
+            np.testing.assert_array_equal(np.stack(got.gls), want["gls"])
+            np.testing.assert_array_equal(np.asarray(got.gl_diffs),
+                                          want["gl_diffs"])
+            np.testing.assert_array_equal(got.log_phased_posteriors,
+                                          want["log_phased"])
+            np.testing.assert_array_equal(got.log_unphased_posteriors,
+                                          want["log_unphased"])
+    finally:
+        mathops.set_ref_fidelity(False)
