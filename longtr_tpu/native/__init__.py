@@ -68,6 +68,13 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_float)]
+    lib.ltr_pairhmm_batch_f64.restype = None
+    lib.ltr_pairhmm_batch_f64.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double)]
     lib.ltr_poa_consensus.restype = ctypes.c_long
     lib.ltr_poa_consensus.argtypes = [ctypes.c_char_p,
                                       ctypes.POINTER(ctypes.c_long),
@@ -103,6 +110,35 @@ def pairhmm_batch_native(hap, hap_len, read, read_len, full_hap_len,
         tr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         B, N, M,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def pairhmm_batch_native_f64(hap, hap_len, read, read_len, full_hap_len,
+                             trans) -> "np.ndarray | None":
+    """Reference-fidelity f64 batch pair-HMM (double DP, float constants;
+    bit-identical to the compiled reference align_seq_to_hap).  None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    hap = np.ascontiguousarray(hap, dtype=np.uint8)
+    read = np.ascontiguousarray(read, dtype=np.uint8)
+    hl = np.ascontiguousarray(hap_len, dtype=np.int32)
+    rl = np.ascontiguousarray(read_len, dtype=np.int32)
+    fl = np.ascontiguousarray(full_hap_len, dtype=np.int32)
+    tr = np.ascontiguousarray(trans, dtype=np.float32)
+    B, N = hap.shape
+    M = read.shape[1]
+    out = np.empty(B, dtype=np.float64)
+    lib.ltr_pairhmm_batch_f64(
+        hap.ctypes.data_as(ctypes.c_char_p),
+        read.ctypes.data_as(ctypes.c_char_p),
+        hl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        B, N, M,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
 
 

@@ -807,7 +807,130 @@ static void pairhmm_range(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Float64 pair-HMM (reference-fidelity mode A).  Mirrors the reference's
+// align_seq_to_hap (HapAligner.cpp:236-343) exactly: double matrices, float
+// transition/emission constants, the row-0 hap[j]-vs-read[0] and col-0
+// read[1] boundary quirks, the per-row band abort and the |n-m|>600 and
+// full-hap<=60 gates.  Bit-identical to the compiled reference (verified by
+// tests/test_ref_oracle.py).  Rolling rows: O(m) memory per thread.
+
+static double pairhmm_f64_single(const uint8_t* hap, int n,
+                                 const uint8_t* read, int m,
+                                 int full_hap_len, const float* trans) {
+  const double IMPOSSIBLE = -1000000000.0;
+  const float MA = -0.000100005f;
+  const float MI = -9.0f;
+  if (full_hap_len <= 60) return IMPOSSIBLE;
+  int diff = n - m;
+  if ((diff < 0 ? -diff : diff) > 600) return -700.0;
+
+  const float i2i = trans[0], i2m = trans[1], d2d = trans[2], d2m = trans[3],
+              m2m = trans[4], m2i = trans[5], m2d = trans[6];
+
+  std::vector<double> Mp(m), Ip(m), Dp(m), Mc(m), Ic(m), Dc(m);
+  // row 0 (HapAligner.cpp:263-272): M[j] uses D[j-1] before D[j] updates
+  Mp[0] = (hap[0] == read[0]) ? (double)MA : (double)MI;
+  Ip[0] = IMPOSSIBLE;
+  Dp[0] = IMPOSSIBLE;
+  double left = 0.0;
+  for (int j = 1; j < m; j++) {
+    double emit = (j < n && hap[j] == read[0]) ? (double)MA : (double)MI;
+    Mp[j] = Dp[j - 1] + d2m + emit;
+    Ip[j] = IMPOSSIBLE;
+    Dp[j] = m2d + left;
+    left += d2d;
+  }
+  if (n == 1) {
+    double best = Mp[m - 1];
+    if (Ip[m - 1] > best) best = Ip[m - 1];
+    if (Dp[m - 1] > best) best = Dp[m - 1];
+    return best;
+  }
+
+  uint8_t col0_read = (m > 1) ? read[1] : read[0];
+  left = 0.0;
+  for (int i = 1; i < n; i++) {
+    // col 0 (HapAligner.cpp:274-280).  NOTE: MATCH + LOG_MATCH_TO_INS is a
+    // float+float addition in the reference (both operands float) before
+    // the double accumulator joins — order preserved for bit-identity.
+    double emit0 = (hap[0] == col0_read) ? (double)MA : (double)MI;
+    Mc[0] = Ip[0] + i2m + emit0;
+    Ic[0] = (MA + m2i) + left;
+    Dc[0] = IMPOSSIBLE;
+    left += i2i;
+
+    double row_best = IMPOSSIBLE;
+    for (int j = 1; j < m; j++) {
+      double emit = (hap[i] == read[j]) ? (double)MA : (double)MI;
+      double vm = Mp[j - 1] + m2m;
+      double vd = Dp[j - 1] + d2m;
+      double vi = Ip[j - 1] + i2m;
+      double best3 = vm > vd ? vm : vd;
+      if (vi > best3) best3 = vi;
+      Mc[j] = emit + best3;
+      double im = Mp[j] + m2i;
+      double ii = Ip[j] + i2i;
+      Ic[j] = (double)MA + (im > ii ? im : ii);
+      double dm = Mc[j - 1] + m2d;
+      double dd = Dc[j - 1] + d2d;
+      Dc[j] = dm > dd ? dm : dd;
+      double best = Mc[j];
+      if (Ic[j] > best) best = Ic[j];
+      if (Dc[j] > best) best = Dc[j];
+      int bd = (n - m) - (i - j);
+      double cand = best + (bd < 0 ? -bd : bd) * d2d;  // int*float, then +
+      if (cand > row_best) row_best = cand;
+    }
+    if (row_best < -600.0) return -700.0;
+    Mp.swap(Mc);
+    Ip.swap(Ic);
+    Dp.swap(Dc);
+  }
+  double best = Mp[m - 1];
+  if (Ip[m - 1] > best) best = Ip[m - 1];
+  if (Dp[m - 1] > best) best = Dp[m - 1];
+  return best;
+}
+
 #include <thread>
+
+static void pairhmm_f64_range(const uint8_t* hap, const uint8_t* read,
+                              const int32_t* hap_len, const int32_t* read_len,
+                              const int32_t* full_hap_len, const float* trans,
+                              long b_lo, long b_hi, long N, long Mdim,
+                              double* out) {
+  for (long b = b_lo; b < b_hi; b++)
+    out[b] = pairhmm_f64_single(hap + b * N, hap_len[b], read + b * Mdim,
+                                read_len[b], full_hap_len[b], trans);
+}
+
+extern "C" void ltr_pairhmm_batch_f64(
+    const uint8_t* hap, const uint8_t* read,       // (B, N), (B, M) row-major
+    const int32_t* hap_len, const int32_t* read_len,
+    const int32_t* full_hap_len, const float* trans,  // 7
+    long B, long N, long Mdim, double* out) {
+  unsigned nt = std::thread::hardware_concurrency();
+  const char* env = getenv("LONGTR_NATIVE_THREADS");
+  if (env && *env) nt = (unsigned)atoi(env);
+  if (nt < 1) nt = 1;
+  if ((long)nt > B) nt = (unsigned)B;
+  if (nt == 1) {
+    pairhmm_f64_range(hap, read, hap_len, read_len, full_hap_len, trans,
+                      0, B, N, Mdim, out);
+    return;
+  }
+  std::vector<std::thread> ths;
+  long chunk = (B + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    long lo = (long)t * chunk;
+    long hi = lo + chunk < B ? lo + chunk : B;
+    if (lo >= hi) break;
+    ths.emplace_back(pairhmm_f64_range, hap, read, hap_len, read_len,
+                     full_hap_len, trans, lo, hi, N, Mdim, out);
+  }
+  for (auto& th : ths) th.join();
+}
 
 extern "C" void ltr_pairhmm_batch(
     const uint8_t* hap, const uint8_t* read,       // (B, N), (B, M) row-major

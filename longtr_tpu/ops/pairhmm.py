@@ -135,7 +135,10 @@ def pairhmm_score_oracle(hap: str, read: str, params: AlignmentParams = Alignmen
     # Row 0 (HapAligner.cpp:267-272). NOTE the hap[j]-vs-read[0] quirk; the
     # reference reads hap out of bounds when j >= n (UB) — we treat those as
     # mismatches.
-    left = 0.0
+    # left_prob is a DOUBLE accumulator in the reference; it must be an
+    # np.float64 so NEP50 promotion keeps every expression in f64 (a bare
+    # python float is a weak scalar and np.float32 + weak -> float32).
+    left = np.float64(0.0)
     for j in range(1, m):
         emit = MA if (j < n and hap[j] == read[0]) else MI
         D[0, j] = m2d + left
@@ -143,12 +146,14 @@ def pairhmm_score_oracle(hap: str, read: str, params: AlignmentParams = Alignmen
         I[0, j] = IMPOSSIBLE
         left += d2d
     # Column 0 (HapAligner.cpp:274-280). NOTE hap[0]-vs-read[1] quirk.
-    left = 0.0
+    left = np.float64(0.0)
     col0_read = read[1] if m > 1 else read[0]
     for i in range(1, n):
         emit = MA if hap[0] == col0_read else MI
         M[i, 0] = I[i - 1, 0] + i2m + emit
-        I[i, 0] = MA + m2i + left
+        # MATCH + LOG_MATCH_TO_INS is float+float in the reference
+        # (HapAligner.cpp:277) before the double accumulator joins
+        I[i, 0] = np.float32(MA + m2i) + left
         D[i, 0] = IMPOSSIBLE
         left += i2i
 
@@ -345,8 +350,33 @@ def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
     inside (the experimental axon backend serializes ``lax.scan`` steps with
     host syncs, making the jnp scan ~1000x slower there); on CPU the jnp
     scan compiles fast and Pallas interpret would be slow.
+
+    In reference-fidelity mode scoring runs on the host in float64
+    (native C++ double DP, bit-identical to the compiled reference's
+    align_seq_to_hap; python f64 oracle as fallback) — the path to
+    bit-identical VCF output.
     """
     import os
+    from longtr_tpu.utils import mathops
+    if mathops.ref_fidelity():
+        try:
+            from longtr_tpu import native
+            out = native.pairhmm_batch_native_f64(
+                hap_codes, hap_lens, read_codes, read_lens, full_hap_lens,
+                params.as_array())
+        except Exception:
+            out = None
+        if out is not None:
+            return out
+        import numpy as _np
+        hap_codes = _np.asarray(hap_codes)
+        read_codes = _np.asarray(read_codes)
+        return _np.array([
+            pairhmm_score_oracle(
+                bytes(hap_codes[i, :hap_lens[i]]).decode(),
+                bytes(read_codes[i, :read_lens[i]]).decode(),
+                params, full_hap_len=int(full_hap_lens[i]))
+            for i in range(hap_codes.shape[0])])
     n_dev = jax.local_device_count()
     if n_dev > 1 and (jax.default_backend() in ("tpu", "axon")
                       or os.environ.get("LONGTR_FORCE_MESH") == "1"):

@@ -163,3 +163,47 @@ def test_native_bit_identical_to_scan():
                                    AlignmentParams().as_array())
         assert got is not None, "native library unavailable"
         np.testing.assert_array_equal(got, want)
+
+
+def test_native_f64_bit_identical_to_oracle():
+    """The reference-fidelity C++ double scorer equals the f64 oracle bit
+    for bit (and the oracle equals the compiled reference — see
+    tests/test_ref_oracle.py)."""
+    from longtr_tpu.native import pairhmm_batch_native_f64
+
+    pairs = []
+    for _ in range(60):
+        n = int(RNG.integers(1, 260))
+        hap = rand_seq(n)
+        r = RNG.random()
+        if r < 0.3:
+            read = rand_seq(int(RNG.integers(1, 260)))
+        else:
+            read = mutate(hap, sub=0.02, ind=0.02)
+        pairs.append((hap, read))
+    pairs += [("A", "A"), ("ACGT" * 30, "A"), (rand_seq(5), rand_seq(218))]
+    H, hl, R, rl, fl = batch_from_pairs(pairs)
+    got = pairhmm_batch_native_f64(H, hl, R, rl, fl,
+                                   AlignmentParams().as_array())
+    assert got is not None
+    want = np.array([pairhmm_score_oracle(h, r, full_hap_len=int(f))
+                     for (h, r), f in zip(pairs, fl)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fidelity_mode_routes_to_f64():
+    """pairhmm_batch_auto returns the f64 reference-fidelity scores when
+    the fidelity switch is on."""
+    from longtr_tpu.ops.pairhmm import pairhmm_batch_auto
+    from longtr_tpu.utils import mathops
+
+    pairs = [(rand_seq(80), mutate(rand_seq(80)))for _ in range(8)]
+    H, hl, R, rl, fl = batch_from_pairs(pairs)
+    mathops.set_ref_fidelity(True)
+    try:
+        got = np.asarray(pairhmm_batch_auto(H, hl, R, rl, fl))
+    finally:
+        mathops.set_ref_fidelity(False)
+    want = np.array([pairhmm_score_oracle(h, r, full_hap_len=int(f))
+                     for (h, r), f in zip(pairs, fl)])
+    np.testing.assert_array_equal(got, want)
