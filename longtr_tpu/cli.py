@@ -148,6 +148,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jax-profile", default="",
                    help="Capture a JAX profiler trace of the run into this "
                         "directory (view with TensorBoard)")
+    p.add_argument("--ref-fidelity", action="store_true",
+                   help="Reference-fidelity math mode: score with the f64 "
+                        "double DP and the reference's Mineiro fast-LSE bit "
+                        "patterns (bit-identical per-locus numbers to the "
+                        "reference implementation; slower than the default "
+                        "exact-f32 device path)")
     return p
 
 
@@ -226,6 +232,9 @@ def main(argv=None):
 def _main(argv=None):
     args = build_parser().parse_args(argv)
     import os
+    if args.ref_fidelity:
+        from longtr_tpu.utils import mathops
+        mathops.set_ref_fidelity(True)
     platform = os.environ.get("LONGTR_PLATFORM")
     if platform:
         # JAX_PLATFORMS env vars are latched before user code in environments
