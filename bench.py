@@ -120,7 +120,11 @@ print(json.dumps({"cells_per_s": cells / dt}))
 """
 
 
-def measure_device(force_cpu=False, timeout=420):
+def measure_device(force_cpu=False, timeout=None):
+    if timeout is None:
+        # a killed in-flight dispatch wedges the tunnel for ~30-40 min, so
+        # patient beats fast; raise further with LONGTR_BENCH_TIMEOUT
+        timeout = int(os.environ.get("LONGTR_BENCH_TIMEOUT", "420"))
     env = dict(os.environ)
     code = _CHILD_CODE
     if force_cpu:

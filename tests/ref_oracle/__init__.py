@@ -36,6 +36,7 @@ _REF_SOURCES = [
     "SeqAlignment/NeedlemanWunsch.cpp",
     "SeqAlignment/StutterAlignerClass.cpp",
     "SeqAlignment/AlignmentTraceback.cpp",
+    "SeqAlignment/HaplotypeGenerator.cpp",
 ]
 
 _lib = None
@@ -50,6 +51,7 @@ def _build():
         "-include", os.path.join(_DIR, "stub_bam_io.h"),
         "-include", os.path.join(_DIR, "stub_fasta_reader.h"),
         "-I", _REF_SRC,
+        "-I", _DIR,   # provides the spoa/ stub header
         # the reference Makefile builds with default FP behavior; keep it
         "-o", _LIB_PATH,
         os.path.join(_DIR, "wrapper.cc"), *srcs,
@@ -410,3 +412,76 @@ def extract_gls(LL, log_p1, log_p2, read_counts, haploid, num_variants,
             "best_gts": best_gts.reshape(S, 2), "gls": gls,
             "gl_diffs": gl_diffs, "log_phased": phased,
             "log_unphased": unphased, "n_gls": n}
+
+
+def nw_align(ref_seq: str, read_seq: str, left_align=False,
+             use_ref_end_penalty=False):
+    """Reference NeedlemanWunsch::Align / LeftAlign.
+
+    Returns (ok, ref_al, read_al, score, cigar_str) — cigar as text like
+    '35=2D35='."""
+    lib = get_lib()
+    lib.ro_nw_align.restype = ctypes.c_int
+    score = ctypes.c_float(0)
+    cap = 4 * (len(ref_seq) + len(read_seq)) + 64
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.ro_nw_align(ref_seq.encode(), read_seq.encode(),
+                         int(left_align), int(use_ref_end_penalty),
+                         ctypes.byref(score), out, cap)
+    assert rc >= 0, f"ro_nw_align failed: {rc}"
+    if rc == 0:
+        return False, "", "", 0.0, ""
+    raw = out.raw
+    e1 = raw.index(b"\x00")
+    e2 = raw.index(b"\x00", e1 + 1)
+    e3 = raw.index(b"\x00", e2 + 1)
+    return (True, raw[:e1].decode(), raw[e1 + 1:e2].decode(), score.value,
+            raw[e2 + 1:e3].decode())
+
+
+def hapgen_blocks(chrom_seq, region_start, region_end, motif, reads_by_sample,
+                  indel_flank_len=5):
+    """Reference HaplotypeGenerator.add_haplotype_block + fuse.
+
+    reads_by_sample: list (per sample) of
+    (seq, aln_str, start, stop, cigar_text) where aln_str carries '-' for
+    deletions (AlignmentData.h alignment string).
+    Returns list of (start, end, [seq, ...], [inexact, ...]) or a
+    'FAIL:<msg>' string."""
+    lib = get_lib()
+    lib.ro_hapgen_blocks.restype = ctypes.c_int
+    counts = [len(r) for r in reads_by_sample]
+    flat = [x for r in reads_by_sample for x in r]
+    seq_cat = "".join(x[0] for x in flat).encode()
+    seq_lens, seq_lens_p = _i32arr([len(x[0]) for x in flat])
+    aln_cat = "".join(x[1] for x in flat).encode()
+    aln_lens, aln_lens_p = _i32arr([len(x[1]) for x in flat])
+    starts, starts_p = _i32arr([x[2] for x in flat])
+    stops, stops_p = _i32arr([x[3] for x in flat])
+    cig_cat = "".join(x[4] for x in flat).encode()
+    cig_lens, cig_lens_p = _i32arr([len(x[4]) for x in flat])
+    rc_arr, rc_p = _i32arr(counts)
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    n = lib.ro_hapgen_blocks(
+        chrom_seq.encode(), ctypes.c_int32(region_start),
+        ctypes.c_int32(region_end), motif.encode(), len(motif),
+        len(reads_by_sample), rc_p, seq_cat, seq_lens_p, aln_cat,
+        aln_lens_p, starts_p, stops_p,
+        cig_cat, cig_lens_p, indel_flank_len, out, cap)
+    assert n >= 0, f"ro_hapgen_blocks failed: {n}"
+    raw = out.raw
+    if n == 0:
+        return raw[: raw.index(b"\x00")].decode()
+    blocks = []
+    off = 0
+    for _ in range(n):
+        end = raw.index(b"\x00", off)
+        rec = raw[off:end].decode()
+        off = end + 1
+        headseqs = rec.split("|")
+        b_start, b_end = (int(v) for v in headseqs[0].split(","))
+        seqs = [s.rstrip("*") for s in headseqs[1:]]
+        inexact = [s.endswith("*") for s in headseqs[1:]]
+        blocks.append((b_start, b_end, seqs, inexact))
+    return blocks

@@ -40,6 +40,8 @@ void printErrorAndDie(std::string message) {
 #undef private
 #include "SeqAlignment/StutterAlignerClass.h"
 #include "genotyper.h"
+#include "SeqAlignment/NeedlemanWunsch.h"
+#include "SeqAlignment/HaplotypeGenerator.h"
 
 extern "C" {
 
@@ -352,6 +354,141 @@ int ro_mode_b_left_matrix(
     return hapsize;
   } catch (const std::exception&) {
     return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// NeedlemanWunsch (haplotype<->reference aligner with left-alignment)
+// ---------------------------------------------------------------------------
+
+// Align/LeftAlign; outputs aligned strings (NUL-joined into out, cap) and
+// the CIGAR as "<num><op>..." text.  Returns score via out_score.
+int ro_nw_align(const char* ref_seq, const char* read_seq, int left_align,
+                int use_ref_end_penalty, float* out_score, char* out,
+                long cap) {
+  try {
+    std::string ra, qa;
+    float score = 0;
+    std::vector<CigarOp> cl;
+    bool ok;
+    if (left_align)
+      ok = NeedlemanWunsch::LeftAlign(std::string(ref_seq),
+                                      std::string(read_seq), ra, qa, &score,
+                                      cl, use_ref_end_penalty != 0);
+    else
+      ok = NeedlemanWunsch::Align(std::string(ref_seq),
+                                  std::string(read_seq), ra, qa, &score, cl,
+                                  use_ref_end_penalty != 0);
+    if (!ok) return 0;
+    std::string cig;
+    for (size_t i = 0; i < cl.size(); i++)
+      cig += std::to_string(cl[i].Length) + std::string(1, cl[i].Type);
+    *out_score = score;
+    long need = (long)ra.size() + (long)qa.size() + (long)cig.size() + 3;
+    if (need > cap) return -1;
+    long off = 0;
+    memcpy(out + off, ra.c_str(), ra.size() + 1);
+    off += ra.size() + 1;
+    memcpy(out + off, qa.c_str(), qa.size() + 1);
+    off += qa.size() + 1;
+    memcpy(out + off, cig.c_str(), cig.size() + 1);
+    return 1;
+  } catch (const std::exception&) {
+    return -2;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// HaplotypeGenerator: candidate-allele extraction + block fuse via the
+// public add_haplotype_block / fuse_haplotype_blocks flow.  Reads are
+// (seq, start, stop, expanded cigar); rescue/POA paths must not trigger
+// (spoa is stubbed to throw).  Outputs the fused block structure as
+// NUL-joined "start,end,inexact0,inexact1,...|seq0|seq1|..." records.
+// ---------------------------------------------------------------------------
+
+int ro_hapgen_blocks(const char* chrom_seq, int32_t region_start,
+                     int32_t region_end, const char* motif, int period,
+                     int n_samples, const int32_t* reads_per_sample,
+                     const char* seq_concat, const int32_t* seq_lens,
+                     const char* aln_concat, const int32_t* aln_lens,
+                     const int32_t* starts, const int32_t* stops,
+                     const char* cigar_concat, const int32_t* cigar_lens,
+                     int indel_flank_len, char* out, long cap) {
+  try {
+    ensure_logs();
+    StutterModel model(0.9, 0.05, 0.05, 0.9, 0.01, 0.01,
+                       std::string(motif));
+    Region region(std::string("chr1"), region_start, region_end,
+                  std::string(motif));
+    std::vector<std::vector<Alignment> > alns(n_samples);
+    const char* sp = seq_concat;
+    const char* ap2 = aln_concat;
+    const char* cp = cigar_concat;
+    int idx = 0;
+    int32_t min_start = INT32_MAX, max_stop = INT32_MIN;
+    for (int s = 0; s < n_samples; s++) {
+      for (int k = 0; k < reads_per_sample[s]; k++, idx++) {
+        std::string seq(sp, sp + seq_lens[idx]);
+        sp += seq_lens[idx];
+        std::string alnstr(ap2, ap2 + aln_lens[idx]);
+        ap2 += aln_lens[idx];
+        std::string cig(cp, cp + cigar_lens[idx]);
+        cp += cigar_lens[idx];
+        Alignment a(starts[idx], stops[idx], false, false, "r",
+                    std::string(seq.size(), 'I'), seq, alnstr);
+        // parse "<num><op>..." cigar text
+        std::vector<CigarElement> cl;
+        size_t pos = 0;
+        while (pos < cig.size()) {
+          size_t p2 = pos;
+          while (p2 < cig.size() && isdigit(cig[p2])) p2++;
+          int num = atoi(cig.substr(pos, p2 - pos).c_str());
+          cl.push_back(CigarElement(cig[p2], num));
+          pos = p2 + 1;
+        }
+        a.set_cigar_list(cl);
+        a.set_hap_gen_info(std::vector<bool>(1, true));
+        alns[s].push_back(a);
+        if (a.get_start() < min_start) min_start = a.get_start();
+        if (a.get_stop() > max_stop) max_stop = a.get_stop();
+      }
+    }
+    HaplotypeGenerator gen(min_start, max_stop, indel_flank_len);
+    std::vector<std::string> vcf_alleles;
+    if (!gen.add_haplotype_block(region, std::string(chrom_seq), alns,
+                                 vcf_alleles, &model)) {
+      // encode failure message
+      std::string msg = "FAIL:" + gen.failure_msg();
+      if ((long)msg.size() + 1 > cap) return -1;
+      memcpy(out, msg.c_str(), msg.size() + 1);
+      return 0;
+    }
+    if (!gen.fuse_haplotype_blocks(std::string(chrom_seq))) {
+      std::string msg = "FAIL:" + gen.failure_msg();
+      if ((long)msg.size() + 1 > cap) return -1;
+      memcpy(out, msg.c_str(), msg.size() + 1);
+      return 0;
+    }
+    std::vector<HapBlock*> blocks = gen.get_haplotype_blocks();
+    long off = 0;
+    for (size_t b = 0; b < blocks.size(); b++) {
+      std::string rec = std::to_string(blocks[b]->start()) + "," +
+                        std::to_string(blocks[b]->end());
+      for (int o = 0; o < blocks[b]->num_options(); o++)
+        rec += "|" + blocks[b]->get_seq(o) +
+               (blocks[b]->get_inexact(o) ? "*" : "");
+      long need = (long)rec.size() + 1;
+      if (off + need > cap) return -1;
+      memcpy(out + off, rec.c_str(), need);
+      off += need;
+    }
+    int n = (int)blocks.size();
+    for (size_t b = 0; b < blocks.size(); b++) delete blocks[b];
+    return n;
+  } catch (const std::exception& e) {
+    std::string msg = std::string("EXC:") + e.what();
+    if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
+    return -2;
   }
 }
 

@@ -483,3 +483,97 @@ def test_genotype_extraction_matches_reference():
                                           want["log_unphased"])
     finally:
         mathops.set_ref_fidelity(False)
+
+
+def test_nw_matches_reference():
+    """NeedlemanWunsch::Align parity: aligned strings, score, CIGAR."""
+    from longtr_tpu.haplotype.nw import nw_align
+
+    for _ in range(40):
+        ref = rand_seq(int(RNG.integers(10, 90)))
+        read = "".join(c for c in ref if RNG.random() > 0.04)
+        read = "".join(c if RNG.random() > 0.03 else str(RNG.choice(BASES))
+                       for c in read)
+        if not read:
+            continue
+        for pen in (False, True):
+            ok_w, ra_w, qa_w, sc_w, cig_w = ro.nw_align(
+                ref, read, use_ref_end_penalty=pen)
+            ok_g, ra_g, qa_g, sc_g, cig_g = nw_align(
+                ref, read, use_ref_end_penalty=pen)
+            cig_gs = "".join(f"{n}{op}" for op, n in cig_g)
+            assert ok_w == ok_g
+            if ok_w:
+                assert (ra_w, qa_w, cig_w) == (ra_g, qa_g, cig_gs)
+                assert sc_w == pytest.approx(sc_g, abs=1e-4)
+
+
+def test_haplotype_generator_blocks_match_reference():
+    """Candidate-allele extraction + trim + fuse vs the compiled reference
+    HaplotypeGenerator (exact-support path; the POA-rescue path is
+    nondeterministic upstream and spoa-stubbed in the oracle)."""
+    from longtr_tpu.haplotype.generator import HaplotypeGenerator
+    from longtr_tpu.models.stutter import StutterModel
+    from longtr_tpu.pipeline.alignment import Alignment
+    from longtr_tpu.regions import Region
+
+    for trial in range(8):
+        period = int(RNG.integers(1, 5))
+        motif = rand_seq(period)
+        n_units = int(RNG.integers(6, 14))
+        chrom = rand_seq(300)
+        rs = 120
+        rep = motif * n_units
+        re_ = rs + len(rep)
+        chrom = chrom[:rs] + rep + chrom[rs:]
+        # two alleles: ref and a +/-1-unit variant, clean support
+        alt_units = n_units + (1 if RNG.random() < 0.5 else -1)
+        alt = motif * alt_units
+        reads = [[], []]
+        for s in range(2):
+            for allele in (rep, alt):
+                seq = chrom[rs - 60: rs] + allele + chrom[re_: re_ + 60]
+                if allele == rep:
+                    cig = [("=", len(seq))]
+                elif len(allele) < len(rep):
+                    cig = [("=", 60 + len(alt)), ("D", len(rep) - len(alt)),
+                           ("=", 60)]
+                else:
+                    cig = [("=", 60 + len(rep)), ("I", len(alt) - len(rep)),
+                           ("=", 60)]
+                span = sum(n for op, n in cig if op in "=XMD")
+                # alignment string: bases with '-' runs for deletions
+                aln_str = ""
+                qi = 0
+                for op, num in cig:
+                    if op == "D":
+                        aln_str += "-" * num
+                    else:
+                        aln_str += seq[qi: qi + num]
+                        qi += num
+                for _ in range(4):
+                    reads[s].append(Alignment(
+                        rs - 60, rs - 60 + span - 1, False, False,
+                        f"r{len(reads[s])}", "I" * len(seq), seq,
+                        alignment=aln_str, cigar=cig, use_for_haps=[True]))
+
+        want = ro.hapgen_blocks(
+            chrom, rs, re_, motif,
+            [[(a.sequence, a.alignment, a.start, a.stop,
+               "".join(f"{n}{op}" for op, n in a.cigar)) for a in sample]
+             for sample in reads])
+        assert not isinstance(want, str), want
+
+        region = Region("chr1", rs, re_, motif, name="T")
+        gen = HaplotypeGenerator(
+            min(a.start for s in reads for a in s),
+            max(a.stop for s in reads for a in s), 5)
+        model = StutterModel(0.9, 0.05, 0.05, 0.9, 0.01, 0.01, motif)
+        assert gen.add_haplotype_block(region, chrom, reads, [], model), \
+            gen.failure_msg
+        assert gen.fuse_haplotype_blocks(chrom)
+        hap = gen.get_haplotype()
+        got = [(b.start, b.end, list(b.seqs), list(b.inexact))
+               for b in hap.blocks]
+        assert got == [tuple(w) if isinstance(w, tuple) else w
+                       for w in [(a, b, c, d) for a, b, c, d in want]], trial
