@@ -77,6 +77,43 @@ class BamRecord:
     def __post_init__(self):
         self.end_pos = self.pos + cigar_ref_len(self.cigar)
 
+    @classmethod
+    def raw(cls, name, flag, ref_id, pos, mapq, cigar, mate_ref_id, mate_pos,
+            tlen, seq, qual, tags, filename, ref_name, mate_ref_name,
+            end_pos):
+        """Fast constructor with a precomputed end_pos (no CIGAR walk)."""
+        rec = object.__new__(cls)
+        rec.name = name
+        rec.flag = flag
+        rec.ref_id = ref_id
+        rec.pos = pos
+        rec.mapq = mapq
+        rec.cigar = cigar
+        rec.mate_ref_id = mate_ref_id
+        rec.mate_pos = mate_pos
+        rec.tlen = tlen
+        rec.seq = seq
+        rec.qual = qual
+        rec.tags = tags
+        rec.filename = filename
+        rec.ref_name = ref_name
+        rec.mate_ref_name = mate_ref_name
+        rec.deleted = False
+        rec.end_pos = end_pos
+        return rec
+
+    def clone(self):
+        """Fresh copy safe to hand downstream (trims mutate in place).
+
+        The CIGAR list is shallow-copied: trim_alignment deep-copies it
+        before any element mutation.
+        """
+        return BamRecord.raw(
+            self.name, self.flag, self.ref_id, self.pos, self.mapq,
+            list(self.cigar), self.mate_ref_id, self.mate_pos, self.tlen,
+            self.seq, self.qual, dict(self.tags), self.filename,
+            self.ref_name, self.mate_ref_name, self.end_pos)
+
     # -- flag helpers (bam_io.h) -------------------------------------------
     @property
     def is_mapped(self):
@@ -536,38 +573,66 @@ class BamReader:
             out.append(rec)
         return out
 
+    #: Compressed bytes decoded per cache window. Sorted-locus access then
+    #: pays one BGZF-inflate + batch-decode per window instead of per locus.
+    WINDOW_BYTES = 4 << 20
+
     def fetch_fast(self, chrom: str, start: int, end: int):
         """Native-accelerated region fetch (C++ BGZF inflate + batch decode).
 
+        Decodes sliding windows of the BAM (``WINDOW_BYTES`` compressed) and
+        serves any locus whose BAI chunk is contained in a cached window —
+        the TPU-side analog of the reference's forward-seek min_offset cache
+        (bam_io.cpp:143-199), but amortized over whole decode windows.
         Returns None when the native library or index is unavailable so the
         caller falls back to the streaming path.
         """
         if self.index is None:
             return None
-        try:
-            from longtr_tpu import native
-            if native.get_lib() is None:
+        native = getattr(self, "_native_mod", None)
+        if native is None:
+            try:
+                from longtr_tpu import native
+                if native.get_lib() is None:
+                    return None
+            except Exception:
                 return None
-        except Exception:
-            return None
+            self._native_mod = native
         rid = self.header.ref_id(chrom)
         if rid < 0:
             return None
         import os
         from bisect import bisect_left
-        file_size = os.fstat(self._bgzf._fh.fileno()).st_size
-        if not hasattr(self, "_chunk_cache"):
-            self._chunk_cache = {}
+        file_size = getattr(self, "_file_size", None)
+        if file_size is None:
+            file_size = os.fstat(self._bgzf._fh.fileno()).st_size
+            self._file_size = file_size
+        if not hasattr(self, "_win_cache"):
+            # each entry: [lo, within, hi, batch, positions, runs, max_span,
+            #             templates]; at most two windows (current + previous)
+            self._win_cache = []
         out = []
         for cb, ce in self.index.chunks_for(rid, start, end):
             c_start = cb >> 16
             within = cb & 0xFFFF
+            # ce>>16 is the start of the block holding the chunk end; BGZF
+            # blocks are <=64KiB compressed, so +0x10000 covers that block.
             c_end = min((ce >> 16) + 0x10000, file_size)
-            key = (c_start, within, c_end)
-            cached = self._chunk_cache.get(key)
+            cached = None
+            for w in self._win_cache:
+                # Containment: a window decoded from (lo, lo_within) holds
+                # every record of any chunk starting at or after that point.
+                if w[0] <= c_start and c_end <= w[2] and \
+                        (w[0] < c_start or w[1] <= within):
+                    cached = w
+                    break
             if cached is None:
-                self._bgzf._fh.seek(c_start)
-                comp = self._bgzf._fh.read(c_end - c_start)
+                lo = c_start
+                hi = min(max(c_end, lo + self.WINDOW_BYTES), file_size)
+                self._bgzf._fh.seek(lo)
+                comp = self._bgzf._fh.read(hi - lo)
+                # A partial trailing block is dropped by the inflater; hi
+                # still covers the chunk-end block in full (see c_end).
                 data = native.bgzf_inflate_all(comp)
                 if data is None:
                     return None
@@ -588,12 +653,11 @@ class BamReader:
                         runs[int(ref_ids[lo2])] = [lo2, hi2]
                 max_span = int(batch.ref_lens.max()) if batch.n else 1
                 max_span = max(max_span, 1)
-                cached = (batch, positions, runs, max_span, {})
-                # sorted-locus access pattern: a tiny LRU suffices
-                if len(self._chunk_cache) >= 4:
-                    self._chunk_cache.pop(next(iter(self._chunk_cache)))
-                self._chunk_cache[key] = cached
-            batch, positions, runs, max_span, templates = cached
+                cached = [lo, within, hi, batch, positions, runs, max_span, {}]
+                self._win_cache.append(cached)
+                if len(self._win_cache) > 2:
+                    self._win_cache.pop(0)
+            _, _, _, batch, positions, runs, max_span, templates = cached
             run = runs.get(rid)
             if run is None:
                 continue
@@ -605,27 +669,22 @@ class BamReader:
                         batch.record_fields(i)
                     if ref_id != rid or pos >= end:
                         break
-                    if pos + int(batch.ref_lens[i]) <= start:
+                    ref_len = int(batch.ref_lens[i])
+                    if pos + ref_len <= start:
                         continue
-                    cigar = batch.cigar(i)
-                    tmpl = BamRecord(
-                        batch.name(i), flag, ref_id, pos, mapq, cigar,
-                        mref, mpos, tlen, batch.seq(i), batch.qual(i),
-                        _decode_tags(batch.tag_blob(i), 0),
+                    tmpl = BamRecord.raw(
+                        batch.name(i), flag, ref_id, pos, mapq,
+                        batch.cigar(i), mref, mpos, tlen, batch.seq(i),
+                        batch.qual(i), _decode_tags(batch.tag_blob(i), 0),
                         self.path, self.header.ref_name(ref_id),
-                        self.header.ref_name(mref))
+                        self.header.ref_name(mref), pos + ref_len)
                     templates[i] = tmpl
                 elif tmpl.ref_id != rid or tmpl.pos >= end:
                     break
-                if tmpl.pos + (tmpl.end_pos - tmpl.pos) <= start:
+                if tmpl.end_pos <= start:
                     continue
                 # fresh copy: downstream trims mutate records in place
-                rec = BamRecord(tmpl.name, tmpl.flag, tmpl.ref_id, tmpl.pos,
-                                tmpl.mapq, list(tmpl.cigar), tmpl.mate_ref_id,
-                                tmpl.mate_pos, tmpl.tlen, tmpl.seq, tmpl.qual,
-                                dict(tmpl.tags), tmpl.filename, tmpl.ref_name,
-                                tmpl.mate_ref_name)
-                out.append(rec)
+                out.append(tmpl.clone())
         return out
 
 

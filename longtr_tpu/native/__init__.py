@@ -55,6 +55,11 @@ def get_lib():
     lib.ltr_bgzf_inflate_all.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    if hasattr(lib, "ltr_bgzf_inflate_mt"):
+        lib.ltr_bgzf_inflate_mt.restype = ctypes.c_int64
+        lib.ltr_bgzf_inflate_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int]
     lib.ltr_bam_count_records.restype = ctypes.c_int64
     lib.ltr_bam_count_records.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
@@ -181,9 +186,12 @@ def bgzf_inflate_all(data: bytes) -> bytes | None:
     if total < 0:
         return None
     out = np.empty(total, dtype=np.uint8)
-    n = lib.ltr_bgzf_inflate_all(
-        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        total)
+    dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if hasattr(lib, "ltr_bgzf_inflate_mt"):
+        n = lib.ltr_bgzf_inflate_mt(data, len(data), dst, total,
+                                    min(os.cpu_count() or 1, 8))
+    else:
+        n = lib.ltr_bgzf_inflate_all(data, len(data), dst, total)
     if n < 0:
         return None
     return out[:n].tobytes()

@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
+#include <vector>
+#include <thread>
 
 extern "C" {
 
@@ -32,7 +34,9 @@ int64_t ltr_bgzf_total_isize(const uint8_t* src, int64_t n) {
     // find BC subfield
     int64_t xoff = off + 12;
     int64_t xend = xoff + xlen;
-    if (xend > n) return -1;
+    // A window boundary may cut a block inside its extra field; a truncated
+    // TAIL is a clean stop (windowed fetch), corruption at offset 0 is not.
+    if (xend > n) { if (off == 0) return -1; break; }
     int32_t bsize = -1;
     while (xoff + 4 <= xend) {
       uint8_t si1 = src[xoff], si2 = src[xoff + 1];
@@ -64,7 +68,9 @@ int64_t ltr_bgzf_inflate_all(const uint8_t* src, int64_t n,
     uint16_t xlen = src[off + 10] | (src[off + 11] << 8);
     int64_t xoff = off + 12;
     int64_t xend = xoff + xlen;
-    if (xend > n) return -1;
+    // A window boundary may cut a block inside its extra field; a truncated
+    // TAIL is a clean stop (windowed fetch), corruption at offset 0 is not.
+    if (xend > n) { if (off == 0) return -1; break; }
     int32_t bsize = -1;
     while (xoff + 4 <= xend) {
       uint8_t si1 = src[xoff], si2 = src[xoff + 1];
@@ -99,6 +105,86 @@ int64_t ltr_bgzf_inflate_all(const uint8_t* src, int64_t n,
     out += isize;
     off += bsize;
   }
+  return out;
+}
+
+// Multithreaded BGZF inflate: BGZF blocks are independent deflate streams,
+// so scan once for (src offset, clen, dst offset, isize) then inflate blocks
+// in parallel.  Same return convention as ltr_bgzf_inflate_all.
+int64_t ltr_bgzf_inflate_mt(const uint8_t* src, int64_t n,
+                            uint8_t* dst, int64_t dst_cap, int nthreads);
+
+namespace {
+struct BgzfBlock { int64_t coff; int64_t clen; int64_t doff; uint32_t isize; };
+
+static int inflate_one(const uint8_t* cdata, int64_t clen,
+                       uint8_t* out, uint32_t isize) {
+  if (isize == 0) return 0;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return -1;
+  zs.next_in = const_cast<uint8_t*>(cdata);
+  zs.avail_in = (uInt)clen;
+  zs.next_out = out;
+  zs.avail_out = (uInt)isize;
+  int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END ? 0 : -1;
+}
+}  // namespace
+
+int64_t ltr_bgzf_inflate_mt(const uint8_t* src, int64_t n,
+                            uint8_t* dst, int64_t dst_cap, int nthreads) {
+  std::vector<BgzfBlock> blocks;
+  int64_t off = 0, out = 0;
+  while (off + 18 <= n) {
+    if (src[off] != 0x1f || src[off + 1] != 0x8b) return -1;
+    uint16_t xlen = src[off + 10] | (src[off + 11] << 8);
+    int64_t xoff = off + 12;
+    int64_t xend = xoff + xlen;
+    if (xend > n) { if (off == 0) return -1; break; }
+    int32_t bsize = -1;
+    while (xoff + 4 <= xend) {
+      uint8_t si1 = src[xoff], si2 = src[xoff + 1];
+      uint16_t slen = src[xoff + 2] | (src[xoff + 3] << 8);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        bsize = (src[xoff + 4] | (src[xoff + 5] << 8)) + 1;
+        break;
+      }
+      xoff += 4 + slen;
+    }
+    if (bsize < 18 || bsize < 12 + (int32_t)xlen + 8) return -1;
+    if (off + bsize > n) break;
+    uint32_t isize;
+    memcpy(&isize, src + off + bsize - 4, 4);
+    if (out + isize > dst_cap) return -2;
+    blocks.push_back({off + 12 + xlen, bsize - 12 - xlen - 8, out, isize});
+    out += isize;
+    off += bsize;
+  }
+  if (nthreads < 1) nthreads = 1;
+  if ((int64_t)blocks.size() < 2 * nthreads) nthreads = 1;
+  if (nthreads == 1) {
+    for (const BgzfBlock& b : blocks)
+      if (inflate_one(src + b.coff, b.clen, dst + b.doff, b.isize) != 0)
+        return -1;
+    return out;
+  }
+  std::vector<std::thread> pool;
+  std::vector<int> errs(nthreads, 0);
+  for (int t = 0; t < nthreads; t++) {
+    pool.emplace_back([&, t]() {
+      for (size_t i = t; i < blocks.size(); i += nthreads) {
+        const BgzfBlock& b = blocks[i];
+        if (inflate_one(src + b.coff, b.clen, dst + b.doff, b.isize) != 0) {
+          errs[t] = 1;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (int e : errs) if (e) return -1;
   return out;
 }
 
