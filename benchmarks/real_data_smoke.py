@@ -36,9 +36,13 @@ def reconstruct_reference(bams, bed_loci, chrom_len, pad=700):
         else:
             merged.append((c, s, e))
 
-    chrom_seq = {}
-    code = {"A": 0, "C": 1, "G": 2, "T": 3}
-    bases = "ACGT"
+    lut = np.full(256, -1, dtype=np.int8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+    for i, b in enumerate(b"acgt"):
+        lut[b] = i
+    bases_u8 = np.frombuffer(b"ACGT", dtype=np.uint8)
+    spans = {}  # chrom -> list of (start, estimated seq string)
     for chrom, s, e in merged:
         counts = np.zeros((e - s, 4), dtype=np.int32)
         for path in bams:
@@ -48,14 +52,17 @@ def reconstruct_reference(bams, bed_loci, chrom_len, pad=700):
             while (rec := r.get_next_alignment()) is not None:
                 rpos = rec.pos
                 qpos = 0
+                codes = lut[np.frombuffer(rec.seq.encode(), dtype=np.uint8)]
                 for op, n in rec.cigar:
                     if op in "M=X":
-                        for k in range(n):
-                            p = rpos + k
-                            if s <= p < e:
-                                c = code.get(rec.seq[qpos + k].upper())
-                                if c is not None:
-                                    counts[p - s, c] += 1
+                        lo = max(s, rpos)
+                        hi = min(e, rpos + n)
+                        if hi > lo:
+                            q0 = qpos + (lo - rpos)
+                            cs = codes[q0: q0 + (hi - lo)]
+                            idx = np.arange(lo - s, hi - s)
+                            ok = cs >= 0
+                            np.add.at(counts, (idx[ok], cs[ok]), 1)
                         rpos += n
                         qpos += n
                     elif op in "DN":
@@ -63,19 +70,19 @@ def reconstruct_reference(bams, bed_loci, chrom_len, pad=700):
                     elif op in "IS":
                         qpos += n
             r.close()
-        est = chrom_seq.setdefault(chrom, {})
-        cov = counts.sum(axis=1)
-        arg = counts.argmax(axis=1)
-        for i in range(e - s):
-            est[s + i] = bases[arg[i]] if cov[i] > 0 else "N"
-    # materialize sparse chromosomes
+        est = bases_u8[counts.argmax(axis=1)]
+        est[counts.sum(axis=1) == 0] = ord("N")
+        spans.setdefault(chrom, []).append((s, est.tobytes().decode()))
+    # materialize sparse chromosomes (merged spans are sorted, disjoint)
     out = {}
-    for chrom, est in chrom_seq.items():
-        max_pos = max(est) + 1
-        arr = ["N"] * max_pos
-        for p, b in est.items():
-            arr[p] = b
-        out[chrom] = "".join(arr)
+    for chrom, sp in spans.items():
+        parts = []
+        cur = 0
+        for s, seq in sp:
+            parts.append("N" * (s - cur))
+            parts.append(seq)
+            cur = s + len(seq)
+        out[chrom] = "".join(parts)
     return out
 
 

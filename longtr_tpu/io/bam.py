@@ -611,80 +611,87 @@ class BamReader:
             # each entry: [lo, within, hi, batch, positions, runs, max_span,
             #             templates]; at most two windows (current + previous)
             self._win_cache = []
+        chunks = self.index.chunks_for(rid, start, end)
+        if not chunks:
+            return []
+        # Serve the query from ONE decode window covering the union of its
+        # BAI chunks; scanning that window once by position yields exactly
+        # the overlapping records (chunks are a superset filter), with no
+        # duplicates across chunks.
+        c_start = min(cb >> 16 for cb, _ in chunks)
+        within = min((cb & 0xFFFF for cb, _ in chunks
+                      if cb >> 16 == c_start), default=0)
+        # ce>>16 is the start of the block holding the chunk end; BGZF
+        # blocks are <=64KiB compressed, so +0x10000 covers that block.
+        c_end = min(max(ce >> 16 for _, ce in chunks) + 0x10000, file_size)
+        cached = None
+        for w in self._win_cache:
+            # Containment: a window decoded from (lo, lo_within) holds
+            # every record of any chunk starting at or after that point.
+            if w[0] <= c_start and c_end <= w[2] and \
+                    (w[0] < c_start or w[1] <= within):
+                cached = w
+                break
+        if cached is None:
+            lo = c_start
+            hi = min(max(c_end, lo + self.WINDOW_BYTES), file_size)
+            self._bgzf._fh.seek(lo)
+            comp = self._bgzf._fh.read(hi - lo)
+            # A partial trailing block is dropped by the inflater; hi
+            # still covers the chunk-end block in full (see c_end).
+            data = native.bgzf_inflate_all(comp)
+            if data is None:
+                return None
+            batch = native.bam_decode(data[within:])
+            if batch is None:
+                return None
+            # positions reset at chromosome boundaries, so record the
+            # contiguous index run of each ref_id for a valid bisect
+            ref_ids = batch.fixed[:, 0]
+            positions = batch.fixed[:, 1].tolist()
+            runs = {}
+            bounds = np.flatnonzero(np.diff(ref_ids)) + 1 \
+                if batch.n else np.zeros(0, np.int64)
+            starts_idx = [0] + list(bounds)
+            ends_idx = list(bounds) + [batch.n]
+            for lo2, hi2 in zip(starts_idx, ends_idx):
+                if lo2 < hi2:
+                    runs[int(ref_ids[lo2])] = [lo2, hi2]
+            max_span = int(batch.ref_lens.max()) if batch.n else 1
+            max_span = max(max_span, 1)
+            cached = [lo, within, hi, batch, positions, runs, max_span, {}]
+            self._win_cache.append(cached)
+            if len(self._win_cache) > 2:
+                self._win_cache.pop(0)
+        _, _, _, batch, positions, runs, max_span, templates = cached
+        run = runs.get(rid)
+        if run is None:
+            return []
         out = []
-        for cb, ce in self.index.chunks_for(rid, start, end):
-            c_start = cb >> 16
-            within = cb & 0xFFFF
-            # ce>>16 is the start of the block holding the chunk end; BGZF
-            # blocks are <=64KiB compressed, so +0x10000 covers that block.
-            c_end = min((ce >> 16) + 0x10000, file_size)
-            cached = None
-            for w in self._win_cache:
-                # Containment: a window decoded from (lo, lo_within) holds
-                # every record of any chunk starting at or after that point.
-                if w[0] <= c_start and c_end <= w[2] and \
-                        (w[0] < c_start or w[1] <= within):
-                    cached = w
+        i0 = bisect_left(positions, start - max_span, run[0], run[1])
+        for i in range(i0, run[1]):
+            tmpl = templates.get(i)
+            if tmpl is None:
+                ref_id, pos, mapq, flag, mref, mpos, tlen, l_seq = \
+                    batch.record_fields(i)
+                if ref_id != rid or pos >= end:
                     break
-            if cached is None:
-                lo = c_start
-                hi = min(max(c_end, lo + self.WINDOW_BYTES), file_size)
-                self._bgzf._fh.seek(lo)
-                comp = self._bgzf._fh.read(hi - lo)
-                # A partial trailing block is dropped by the inflater; hi
-                # still covers the chunk-end block in full (see c_end).
-                data = native.bgzf_inflate_all(comp)
-                if data is None:
-                    return None
-                batch = native.bam_decode(data[within:])
-                if batch is None:
-                    return None
-                # positions reset at chromosome boundaries, so record the
-                # contiguous index run of each ref_id for a valid bisect
-                ref_ids = batch.fixed[:, 0]
-                positions = batch.fixed[:, 1].tolist()
-                runs = {}
-                bounds = np.flatnonzero(np.diff(ref_ids)) + 1 \
-                    if batch.n else np.zeros(0, np.int64)
-                starts_idx = [0] + list(bounds)
-                ends_idx = list(bounds) + [batch.n]
-                for lo2, hi2 in zip(starts_idx, ends_idx):
-                    if lo2 < hi2:
-                        runs[int(ref_ids[lo2])] = [lo2, hi2]
-                max_span = int(batch.ref_lens.max()) if batch.n else 1
-                max_span = max(max_span, 1)
-                cached = [lo, within, hi, batch, positions, runs, max_span, {}]
-                self._win_cache.append(cached)
-                if len(self._win_cache) > 2:
-                    self._win_cache.pop(0)
-            _, _, _, batch, positions, runs, max_span, templates = cached
-            run = runs.get(rid)
-            if run is None:
-                continue
-            i0 = bisect_left(positions, start - max_span, run[0], run[1])
-            for i in range(i0, run[1]):
-                tmpl = templates.get(i)
-                if tmpl is None:
-                    ref_id, pos, mapq, flag, mref, mpos, tlen, l_seq = \
-                        batch.record_fields(i)
-                    if ref_id != rid or pos >= end:
-                        break
-                    ref_len = int(batch.ref_lens[i])
-                    if pos + ref_len <= start:
-                        continue
-                    tmpl = BamRecord.raw(
-                        batch.name(i), flag, ref_id, pos, mapq,
-                        batch.cigar(i), mref, mpos, tlen, batch.seq(i),
-                        batch.qual(i), _decode_tags(batch.tag_blob(i), 0),
-                        self.path, self.header.ref_name(ref_id),
-                        self.header.ref_name(mref), pos + ref_len)
-                    templates[i] = tmpl
-                elif tmpl.ref_id != rid or tmpl.pos >= end:
-                    break
-                if tmpl.end_pos <= start:
+                ref_len = int(batch.ref_lens[i])
+                if pos + ref_len <= start:
                     continue
-                # fresh copy: downstream trims mutate records in place
-                out.append(tmpl.clone())
+                tmpl = BamRecord.raw(
+                    batch.name(i), flag, ref_id, pos, mapq,
+                    batch.cigar(i), mref, mpos, tlen, batch.seq(i),
+                    batch.qual(i), _decode_tags(batch.tag_blob(i), 0),
+                    self.path, self.header.ref_name(ref_id),
+                    self.header.ref_name(mref), pos + ref_len)
+                templates[i] = tmpl
+            elif tmpl.ref_id != rid or tmpl.pos >= end:
+                break
+            if tmpl.end_pos <= start:
+                continue
+            # fresh copy: downstream trims mutate records in place
+            out.append(tmpl.clone())
         return out
 
 

@@ -177,3 +177,50 @@ def test_corrupt_inputs_rejected_cleanly(lib):
     body += bytes([65, 0xFF, 0xFF, 0])
     body += b"\x00" * 16                         # 4 states
     assert native.rans_decode(bytes(body), 64) is None
+
+
+def test_window_cache_boundaries_and_reuse(lib):
+    """Sliding decode windows: loci crossing window boundaries, cache reuse,
+    and truncated window tails must all serve records identical to the
+    streaming path (real HiFi BAM, many consecutive regions)."""
+    r_slow = BamReader(HG002)
+    r_slow.fetch_fast = lambda *a: None
+
+    r_win = BamReader(HG002)
+    # Tiny windows: force many window boundaries + evictions over the scan.
+    r_win.WINDOW_BYTES = 64 << 10
+
+    # Walk the whole chromosome span covered by the fixture in 5kb steps.
+    first = r_slow.fetch("chr1", 0, 1 << 30)
+    assert first, "fixture should contain records"
+    lo = min(rec.pos for rec in first)
+    hi = max(rec.end_pos for rec in first)
+    n_checked = 0
+    for start in range(max(lo - 2000, 0), hi, 5000):
+        end = start + 2000
+        fast = r_win.fetch_fast("chr1", start, end)
+        assert fast is not None
+        slow = BamReader(HG002)
+        slow.fetch_fast = lambda *a: None
+        want = slow.fetch("chr1", start, end)
+        assert [(a.name, a.pos, a.end_pos, a.flag) for a in fast] == \
+               [(b.name, b.pos, b.end_pos, b.flag) for b in want]
+        n_checked += len(want)
+        slow.close()
+    assert n_checked > 0
+    # window cache must stay bounded
+    assert len(r_win._win_cache) <= 2
+
+
+def test_window_clone_isolation(lib):
+    """Records served from the window cache are fresh copies: in-place trims
+    must not corrupt later fetches of the same region."""
+    r = BamReader(HG002)
+    a = r.fetch_fast("chr1", 776605, 776633)
+    assert a
+    rec = a[0]
+    orig = (rec.pos, rec.end_pos, len(rec.seq), list(rec.cigar))
+    rec.trim_alignment(rec.pos + 300, rec.end_pos - 300)
+    b = r.fetch_fast("chr1", 776605, 776633)
+    got = (b[0].pos, b[0].end_pos, len(b[0].seq), list(b[0].cigar))
+    assert got == orig
