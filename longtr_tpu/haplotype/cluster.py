@@ -14,11 +14,20 @@ def edit_distance_banded(a: str, b: str, T: int) -> int:
     """Unit-cost NW edit distance; returns T+1 if it provably exceeds T.
 
     Transcription of HaplotypeGenerator::needleman_wunsch
-    (HaplotypeGenerator.cpp:201-234), vectorized row-wise.
+    (HaplotypeGenerator.cpp:201-234), vectorized row-wise.  Dispatches to
+    the value-identical native C++ scorer when available
+    (tests/test_components.py fuzzes the two against each other).
     """
     n, m = len(a), len(b)
     if abs(n - m) > T:
         return T + 1
+    try:
+        from longtr_tpu import native
+        d = native.edit_distance_banded(a, b, T)
+        if d is not None:
+            return d
+    except Exception:
+        pass
     av = np.frombuffer(a.encode(), dtype=np.uint8)
     bv = np.frombuffer(b.encode(), dtype=np.uint8)
     prev = np.arange(m + 1, dtype=np.int32)

@@ -63,6 +63,11 @@ def get_lib():
     lib.ltr_bam_count_records.restype = ctypes.c_int64
     lib.ltr_bam_count_records.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    if hasattr(lib, "ltr_edit_distance_banded"):
+        lib.ltr_edit_distance_banded.restype = ctypes.c_long
+        lib.ltr_edit_distance_banded.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long]
     lib.ltr_rans_decode.restype = ctypes.c_int
     lib.ltr_rans_decode.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                     ctypes.c_char_p, ctypes.c_long]
@@ -162,6 +167,17 @@ def poa_consensus(seqs) -> str | None:
     if n < 0:
         return None
     return out.raw[:n].decode()
+
+
+def edit_distance_banded(a: str, b: str, threshold: int) -> int | None:
+    """Native unit-cost NW edit distance with threshold early-abort;
+    value-identical to haplotype.cluster.edit_distance_banded.  None if the
+    library is unavailable (caller falls back to the numpy implementation)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ltr_edit_distance_banded"):
+        return None
+    return int(lib.ltr_edit_distance_banded(a.encode(), len(a),
+                                            b.encode(), len(b), threshold))
 
 
 def rans_decode(data: bytes, out_sz: int) -> bytes | None:

@@ -570,59 +570,67 @@ struct Graph {
     fuse(seq, m, aln);
   }
 
+  // scratch reused across add_sequence calls (large loci would otherwise
+  // reallocate + fault ~100MB of DP per aligned read)
+  std::vector<int32_t> dp_, bt_node_;
+  std::vector<signed char> bt_type_;
+
   void align(const char* seq, int m, std::vector<int>& aln) {
     std::vector<int> order = topo();
     int n = (int)order.size();
     std::vector<int> pos_in_order(ch.size());
     for (int i = 0; i < n; i++) pos_in_order[order[i]] = i;
     size_t W = (size_t)m + 1;
-    std::vector<long> dp((n + 1) * W, NEG);
-    std::vector<int> bt_node((n + 1) * W, -1);
-    std::vector<signed char> bt_type((n + 1) * W, 2);
-    for (int j = 0; j <= m; j++) dp[j] = (long)j * GAP;
-    std::vector<long> row(W), best_diag(W), best_up(W);
-    std::vector<int> rowp(W), best_diag_p(W), best_up_p(W);
-    std::vector<signed char> rowt(W);
+    // int32 DP: unit scores bounded by +-m, identical results to wider types
+    std::vector<int32_t>& dp = dp_;
+    std::vector<int32_t>& bt_node = bt_node_;
+    std::vector<signed char>& bt_type = bt_type_;
+    dp.assign((n + 1) * W, (int32_t)NEG);
+    bt_node.assign((n + 1) * W, -1);
+    bt_type.assign((n + 1) * W, 2);
+    for (int j = 0; j <= m; j++) dp[j] = (int32_t)(j * GAP);
+    std::vector<int32_t> best_diag(W), best_up(W);
+    std::vector<int32_t> best_diag_p(W), best_up_p(W);
     for (int i = 1; i <= n; i++) {
       int v = order[i - 1];
       // predecessor rows (insertion order; first strict improvement wins)
-      for (size_t j = 0; j < W; j++) { best_diag[j] = NEG; best_diag_p[j] = -1;
-                                       best_up[j] = NEG; best_up_p[j] = -1; }
       bool any_pred = !in_e[v].empty();
       if (!any_pred) {
-        const long* d = &dp[0];
+        const int32_t* d = &dp[0];
         for (size_t j = 0; j < W; j++) { best_up[j] = d[j]; best_up_p[j] = 0; }
-        for (size_t j = 0; j + 1 < W; j++) { best_diag[j] = d[j]; best_diag_p[j] = 0; }
+      } else if (in_e[v].size() == 1) {
+        // single predecessor (the common case): its row IS the best row
+        int p = pos_in_order[in_e[v][0].first] + 1;
+        const int32_t* d = &dp[(size_t)p * W];
+        for (size_t j = 0; j < W; j++) { best_up[j] = d[j]; best_up_p[j] = p; }
       } else {
+        for (size_t j = 0; j < W; j++) { best_up[j] = (int32_t)NEG; best_up_p[j] = -1; }
         for (auto& e : in_e[v]) {
           int p = pos_in_order[e.first] + 1;
-          const long* d = &dp[(size_t)p * W];
-          for (size_t j = 0; j + 1 < W; j++)
-            if (d[j] > best_diag[j]) { best_diag[j] = d[j]; best_diag_p[j] = p; }
+          const int32_t* d = &dp[(size_t)p * W];
           for (size_t j = 0; j < W; j++)
             if (d[j] > best_up[j]) { best_up[j] = d[j]; best_up_p[j] = p; }
         }
       }
+      // best_diag[j] == best_up[j] for j < W-1 under strict-improvement
+      // scanning in the same predecessor order, so reuse it.
       char base = ch[v];
+      int32_t* dst = &dp[(size_t)i * W];
+      int32_t* bn = &bt_node[(size_t)i * W];
+      signed char* bt = &bt_type[(size_t)i * W];
       // up, then strictly-better diag, then strictly-better left
       for (size_t j = 0; j < W; j++) {
-        row[j] = best_up[j] + GAP;
-        rowp[j] = best_up_p[j];
-        rowt[j] = 1;
+        dst[j] = best_up[j] + GAP;
+        bn[j] = best_up_p[j];
+        bt[j] = 1;
       }
       for (size_t j = 1; j < W; j++) {
-        long diag = best_diag[j - 1] +
-                    ((seq[j - 1] == base) ? MATCH : MISMATCH);
-        if (diag > row[j]) { row[j] = diag; rowp[j] = best_diag_p[j - 1]; rowt[j] = 0; }
+        int32_t diag = best_up[j - 1] +
+                       ((seq[j - 1] == base) ? MATCH : MISMATCH);
+        if (diag > dst[j]) { dst[j] = diag; bn[j] = best_up_p[j - 1]; bt[j] = 0; }
       }
       for (size_t j = 1; j < W; j++)
-        if (row[j - 1] + GAP > row[j]) { row[j] = row[j - 1] + GAP; rowp[j] = i; rowt[j] = 2; }
-      long* dst = &dp[(size_t)i * W];
-      for (size_t j = 0; j < W; j++) {
-        dst[j] = row[j];
-        bt_node[(size_t)i * W + j] = rowp[j];
-        bt_type[(size_t)i * W + j] = rowt[j];
-      }
+        if (dst[j - 1] + GAP > dst[j]) { dst[j] = dst[j - 1] + GAP; bn[j] = i; bt[j] = 2; }
     }
     // endpoint: best sink (max over sinks of dp[i][m]; first max wins to
     // mirror Python's max() over the sink list in node order)
@@ -719,6 +727,37 @@ struct Graph {
 };
 
 }  // namespace poa
+
+// Unit-cost NW edit distance with threshold early-abort; value-identical
+// to longtr_tpu/haplotype/cluster.py::edit_distance_banded (transcribing
+// HaplotypeGenerator.cpp:201-234): returns the exact distance, or T+1 as
+// soon as every band-adjusted cell of a row exceeds T.
+extern "C" long ltr_edit_distance_banded(const char* a, long n,
+                                         const char* b, long m, long T) {
+  long diff = n - m;
+  if (diff < 0 ? (-diff > T) : (diff > T)) return T + 1;
+  std::vector<int32_t> prev(m + 1), cur(m + 1);
+  for (long j = 0; j <= m; j++) prev[j] = (int32_t)j;
+  for (long i = 1; i <= n; i++) {
+    cur[0] = (int32_t)i;
+    char ai = a[i - 1];
+    int32_t band_min = INT32_MAX;
+    for (long j = 1; j <= m; j++) {
+      int32_t c = prev[j - 1] + (ai != b[j - 1]);
+      int32_t up = prev[j] + 1;
+      if (up < c) c = up;
+      int32_t left = cur[j - 1] + 1;
+      if (left < c) c = left;
+      cur[j] = c;
+      long band_off = (n - m) - (i - j);
+      int32_t band = c + (int32_t)(band_off < 0 ? -band_off : band_off);
+      if (band < band_min) band_min = band;
+    }
+    if (band_min > T) return T + 1;
+    std::swap(prev, cur);
+  }
+  return prev[m];
+}
 
 extern "C" long ltr_poa_consensus(const char* seqs, const long* lens,
                                   long n_seqs, char* out, long out_cap) {

@@ -214,3 +214,59 @@ def test_extract_nuclear_families(tmp_path):
     f1 = [f for f in fams if f.family_id == "FAM1"][0]
     assert sorted(f1.children) == ["CHILD1", "CHILD2"]
     assert {f1.mother, f1.father} == {"MOM1", "DAD1"}
+
+
+def test_native_edit_distance_matches_numpy():
+    """The native C++ banded edit distance must be value-identical to the
+    numpy transcription, including the T+1 early-abort, across random
+    pairs, lengths, and thresholds."""
+    import numpy as np
+    from longtr_tpu import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    def numpy_ed(a, b, T):
+        n, m = len(a), len(b)
+        if abs(n - m) > T:
+            return T + 1
+        av = np.frombuffer(a.encode(), dtype=np.uint8)
+        bv = np.frombuffer(b.encode(), dtype=np.uint8)
+        prev = np.arange(m + 1, dtype=np.int32)
+        jj = np.arange(1, m + 1, dtype=np.int32)
+        for i in range(1, n + 1):
+            cur = np.empty(m + 1, dtype=np.int32)
+            cur[0] = i
+            sub = prev[:-1] + (av[i - 1] != bv).astype(np.int32)
+            base = np.minimum(sub, prev[1:] + 1)
+            run = np.minimum.accumulate(base - jj)
+            cur[1:] = np.minimum(base, run + jj)
+            cur[1:] = np.minimum(cur[1:], cur[0] + jj)
+            band = cur[1:] + np.abs((n - m) - (i - jj))
+            if band.min() > T:
+                return T + 1
+            prev = cur
+        return int(prev[m])
+
+    rng = np.random.default_rng(7)
+    bases = np.array(list("ACGT"))
+    for trial in range(120):
+        n = int(rng.integers(1, 80))
+        a = "".join(rng.choice(bases, size=n))
+        if rng.random() < 0.5:
+            b = list(a)
+            for _ in range(int(rng.integers(0, 12))):
+                k = int(rng.integers(0, len(b))) if b else 0
+                op = rng.random()
+                if op < 0.4 and b:
+                    b[k] = str(rng.choice(bases))
+                elif op < 0.7 and b:
+                    del b[k]
+                else:
+                    b.insert(k, str(rng.choice(bases)))
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(bases, size=int(rng.integers(1, 80))))
+        T = int(rng.integers(1, 30))
+        assert native.edit_distance_banded(a, b, T) == numpy_ed(a, b, T), \
+            (a, b, T)
