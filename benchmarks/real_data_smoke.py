@@ -42,11 +42,11 @@ def reconstruct_reference(bams, bed_loci, chrom_len, pad=700):
     for i, b in enumerate(b"acgt"):
         lut[b] = i
     bases_u8 = np.frombuffer(b"ACGT", dtype=np.uint8)
+    readers = [BamReader(p) for p in bams]  # reuse decode windows
     spans = {}  # chrom -> list of (start, estimated seq string)
     for chrom, s, e in merged:
         counts = np.zeros((e - s, 4), dtype=np.int32)
-        for path in bams:
-            r = BamReader(path)
+        for r in readers:
             if not r.set_region(chrom, s, e):
                 continue
             while (rec := r.get_next_alignment()) is not None:
@@ -69,7 +69,6 @@ def reconstruct_reference(bams, bed_loci, chrom_len, pad=700):
                         rpos += n
                     elif op in "IS":
                         qpos += n
-            r.close()
         est = bases_u8[counts.argmax(axis=1)]
         est[counts.sum(axis=1) == 0] = ord("N")
         spans.setdefault(chrom, []).append((s, est.tobytes().decode()))

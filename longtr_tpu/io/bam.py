@@ -634,7 +634,11 @@ class BamReader:
                 break
         if cached is None:
             lo = c_start
-            hi = min(max(c_end, lo + self.WINDOW_BYTES), file_size)
+            # adaptive window: one-off fetches pay a small decode; sorted
+            # scans quickly grow to the full window size
+            grow = getattr(self, "_window_bytes", self.WINDOW_BYTES >> 4)
+            self._window_bytes = min(grow * 2, self.WINDOW_BYTES)
+            hi = min(max(c_end, lo + grow), file_size)
             self._bgzf._fh.seek(lo)
             comp = self._bgzf._fh.read(hi - lo)
             # A partial trailing block is dropped by the inflater; hi
