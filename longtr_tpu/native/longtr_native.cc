@@ -855,6 +855,17 @@ static void pairhmm_range(
       outv[t] = (nL[t] == 1) ? c : NEG;
       bandfail[t] = 0;
     }
+    // Lanes whose score is decided without the DP (length shortcut /
+    // short-haplotype NEG) count as done for the tile early-exit below;
+    // their outv is overridden at emission either way.
+    std::vector<uint8_t> decided(TL, 0);
+    for (long t = 0; t < tl; t++) {
+      long b = b0 + t;
+      int diff = nL[t] - mL[t];
+      if ((diff < 0 ? -diff : diff) > LEN_DIFF_LIMIT ||
+          full_hap_len[b] <= MIN_FULL_HAP_LEN)
+        decided[t] = 1;
+    }
 
     for (int i = 1; i < max_n; i++) {
       // M and I rows (j >= 1)
@@ -919,6 +930,18 @@ static void pairhmm_range(
       Mp.swap(Mn);
       Ip.swap(In);
       Dp.swap(Dn);
+      // Tile early-exit: the band-fail flag is sticky (score becomes
+      // BAND_FAIL no matter what later rows hold — same semantics as the
+      // accumulated fail flag in the Pallas kernel), and a lane past its
+      // last haplotype row is frozen.  Once every real lane is failed,
+      // decided, or complete, later rows cannot change any output.
+      bool all_done = true;
+      for (long t = 0; t < tl; t++)
+        if (!(bandfail[t] || decided[t] || i >= nL[t] - 1)) {
+          all_done = false;
+          break;
+        }
+      if (all_done) break;
     }
 
     for (long t = 0; t < tl; t++) {
