@@ -231,31 +231,38 @@ class ModeBAligner:
     # ------------------------------------------------------------------
     def compute_aln_logprob(self, base_seq_len, seed_base, seed_char,
                             log_seed_wrong, log_seed_correct,
-                            l_match, l_prob, r_match, r_prob, fw_seqs):
-        """HapAligner.cpp:165-233 with flat matrices."""
-        lflank_len = seed_base
-        rflank_len = base_seq_len - seed_base - 1
+                            lm_col, l_prob, rm_col, r_prob, fw_seqs):
+        """HapAligner.cpp:165-233.
+
+        ``lm_col``/``rm_col`` are the LAST COLUMNS of the left/right match
+        matrices (hapsize,): every flat-pointer access in the reference walk
+        is at an index ≡ -1 mod the flank length, i.e. a last-column entry,
+        so the column vectors carry all the needed state (this is also what
+        the device kernel returns — ops/mode_b_device.py).
+        """
         hapsize = sum(len(s) for s in fw_seqs)
         prior = -int_log(self.num_seeds)
-        lm = l_match.reshape(-1)
-        rm = r_match.reshape(-1)
         log_probs = []
         first_char = fw_seqs[0][0]
         last_char = fw_seqs[-1][-1]
+        # boundary seeds: reference flat indices rf*(hs-1)-1 / lf*(hs-1)-1
+        # are row hs-2, last column
         log_probs.append(prior + (log_seed_correct if seed_char == first_char
                                   else log_seed_wrong)
-                         + l_prob + rm[rflank_len * (hapsize - 1) - 1])
+                         + l_prob + rm_col[hapsize - 2])
         log_probs.append(prior + (log_seed_correct if seed_char == last_char
                                   else log_seed_wrong)
-                         + r_prob + lm[lflank_len * (hapsize - 1) - 1])
-        l_ptr = lflank_len - 1
-        r_ptr = rflank_len * (hapsize - 2) - 1
+                         + r_prob + lm_col[hapsize - 2])
+        # seed at hap position p: left part ends at row p-1 of the forward
+        # matrix, right part at row hapsize-p-2 of the reversed matrix
+        l_row = 0
+        r_row = hapsize - 3
         hap_index = 1
         for bi, block in enumerate(self.fw_blocks):
             bseq = fw_seqs[bi]
             if block.repeat_info is not None:
-                l_ptr += lflank_len * len(bseq)
-                r_ptr -= rflank_len * len(bseq)
+                l_row += len(bseq)
+                r_row -= len(bseq)
                 hap_index += len(bseq)
                 continue
             coord = 1 if bi == 0 else 0
@@ -264,9 +271,9 @@ class ModeBAligner:
                 log_probs.append(prior + (log_seed_correct
                                           if seed_char == bseq[coord]
                                           else log_seed_wrong)
-                                 + lm[l_ptr] + rm[r_ptr])
-                l_ptr += lflank_len
-                r_ptr -= rflank_len
+                                 + lm_col[l_row] + rm_col[r_row])
+                l_row += 1
+                r_row -= 1
                 coord += 1
                 hap_index += 1
         return fast_lse(log_probs)
@@ -297,5 +304,5 @@ class ModeBAligner:
                 right_w, right_c)
             out[k] = self.compute_aln_logprob(
                 L, seed_base, seq[seed_base], blw[seed_base], blc[seed_base],
-                lM, l_prob, rM, r_prob, fw_seqs)
+                lM[:, -1], l_prob, rM[:, -1], r_prob, fw_seqs)
         return out
