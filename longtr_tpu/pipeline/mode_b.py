@@ -279,6 +279,219 @@ class ModeBAligner:
         return fast_lse(log_probs)
 
     # ------------------------------------------------------------------
+    def _row_tables(self, blocks, config, seqs):
+        """Per-row (char, kind, stutter ordinal) + per-ordinal block info.
+
+        Mirrors the ``_align_short`` walk; kinds: 0 flank, 1 flank after a
+        stutter row (match-only, HapAligner.cpp:132-141), 2 stutter row,
+        3 repeat-block interior (skipped).  Returns None when the structure
+        is outside the device kernel's envelope (empty block seq).
+        """
+        hap_size = sum(len(s) for s in seqs)
+        if hap_size < 2 or any(len(s) == 0 for s in seqs):
+            return None
+        hapchar = np.zeros(hap_size, dtype=np.int32)
+        kind = np.full(hap_size, 3, dtype=np.int32)
+        stut_ord = np.zeros(hap_size, dtype=np.int32)
+        stutter_info = []                       # [(block_index, option)]
+        hapchar[0] = ord(seqs[0][0])
+        hap_index = 1
+        stutter_R = -1
+        for bi, block in enumerate(blocks):
+            bseq = seqs[bi]
+            if block.repeat_info is not None:
+                row = hap_index + len(bseq) - 1
+                kind[row] = 2
+                stut_ord[row] = len(stutter_info)
+                stutter_info.append((bi, config[bi]))
+                stutter_R = row
+                hap_index += len(bseq)
+                continue
+            coord0 = 1 if bi == 0 else 0
+            for coord in range(coord0, len(bseq)):
+                h = hap_index
+                kind[h] = 1 if h == stutter_R + 1 else 0
+                hapchar[h] = ord(bseq[coord])
+                hap_index += 1
+        return hapchar, kind, stut_ord, stutter_info, hap_size
+
+    def _artifact_table(self, blocks, stutter_aligners, bi, option,
+                        seg, blw, blc, n_d, l_pad):
+        """Dense A[d, j] = artifact prior + StutterAligner.align score.
+
+        Entries: IMPOSSIBLE where base_len < 0 (HapAligner.cpp:92-113 appends
+        IMPOSSIBLE), -inf in d-padding (dropped by the LSE threshold without
+        ever being able to win the max), IMPOSSIBLE in column padding.
+        """
+        block = blocks[bi]
+        bseq = block.get_seq(option)
+        block_len = len(bseq)
+        L = len(seg)
+        sa = stutter_aligners[bi][option]
+        sa.load_read(L, seg, blw, blc)
+        d_list = list(range(block.max_del, block.max_ins + 1, block.period))
+        A = np.full((n_d, l_pad), -np.inf)
+        A[:, :L] = IMPOSSIBLE
+        A[len(d_list):, :L] = -np.inf
+        for j in range(L):
+            offset = L - 1 - j
+            for di, Dart in enumerate(d_list):
+                base_len = min(block_len + Dart, j + 1)
+                if base_len >= 0:
+                    pr, _pos = sa.align(base_len, j, offset, Dart)
+                    A[di, j] = block.log_prob_pcr_artifact(option, Dart) + pr
+        return A
+
+    def score_reads_batch(self, alns, seeds, dtype=np.float32):
+        """Device-batched scoring of many reads (one dispatch per locus).
+
+        Returns (P, num_combs) LLs, or None if any config falls outside the
+        kernel envelope (caller falls back to per-read ``score_read``).
+        Row tables/A tables are host-built (cached per (read, side, block,
+        option) — strictly less StutterAligner work than the per-config host
+        path), the row DP runs on device, and the final seed marginalization
+        reuses the tested f64 ``compute_aln_logprob``.
+        """
+        from longtr_tpu.ops.mode_b_device import mode_b_cols, _pad_to
+
+        configs = list(self.hap.all_configs())
+        K = len(configs)
+        sides = []                                   # per (k, side) rows
+        n_d = 1
+        for k, config in enumerate(configs):
+            rev_config = tuple(reversed(config))
+            fw_seqs = [b.get_seq(c) for b, c in zip(self.fw_blocks, config)]
+            rv_seqs = [b.get_seq(c) for b, c in
+                       zip(self.rev_blocks, rev_config)]
+            fw = self._row_tables(self.fw_blocks, config, fw_seqs)
+            rv = self._row_tables(self.rev_blocks, rev_config, rv_seqs)
+            if fw is None or rv is None:
+                return None
+            sides.append((fw, rv, fw_seqs))
+        for b in self.fw_blocks:
+            if b.repeat_info is not None:
+                n_d = max(n_d, len(range(b.max_del, b.max_ins + 1, b.period)))
+        S_max = max(len(t[0][3]) for t in sides) or 1
+        R_max = _pad_to(max(max(t[0][4], t[1][4]) for t in sides), 8)
+
+        P = len(alns)
+        segs = []                                    # per (p, side) read data
+        for aln in alns:
+            quals = aln.base_qualities
+            blw = np.array([log_prob_error(q) for q in quals])
+            blc = np.array([log_prob_correct(q) for q in quals])
+            segs.append((aln.sequence, blw, blc))
+        L_max = _pad_to(max(max(s, len(segs[p][0]) - s - 1)
+                            for p, s in enumerate(seeds)), 8)
+
+        def seg_arrays(p, side):
+            seq, blw, blc = segs[p]
+            s = seeds[p]
+            if side == 0:
+                sseq, sw, sc = seq[:s], blw[:s], blc[:s]
+            else:
+                sseq = seq[s + 1:][::-1]
+                sw = blw[s + 1:][::-1]
+                sc = blc[s + 1:][::-1]
+            L = len(sseq)
+            codes = np.zeros(L_max, dtype=np.int32)
+            codes[:L] = np.frombuffer(sseq.encode(), dtype=np.uint8)
+            w = np.zeros(L_max)
+            c = np.zeros(L_max)
+            w[:L] = sw
+            c[:L] = sc
+            cs = np.cumsum(sc)
+            pre = np.zeros(L_max)
+            pre[1:L] = cs[:-1]
+            lp = float(cs[-1]) if L else 0.0
+            return sseq, sw, sc, codes, w, c, pre, lp, L
+
+        B = P * K * 2
+        B_pad = _pad_to(B, 32)
+        codes = np.zeros((B_pad, L_max), dtype=np.int32)
+        blw_a = np.zeros((B_pad, L_max))
+        blc_a = np.zeros((B_pad, L_max))
+        pre_a = np.zeros((B_pad, L_max))
+        last = np.zeros(B_pad, dtype=np.int32)
+        hapchar = np.zeros((B_pad, R_max), dtype=np.int32)
+        kind = np.full((B_pad, R_max), 3, dtype=np.int32)
+        stut_ord = np.zeros((B_pad, R_max), dtype=np.int32)
+        A = np.full((B_pad, S_max, n_d, L_max), -np.inf)
+        bl_a = np.ones((B_pad, S_max), dtype=np.int32)
+        d0_a = np.zeros((B_pad, S_max), dtype=np.int32)
+        dstep_a = np.ones((B_pad, S_max), dtype=np.int32)
+        lprob = np.zeros((P, 2))
+
+        seg_cache = {}
+        art_cache = {}
+        for p in range(P):
+            for side in (0, 1):
+                seg_cache[(p, side)] = seg_arrays(p, side)
+        b = 0
+        elem = {}
+        for p in range(P):
+            for k in range(K):
+                for side in (0, 1):
+                    fw, rv, _seqs = sides[k]
+                    rows = fw if side == 0 else rv
+                    blocks = self.fw_blocks if side == 0 else self.rev_blocks
+                    saln = self._fw_stutter if side == 0 else self._rev_stutter
+                    (sseq, sw, sc, cod, w, c, pre, lp, L) = seg_cache[(p, side)]
+                    codes[b] = cod
+                    blw_a[b] = w
+                    blc_a[b] = c
+                    pre_a[b] = pre
+                    last[b] = max(L - 1, 0)
+                    hc, kd, so, sinfo, hs = rows
+                    hapchar[b, :hs] = hc
+                    kind[b, :hs] = kd
+                    stut_ord[b, :hs] = so
+                    lprob[p, side] = lp
+                    for s_i, (bi, opt) in enumerate(sinfo):
+                        key = (p, side, bi, opt)
+                        if key not in art_cache:
+                            art_cache[key] = self._artifact_table(
+                                blocks, saln, bi, opt, sseq, sw, sc,
+                                n_d, L_max)
+                        A[b, s_i] = art_cache[key]
+                        blk = blocks[bi]
+                        bl_a[b, s_i] = len(blk.get_seq(opt))
+                        d0_a[b, s_i] = blk.max_del
+                        dstep_a[b, s_i] = blk.period
+                    elem[(p, k, side)] = b
+                    b += 1
+
+        params = np.array([self.i2i, self.i2m, self.d2d, self.d2m,
+                           self.m2m, self.m2i, self.m2d], dtype=dtype)
+
+        def dispatch():
+            return np.asarray(mode_b_cols(
+                codes, blw_a.astype(dtype), blc_a.astype(dtype),
+                pre_a.astype(dtype), last, hapchar, kind, stut_ord,
+                A.astype(dtype), bl_a, d0_a, dstep_a, params,
+                n_d=n_d), dtype=np.float64)
+
+        if dtype == np.float64:
+            import jax
+            with jax.enable_x64():
+                cols = dispatch()
+        else:
+            cols = dispatch()
+
+        out = np.empty((P, K))
+        for p, aln in enumerate(alns):
+            seq = aln.sequence
+            _, blw, blc = segs[p]
+            s = seeds[p]
+            for k, config in enumerate(configs):
+                fw_seqs = sides[k][2]
+                out[p, k] = self.compute_aln_logprob(
+                    len(seq), s, seq[s], blw[s], blc[s],
+                    cols[elem[(p, k, 0)]], lprob[p, 0],
+                    cols[elem[(p, k, 1)]], lprob[p, 1], fw_seqs)
+        return out
+
+    # ------------------------------------------------------------------
     def score_read(self, aln, seed_base: int) -> np.ndarray:
         """LLs against every haplotype config, in enumeration order."""
         seq = aln.sequence

@@ -23,6 +23,8 @@ The haplotype/read trimming geometry for alignment reproduces
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from longtr_tpu.haplotype.blocks import Haplotype
@@ -544,9 +546,22 @@ class SeqStutterGenotyper:
             seed = calc_seed_base(aln, aligner.repeat_starts,
                                   aligner.repeat_ends, hap_start, hap_end)
             self.pool_seed_positions[p] = seed
-            if seed == -1:
-                continue
-            scores[p] = aligner.score_read(aln, seed)
+        valid = np.flatnonzero(self.pool_seed_positions >= 0)
+        batch = None
+        from longtr_tpu.utils import mathops
+        if len(valid) and not mathops.ref_fidelity() \
+                and os.environ.get("LONGTR_MODE_B_HOST", "") != "1":
+            # One device dispatch for all (read, config) pairs; the f64 host
+            # path remains the reference-fidelity / fallback scorer.
+            batch = aligner.score_reads_batch(
+                [pools[p] for p in valid],
+                [int(self.pool_seed_positions[p]) for p in valid])
+        if batch is not None:
+            scores[valid] = batch
+        else:
+            for p in valid:
+                scores[p] = aligner.score_read(
+                    pools[p], int(self.pool_seed_positions[p]))
         self.seed_positions = self.pool_seed_positions[self.pool_index]
         return scores
 
