@@ -54,9 +54,13 @@ def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1):
 
 def main():
     n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    workers = 1
+    if "--workers" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--workers") + 1])
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        os.environ["LONGTR_PLATFORM"] = "cpu"   # inherited by --workers subprocesses
     from longtr_tpu.ops.pairhmm import enable_compile_cache
     enable_compile_cache()
 
@@ -71,7 +75,8 @@ def main():
     rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
                    "--regions", bed, "--tr-vcf", out,
                    "--min-reads", "5", "--quiet",
-                   "--metrics-out", metrics_path])
+                   "--metrics-out", metrics_path]
+                  + (["--workers", str(workers)] if workers > 1 else []))
     dt = time.time() - t0
     assert rc == 0
     import json

@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", default="",
                    help="Process an interleaved shard of the catalog, e.g. "
                         "'0/4'; merge per-shard VCFs with longtr-merge-vcf")
+    p.add_argument("--workers", type=int, default=1,
+                   help="Run N shard worker processes on this host and merge "
+                        "their outputs into the requested files (the "
+                        "reference is single-threaded, README.md:78-82; "
+                        "checkpoints stay per-worker as FILE.shardK)")
     p.add_argument("--checkpoint", default="",
                    help="Append completed locus keys to this file and skip "
                         "them on restart (crash-resumable runs; the "
@@ -229,9 +234,111 @@ def main(argv=None):
         raise
 
 
+def _run_workers(argv, args):
+    """Fork N single-shard CLI subprocesses and merge their outputs.
+
+    Fresh interpreters (not fork) keep the JAX runtime safe; the interleaved
+    shard + lexicographic merge reproduces the single-run output
+    byte-identically (same invariant the --shard identity test enforces).
+    """
+    import os
+    import subprocess
+    n = args.workers
+    rewrite = {"--tr-vcf", "--metrics-out", "--checkpoint", "--log",
+               "--viz-out", "--stutter-out"}
+    base = []
+    it = iter(argv)
+    for a in it:
+        if a == "--workers":
+            next(it, None)
+            continue
+        if a.startswith("--workers="):
+            continue
+        base.append(a)
+        if a in rewrite:
+            base.append(next(it))
+    def shard_path(path, i):
+        # Keep the .gz suffix last so CLI validation and bgzf detection
+        # (both keyed on endswith(".gz")) still hold for shard files.
+        if path.endswith(".gz"):
+            return path[:-3] + f".shard{i}.gz"
+        return path + f".shard{i}"
+
+    procs = []
+    for i in range(n):
+        wargv = []
+        j = 0
+        while j < len(base):
+            a = base[j]
+            if a in rewrite:
+                wargv += [a, shard_path(base[j + 1], i)]
+                j += 2
+                continue
+            wargv.append(a)
+            j += 1
+        wargv += ["--shard", f"{i}/{n}"]
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "longtr_tpu.cli"] + wargv))
+    failed = [i for i, pr in enumerate(procs) if pr.wait() != 0]
+    if failed:
+        sys.exit(f"ERROR: worker shard(s) {failed} failed")
+
+    from longtr_tpu.io.tabix import build_tbi
+    from longtr_tpu.parallel.multihost import (merge_sorted_vcfs,
+                                               merge_text_blocks)
+
+    def shards_of(path):
+        return [shard_path(path, i) for i in range(n)]
+
+    if args.tr_vcf and not args.skip_genotyping:
+        parts = shards_of(args.tr_vcf)
+        merge_sorted_vcfs(parts, args.tr_vcf)
+        build_tbi(args.tr_vcf)
+        for p in parts:
+            os.unlink(p)
+            if os.path.exists(p + ".tbi"):
+                os.unlink(p + ".tbi")
+    if args.viz_out:
+        parts = shards_of(args.viz_out)
+        merge_text_blocks(parts, args.viz_out, bgzf=True)
+        for p in parts:
+            os.unlink(p)
+    if args.stutter_out:
+        parts = shards_of(args.stutter_out)
+        merge_text_blocks(parts, args.stutter_out, bgzf=False)
+        for p in parts:
+            os.unlink(p)
+    if args.metrics_out:
+        import json
+        merged = {}
+        for p in shards_of(args.metrics_out):
+            with open(p) as fh:
+                d = json.load(fh)
+            for k, v in d.items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    merged[k] = merged.get(k, 0) + v
+                elif isinstance(v, dict):
+                    sub = merged.setdefault(k, {})
+                    for k2, v2 in v.items():
+                        if isinstance(v2, (int, float)):
+                            sub[k2] = sub.get(k2, 0) + v2
+                        else:
+                            sub.setdefault(k2, v2)
+                else:
+                    merged.setdefault(k, v)
+            os.unlink(p)
+        with open(args.metrics_out, "w") as fh:
+            json.dump(merged, fh, indent=2)
+    return 0
+
+
 def _main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
     args = build_parser().parse_args(argv)
     import os
+    if args.workers > 1 and not args.shard:
+        return _run_workers(argv, args)
     if args.ref_fidelity:
         from longtr_tpu.utils import mathops
         mathops.set_ref_fidelity(True)

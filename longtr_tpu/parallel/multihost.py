@@ -72,6 +72,52 @@ def merge_sorted_vcfs(paths, out_path: str):
     out.close()
 
 
+def merge_text_blocks(paths, out_path: str, bgzf: bool = True):
+    """Heap-merge per-shard locus-keyed text files (viz / stutter models).
+
+    Lines are grouped into blocks of consecutive identical (chrom, pos) keys
+    (pos = 2nd tab field); blocks are merged by key with the within-block
+    line order preserved (unlike the per-line VCF merge, one locus spans
+    several lines here).  Loci are disjoint across shards, so block order is
+    total.
+    """
+    def key(line):
+        chrom, pos = line.split("\t", 2)[:2]
+        return (chrom, int(pos))
+
+    def blocks(path):
+        fh = bgzf_open_text(path) if path.endswith(".gz") else open(path)
+        block, bkey = [], None
+        for line in fh:
+            if not line.strip():
+                continue
+            k = key(line)
+            if bkey is not None and k != bkey:
+                yield bkey, block
+                block = []
+            bkey = k
+            block.append(line)
+        if block:
+            yield bkey, block
+        fh.close()
+
+    out = BgzfWriter(out_path) if bgzf else open(out_path, "w")
+    iters = [blocks(p) for p in paths]
+    heap = []
+    for idx, it in enumerate(iters):
+        first = next(it, None)
+        if first is not None:
+            heapq.heappush(heap, (first[0], idx, first[1]))
+    while heap:
+        _, idx, block = heapq.heappop(heap)
+        for line in block:
+            out.write(line)
+        nxt = next(iters[idx], None)
+        if nxt is not None:
+            heapq.heappush(heap, (nxt[0], idx, nxt[1]))
+    out.close()
+
+
 def merge_main(argv=None):
     import argparse
     p = argparse.ArgumentParser(

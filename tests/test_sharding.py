@@ -42,6 +42,34 @@ def test_sharded_runs_merge_to_single_run(tmp_path):
     assert vcf_body(merged) == vcf_body(whole)
 
 
+def test_workers_mode_matches_single_run(tmp_path, monkeypatch):
+    """`--workers 2` (in-process multi-worker fan-out + merge) reproduces
+    the single-process VCF body and leaves no shard litter behind."""
+    monkeypatch.setenv("LONGTR_PLATFORM", "cpu")  # inherited by subprocesses
+    fx = standard_fixture(str(tmp_path))
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--min-reads", "5", "--quiet"]
+    whole = str(tmp_path / "whole.vcf.gz")
+    metrics1 = str(tmp_path / "metrics1.json")
+    assert cli_main(base + ["--tr-vcf", whole,
+                            "--metrics-out", metrics1]) == 0
+    multi = str(tmp_path / "multi.vcf.gz")
+    metrics = str(tmp_path / "metrics.json")
+    assert cli_main(base + ["--tr-vcf", multi, "--workers", "2",
+                            "--metrics-out", metrics]) == 0
+    assert vcf_body(multi) == vcf_body(whole)
+    assert os.path.exists(multi + ".tbi")
+    assert not [p for p in os.listdir(tmp_path) if ".shard" in p]
+    import json
+    with open(metrics) as fh:
+        m = json.load(fh)
+    with open(metrics1) as fh:
+        m1 = json.load(fh)
+    # merged worker counters sum to the single-run counters
+    for key in ("loci_processed", "num_genotype_success"):
+        assert m[key] == m1[key]
+
+
 def test_pairhmm_batch_sharded_matches_single_device():
     """Mesh-sharded scoring (the production multi-chip dispatch) is
     element-wise identical to the single-device batch."""
