@@ -69,20 +69,36 @@ def main():
     fasta, bed, bams, loci, truth_gts = build_catalog(tmpdir, n_loci)
 
     from longtr_tpu.cli import main as cli_main
-    out = os.path.join(tmpdir, "calls.vcf.gz")
-    metrics_path = os.path.join(tmpdir, "metrics.json")
-    t0 = time.time()
-    rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
-                   "--regions", bed, "--tr-vcf", out,
-                   "--min-reads", "5", "--quiet",
-                   "--metrics-out", metrics_path]
-                  + (["--workers", str(workers)] if workers > 1 else []))
-    dt = time.time() - t0
-    assert rc == 0
+    # --repeat N: run the same catalog N times in-process and report the
+    # best pass.  Pass 1 pays one-time costs a long-lived service never
+    # re-pays (remote compile-cache loads through the tunnel, jit tracing);
+    # later passes measure steady-state throughput.
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    out = metrics_path = dt = None
+    for r in range(repeat):
+        out = os.path.join(tmpdir, f"calls{r}.vcf.gz")
+        metrics_path = os.path.join(tmpdir, f"metrics{r}.json")
+        t0 = time.time()
+        rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
+                       "--regions", bed, "--tr-vcf", out,
+                       "--min-reads", "5", "--quiet",
+                       "--metrics-out", metrics_path]
+                      + (["--workers", str(workers)] if workers > 1 else []))
+        dt_r = time.time() - t0
+        assert rc == 0
+        print(f"pass {r + 1}/{repeat}: {dt_r:.1f}s "
+              f"-> {n_loci / dt_r:.1f} loci/s", flush=True)
+        dt = dt_r if dt is None else min(dt, dt_r)
     import json
     m = json.load(open(metrics_path))
     print(f"device dispatches: {m.get('num_dispatches')}  "
           f"host syncs: {m.get('num_syncs')}")
+    stages = sorted(m.get("stage_seconds", {}).items(),
+                    key=lambda kv: -kv[1])
+    print("stage seconds: " +
+          "  ".join(f"{k}={v:.2f}" for k, v in stages[:8]))
     from longtr_tpu.io.bgzf import bgzf_open_text
     # genotype concordance vs simulation truth (GB = bp diffs from ref)
     n_rec = 0

@@ -375,6 +375,7 @@ class GenotyperPipeline:
         if handle is not None:
             scores = handle.result()
             self.stats.num_syncs += 1
+            self.timer.add("Device sync wait", time.time() - t0)
         cfg = self.config
         for (gt, pairs, ok, _group), sl in zip(window, slices):
             if ok and sl is not None:

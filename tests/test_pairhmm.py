@@ -207,3 +207,33 @@ def test_fidelity_mode_routes_to_f64():
     want = np.array([pairhmm_score_oracle(h, r, full_hap_len=int(f))
                      for (h, r), f in zip(pairs, fl)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_f32_drift_is_pure_rounding():
+    """Characterize the f32-scan-vs-f64-oracle gap (VERDICT round-1 weak #6).
+
+    The coarse 2e-2 tolerance used elsewhere could hide a systematic
+    recurrence error; here the gap is pinned to rounding scale: measured
+    max relative error is ~2e-5 at read length 800 (mean ~1e-3 absolute),
+    so rtol=5e-5 + atol=2e-5 gives 2.5x headroom while sitting ~400x below
+    the coarse tolerance.  A wrong transition constant, off-by-one
+    boundary, or reordering bug shows up orders of magnitude above this.
+    """
+    from longtr_tpu.ops.pairhmm import BAND_FAIL_SCORE
+
+    for n, reps in ((20, 20), (100, 12), (300, 6), (600, 3)):
+        pairs = []
+        for _ in range(reps):
+            hap = rand_seq(n)
+            pairs.append((hap, mutate(hap)))
+            pairs.append((hap, mutate(hap, sub=0.05, ind=0.02)))
+        H, hl, R, rl, fl = batch_from_pairs(pairs)
+        got = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+        want = np.array([pairhmm_score_oracle(h, r, full_hap_len=int(f))
+                         for (h, r), f in zip(pairs, fl)])
+        keep = (want != BAND_FAIL_SCORE) & (got != BAND_FAIL_SCORE)
+        assert keep.sum() >= len(pairs) // 2
+        err = np.abs(got - want)[keep]
+        bound = 2e-5 + 5e-5 * np.abs(want[keep])
+        assert (err <= bound).all(), \
+            (n, err.max(), np.abs(want[keep])[err.argmax()])
