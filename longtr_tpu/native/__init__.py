@@ -91,6 +91,22 @@ def get_lib():
                                       ctypes.c_long, ctypes.c_char_p,
                                       ctypes.c_long]
     lib.ltr_bam_decode.restype = ctypes.c_int64
+    if hasattr(lib, "ltr_trim_expand_batch"):
+        I64P = ctypes.POINTER(ctypes.c_int64)
+        lib.ltr_trim_expand_batch.restype = ctypes.c_int64
+        lib.ltr_trim_expand_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,    # chrom window
+            ctypes.c_char_p, I64P,                              # seqs
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), I64P,               # cigars
+            I64P, I64P, ctypes.c_int64,                         # pos/end/R
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,     # trim bounds
+            ctypes.c_int64, ctypes.c_int64,                     # region
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,     # out cigar
+            ctypes.c_char_p, ctypes.c_int64,                    # out aln
+            I64P, I64P,                                         # out offsets
+            I64P]                                               # meta
     _lib = lib
     return _lib
 
@@ -302,3 +318,76 @@ def bam_decode(buf: bytes, max_records: int | None = None):
         return None
     return DecodedBatch(int(got), fixed, offsets, names, cigar_ops,
                         cigar_lens, seqs, quals, tags, ref_lens)
+
+
+def trim_expand_batch(chrom_window: bytes, chrom_off: int, recs,
+                      min_read_start: int, max_read_stop: int,
+                      flank_size: int, region_start: int, region_stop: int):
+    """Batched trim + CIGAR expansion for one locus's reads (native).
+
+    Returns (meta, out_ops, out_lens, cig_offs, aln_bytes, aln_offs) or
+    None if the library is unavailable (caller falls back to the Python
+    trim_alignment + expand_cigar_vs_ref pair, which this transcribes).
+    meta is (R, 8) int64: [status, new_pos, new_end, ltrim, rtrim,
+    n_cigar, aln_len, deleted]; status 0=keep 1=overlap_fail
+    2=softclip_fail 3=del_alignment 4=bad_cigar.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ltr_trim_expand_batch"):
+        return None
+    R = len(recs)
+    seq_off = np.zeros(R + 1, np.int64)
+    cig_off = np.zeros(R + 1, np.int64)
+    pos = np.zeros(R, np.int64)
+    endp = np.zeros(R, np.int64)
+    seq_parts = []
+    ops_parts = []
+    lens_parts = []
+    tot_s = tot_c = 0
+    for i, rec in enumerate(recs):
+        b = rec.seq.encode()
+        seq_parts.append(b)
+        tot_s += len(b)
+        seq_off[i + 1] = tot_s
+        cig = rec.cigar
+        ops_parts.append("".join(op for op, _ in cig).encode())
+        lens_parts.append(np.fromiter((n for _, n in cig),
+                                      np.int32, len(cig)))
+        tot_c += len(cig)
+        cig_off[i + 1] = tot_c
+        pos[i] = rec.pos
+        endp[i] = rec.end_pos
+    seqs = b"".join(seq_parts)
+    ops_arr = np.frombuffer(b"".join(ops_parts), np.uint8).copy()
+    lens_arr = (np.concatenate(lens_parts) if lens_parts
+                else np.zeros(0, np.int32))
+    if ops_arr.size == 0:
+        ops_arr = np.zeros(1, np.uint8)
+        lens_arr = np.zeros(1, np.int32)
+    cig_cap = tot_c + tot_s + 16
+    aln_cap = tot_s + R * max(max_read_stop - min_read_start + 2, 2) + 16
+    out_ops = np.empty(cig_cap, np.uint8)
+    out_lens = np.empty(cig_cap, np.int32)
+    out_aln = np.empty(aln_cap, np.uint8)
+    cig_offs = np.zeros(R + 1, np.int64)
+    aln_offs = np.zeros(R + 1, np.int64)
+    meta = np.zeros(R * 8, np.int64)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.ltr_trim_expand_batch(
+        chrom_window, chrom_off, len(chrom_window),
+        seqs, seq_off.ctypes.data_as(I64P),
+        ops_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cig_off.ctypes.data_as(I64P),
+        pos.ctypes.data_as(I64P), endp.ctypes.data_as(I64P), R,
+        min_read_start, max_read_stop, flank_size,
+        region_start, region_stop,
+        out_ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cig_cap,
+        out_aln.ctypes.data_as(ctypes.c_char_p), aln_cap,
+        cig_offs.ctypes.data_as(I64P), aln_offs.ctypes.data_as(I64P),
+        meta.ctypes.data_as(I64P))
+    if rc != 0:
+        return None
+    return (meta.reshape(R, 8), out_ops, out_lens, cig_offs,
+            out_aln, aln_offs)

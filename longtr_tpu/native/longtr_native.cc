@@ -11,6 +11,7 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
 // Build: see build.sh (g++ -O3 -shared -fPIC ... -lz).
 
+#include <cctype>
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
@@ -1105,4 +1106,227 @@ extern "C" void ltr_pairhmm_batch(
                      full_hap_len, trans, lo, hi, N, Mdim, out);
   }
   for (auto& th : ths) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Batched read trim + CIGAR expansion (one call per locus).
+//
+// Native fast path for pipeline/alignment.left_align_reads: the reference
+// trims each BAM record to region±FLANK_SIZE and expands its CIGAR into
+// explicit =/X ops against the chromosome (bam_io.cpp:267-372 TrimAlignment
+// + genotyper_bam_processor.cpp:72-140).  Transcribes the (oracle-tested)
+// Python implementations in io/bam.py::trim_alignment and
+// pipeline/alignment.py::expand_cigar_vs_ref run-for-run; the Python path
+// remains as the fallback and the identity test's reference.
+//
+// Per-read meta layout (8 int64 each):
+//   [0] status: 0=keep 1=overlap_fail 2=softclip_fail 3=del_alignment
+//               4=bad_cigar
+//   [1] new_pos  [2] new_end_pos(exclusive)  [3] ltrim  [4] rtrim
+//   [5] n_out_cigar  [6] aln_len  [7] deleted(0/1)
+//
+// Output capacity contract (caller allocates):
+//   out_ops/out_lens: total input cigar entries + total seq bytes
+//   out_aln: total seq bytes + R * (max_read_stop - min_read_start + 2)
+// Returns 0, or -1 if a capacity or bounds invariant is violated.
+extern "C" int64_t ltr_trim_expand_batch(
+    const char* chrom, int64_t chrom_off, int64_t chrom_len,  // window
+    const char* seqs, const int64_t* seq_off,                  // R+1
+    const uint8_t* ops, const int32_t* oplens, const int64_t* cig_off,  // R+1
+    const int64_t* pos, const int64_t* end_pos, int64_t R,
+    int64_t min_read_start, int64_t max_read_stop, int64_t flank_size,
+    int64_t region_start, int64_t region_stop,
+    uint8_t* out_ops, int32_t* out_lens, int64_t out_cig_cap,
+    char* out_aln, int64_t out_aln_cap,
+    int64_t* out_cig_offs, int64_t* out_aln_offs,              // R+1 each
+    int64_t* meta) {
+  int64_t cig_w = 0, aln_w = 0;
+  std::vector<uint8_t> t_ops;
+  std::vector<int64_t> t_lens;
+  out_cig_offs[0] = 0;
+  out_aln_offs[0] = 0;
+  for (int64_t r = 0; r < R; r++) {
+    int64_t* m = meta + r * 8;
+    for (int k = 0; k < 8; k++) m[k] = 0;
+    out_cig_offs[r + 1] = cig_w;
+    out_aln_offs[r + 1] = aln_w;
+    const int64_t slo = seq_off[r], shi = seq_off[r + 1];
+    const int64_t seq_len = shi - slo;
+    const char* seq = seqs + slo;
+    const int64_t clo = cig_off[r], chi = cig_off[r + 1];
+    // overlap gate (genotyper_bam_processor.cpp:56-59)
+    if (pos[r] > region_start || end_pos[r] < region_stop) {
+      m[0] = 1;
+      continue;
+    }
+    // ---- trim (io/bam.py trim_alignment; bam_io.cpp:267-372) ----
+    t_ops.assign(ops + clo, ops + chi);
+    t_lens.assign(oplens + clo, oplens + chi);
+    int64_t nc = chi - clo;
+    int64_t ltrim = 0, start_pos = pos[r];
+    int64_t ci = 0;
+    bool bad = false;
+    while (start_pos < min_read_start && ci < nc) {
+      uint8_t op = t_ops[ci];
+      int64_t n = t_lens[ci], take;
+      if (op == 'M' || op == '=' || op == 'X') {
+        take = n < min_read_start - start_pos ? n : min_read_start - start_pos;
+        ltrim += take;
+        start_pos += take;
+      } else if (op == 'D') {
+        take = n < min_read_start - start_pos ? n : min_read_start - start_pos;
+        start_pos += take;
+      } else if (op == 'I' || op == 'S') {
+        take = n;
+        ltrim += n;
+      } else if (op == 'H') {
+        take = n;
+      } else {
+        bad = true;
+        break;
+      }
+      if (take == n) ci++;
+      else t_lens[ci] = n - take;
+    }
+    if (bad) { m[0] = 4; continue; }
+    int64_t base = ci;  // trimmed cigar = [base, nc)
+    // whole-repeat deletion detection (bam_io.cpp:304-337)
+    int64_t repeat_pointer = start_pos;
+    const int64_t repeat_start = min_read_start + flank_size;
+    const int64_t repeat_end = max_read_stop - flank_size;
+    int64_t deletion_size = 0;
+    if (repeat_pointer >= min_read_start) {
+      for (int64_t k = base; k < nc; k++) {
+        if (repeat_pointer >= repeat_end) break;
+        uint8_t op = t_ops[k];
+        int64_t n = t_lens[k];
+        if (op == 'M' || op == '=' || op == 'X') {
+          int64_t adv = n < repeat_end - repeat_pointer
+                            ? n : repeat_end - repeat_pointer;
+          repeat_pointer += adv;
+        } else if (op == 'D') {
+          int64_t take = n < repeat_end - repeat_pointer
+                             ? n : repeat_end - repeat_pointer;
+          int64_t lo2 = repeat_pointer > repeat_start
+                            ? repeat_pointer : repeat_start;
+          int64_t hi2 = repeat_pointer + take;
+          if (hi2 > lo2) deletion_size += hi2 - lo2;
+          repeat_pointer += take;
+        }
+      }
+    }
+    if (deletion_size >= repeat_end - repeat_start) m[7] = 1;
+    // right trim
+    int64_t rtrim = 0, cur_end = end_pos[r];
+    int64_t ce = nc;  // trimmed cigar = [base, ce)
+    while (cur_end > max_read_stop && ce > base) {
+      uint8_t op = t_ops[ce - 1];
+      int64_t n = t_lens[ce - 1], take;
+      if (op == 'M' || op == '=' || op == 'X') {
+        take = n < cur_end - max_read_stop ? n : cur_end - max_read_stop;
+        rtrim += take;
+        cur_end -= take;
+      } else if (op == 'D') {
+        take = n < cur_end - max_read_stop ? n : cur_end - max_read_stop;
+        cur_end -= take;
+      } else if (op == 'I' || op == 'S') {
+        take = n;
+        rtrim += n;
+      } else if (op == 'H') {
+        take = n;
+      } else {
+        bad = true;
+        break;
+      }
+      if (take == n) ce--;
+      else t_lens[ce - 1] = n - take;
+    }
+    if (bad) { m[0] = 4; continue; }
+    if (ltrim + rtrim > seq_len) return -1;
+    m[1] = start_pos;
+    m[2] = cur_end;
+    m[3] = ltrim;
+    m[4] = rtrim;
+    if (seq_len - ltrim - rtrim == 0) { m[0] = 3; continue; }
+    // ---- expand (pipeline/alignment.py expand_cigar_vs_ref) ----
+    int64_t seq_index = ltrim;
+    int64_t ref_index = start_pos;
+    bool soft = false;
+    const int64_t cig_start = cig_w;
+    const int64_t aln_start = aln_w;
+    for (int64_t k = base; k < ce && !bad; k++) {
+      uint8_t op = t_ops[k];
+      int64_t n = t_lens[k];
+      if (op == 'H') continue;
+      if (op == 'S') {
+        if (cig_w > cig_start && out_ops[cig_w - 1] == 'S')
+          out_lens[cig_w - 1] += (int32_t)n;
+        else {
+          if (cig_w >= out_cig_cap) return -1;
+          out_ops[cig_w] = 'S';
+          out_lens[cig_w++] = (int32_t)n;
+        }
+        seq_index += n;
+        soft = true;
+      } else if (op == 'I') {
+        if (cig_w > cig_start && out_ops[cig_w - 1] == 'I')
+          out_lens[cig_w - 1] += (int32_t)n;
+        else {
+          if (cig_w >= out_cig_cap) return -1;
+          out_ops[cig_w] = 'I';
+          out_lens[cig_w++] = (int32_t)n;
+        }
+        if (aln_w + n > out_aln_cap) return -1;
+        for (int64_t t = 0; t < n; t++)
+          out_aln[aln_w++] = (char)toupper((unsigned char)seq[seq_index + t]);
+        seq_index += n;
+      } else if (op == 'D') {
+        if (cig_w > cig_start && out_ops[cig_w - 1] == 'D')
+          out_lens[cig_w - 1] += (int32_t)n;
+        else {
+          if (cig_w >= out_cig_cap) return -1;
+          out_ops[cig_w] = 'D';
+          out_lens[cig_w++] = (int32_t)n;
+        }
+        if (aln_w + n > out_aln_cap) return -1;
+        for (int64_t t = 0; t < n; t++) out_aln[aln_w++] = '-';
+        ref_index += n;
+      } else if (op == 'M' || op == '=' || op == 'X') {
+        if (aln_w + n > out_aln_cap) return -1;
+        for (int64_t t = 0; t < n; t++) {
+          char rb = (char)toupper((unsigned char)seq[seq_index + t]);
+          int64_t ref_pos = ref_index + t - chrom_off;
+          char fb = (ref_pos >= 0 && ref_pos < chrom_len)
+                        ? (char)toupper((unsigned char)chrom[ref_pos]) : '\0';
+          uint8_t eq = rb == fb ? '=' : 'X';
+          out_aln[aln_w] = rb;
+          aln_w++;
+          if (cig_w > cig_start && out_ops[cig_w - 1] == eq)
+            out_lens[cig_w - 1]++;
+          else {
+            if (cig_w >= out_cig_cap) return -1;
+            out_ops[cig_w] = eq;
+            out_lens[cig_w++] = 1;
+          }
+        }
+        seq_index += n;
+        ref_index += n;
+      } else {
+        bad = true;
+      }
+    }
+    if (bad) { m[0] = 4; cig_w = cig_start; aln_w = aln_start; continue; }
+    if (soft) { m[0] = 2; cig_w = cig_start; aln_w = aln_start; continue; }
+    m[0] = 0;
+    m[5] = cig_w - cig_start;
+    m[6] = aln_w - aln_start;
+    out_cig_offs[r + 1] = cig_w;
+    out_aln_offs[r + 1] = aln_w;
+  }
+  // final offsets for trailing skipped reads
+  for (int64_t r = 0; r < R; r++) {
+    if (out_cig_offs[r + 1] < out_cig_offs[r]) out_cig_offs[r + 1] = out_cig_offs[r];
+    if (out_aln_offs[r + 1] < out_aln_offs[r]) out_aln_offs[r + 1] = out_aln_offs[r];
+  }
+  return 0;
 }

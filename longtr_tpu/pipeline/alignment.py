@@ -121,6 +121,12 @@ def left_align_reads(region_group, chrom_seq: str, samples_reads,
     ``left_alns`` is a flat list of Alignment and filt_log_p* parallel the
     per-sample structure of retained reads.
     """
+    native_res = _native_left_align(region_group, chrom_seq, samples_reads)
+    if native_res is not None:
+        return _assemble_native_left_align(
+            region_group, samples_reads, log_p1, log_p2, native_res,
+            haplotype_tag, logger)
+
     left_alns = []
     filt_p1, filt_p2 = [], []
     n_p1s, n_p2s = [], []
@@ -153,6 +159,97 @@ def left_align_reads(region_group, chrom_seq: str, samples_reads,
             if soft_clipped:
                 fail_count += 1
                 continue
+            hp = rec.get_tag(haplotype_tag)
+            if hp == 1:
+                n_p1 += 1
+            elif hp == 2:
+                n_p2 += 1
+            aln.check_cigar()
+            aln.use_for_haps = list(getattr(rec, "pass_two", None)
+                                    or [True] * region_group.num_regions)
+            left_alns.append(aln)
+            filt_p1[i].append(log_p1[i][j])
+            filt_p2[i].append(log_p2[i][j])
+        n_p1s.append(n_p1)
+        n_p2s.append(n_p2)
+    if logger and fail_count:
+        logger(f"Failed to trim align {fail_count} out of {total} reads")
+    return left_alns, filt_p1, filt_p2, n_p1s, n_p2s
+
+
+def _native_left_align(region_group, chrom_seq, samples_reads):
+    """One native trim+expand call for the whole locus, or None to fall
+    back to the pure-Python path (LONGTR_NO_NATIVE, no library, or an
+    input outside the native envelope)."""
+    import os
+    if os.environ.get("LONGTR_NO_NATIVE"):
+        return None
+    try:
+        from longtr_tpu import native
+    except Exception:
+        return None
+    recs = [rec for reads in samples_reads for rec in reads]
+    if not recs:
+        return None
+    min_read_start = (region_group.start - FLANK_SIZE
+                      if region_group.start > FLANK_SIZE else 1)
+    max_read_stop = region_group.stop + FLANK_SIZE
+    window_lo = min(r.pos for r in recs)
+    window_hi = max(r.end_pos for r in recs)
+    window_lo = max(0, window_lo)
+    window = chrom_seq[window_lo:max(window_hi, window_lo)].encode()
+    return native.trim_expand_batch(
+        window, window_lo, recs, min_read_start, max_read_stop,
+        FLANK_SIZE, region_group.start, region_group.stop)
+
+
+def _assemble_native_left_align(region_group, samples_reads, log_p1, log_p2,
+                                native_res, haplotype_tag, logger):
+    """Build the Alignment list from the native batch results, preserving
+    the Python path's per-sample ordering, counters and filters exactly."""
+    meta, out_ops, out_lens, cig_offs, out_aln, aln_offs = native_res
+    left_alns = []
+    filt_p1, filt_p2 = [], []
+    n_p1s, n_p2s = [], []
+    fail_count = 0
+    total = 0
+    k = 0
+    aln_bytes = out_aln.tobytes()
+    ops_bytes = out_ops.tobytes()
+    for i, reads in enumerate(samples_reads):
+        filt_p1.append([])
+        filt_p2.append([])
+        n_p1 = n_p2 = 0
+        for j, rec in enumerate(reads):
+            total += 1
+            m = meta[k]
+            k += 1
+            status = int(m[0])
+            if status == 4:
+                raise ValueError(
+                    "Invalid CIGAR op in trim/expand for " + rec.name)
+            if status in (1, 2):       # overlap fail / soft-clip fail
+                fail_count += 1
+                continue
+            if status == 3:            # fully-deleted repeat -> <DEL>
+                aln = Alignment(region_group.start, region_group.stop,
+                                rec.is_reverse, True, rec.name, "", "", "")
+                aln.use_for_haps = [True] * region_group.num_regions
+                left_alns.append(aln)
+                filt_p1[i].append(log_p1[i][j])
+                filt_p2[i].append(log_p2[i][j])
+                continue
+            ltrim, rtrim = int(m[3]), int(m[4])
+            seq = rec.seq[ltrim: len(rec.seq) - rtrim].upper()
+            qual = rec.qual[ltrim: len(rec.qual) - rtrim]
+            aln = Alignment(int(m[1]), int(m[2]) - 1, rec.is_reverse,
+                            bool(m[7]), rec.name, qual, seq)
+            clo = int(cig_offs[k - 1])
+            chi = int(cig_offs[k])
+            aln.cigar = list(zip(ops_bytes[clo:chi].decode(),
+                                 out_lens[clo:chi].tolist()))
+            alo, ahi = int(aln_offs[k - 1]), int(aln_offs[k])
+            aln.alignment = aln_bytes[alo:ahi].decode()
             hp = rec.get_tag(haplotype_tag)
             if hp == 1:
                 n_p1 += 1

@@ -224,3 +224,88 @@ def test_window_clone_isolation(lib):
     b = r.fetch_fast("chr1", 776605, 776633)
     got = (b[0].pos, b[0].end_pos, len(b[0].seq), list(b[0].cigar))
     assert got == orig
+
+
+def test_native_left_align_matches_python(monkeypatch):
+    """ltr_trim_expand_batch (one native call per locus) must reproduce the
+    pure-Python trim_alignment + expand_cigar_vs_ref pair field-for-field
+    over random reads with H/S/I/D/X ops, whole-repeat deletions, HP tags
+    and overlap/soft-clip rejects."""
+    import random
+
+    from longtr_tpu.io.bam import BamRecord
+    from longtr_tpu.pipeline import alignment as A
+
+    random.seed(5)
+    rng = random.Random(11)
+
+    class RG:
+        chrom, start, stop = "chr1", 2300, 2330
+        num_regions = 1
+
+    def mkrec(name, pos, cigar, seq, qual, hp=None):
+        return BamRecord.raw(
+            name, 0, 0, pos, 60, cigar, -1, -1, 0, seq, qual,
+            ({"HP": hp} if hp else {}), "f", "chr1", "*",
+            pos + sum(n for op, n in cigar if op in "M=XD"))
+
+    chrom = "".join(random.choice("ACGT") for _ in range(5000))
+
+    def rand_read():
+        pos = rng.randint(1900, 2300)
+        cig = []
+        seqlen = span = 0
+        if rng.random() < 0.3:
+            cig.append(("H", rng.randint(1, 5)))
+        if rng.random() < 0.4:
+            n = rng.randint(1, 30)
+            cig.append(("S", n))
+            seqlen += n
+        target = rng.randint(100, 900)
+        while span < target:
+            n = rng.randint(5, 120)
+            op = rng.choices("MIDX=", weights=[5, 1, 1, 1, 3])[0]
+            if op in "M=X":
+                cig.append((op, n))
+                seqlen += n
+                span += n
+            elif op == "I":
+                cig.append(("I", n))
+                seqlen += n
+            else:
+                cig.append(("D", n))
+                span += n
+        if rng.random() < 0.4:
+            n = rng.randint(1, 30)
+            cig.append(("S", n))
+            seqlen += n
+        seq = "".join(random.choice("ACGTacgt") for _ in range(seqlen))
+        qual = "".join(chr(33 + random.randint(0, 40))
+                       for _ in range(seqlen))
+        return mkrec(f"r{rng.random()}", pos, cig, seq, qual,
+                     random.choice([None, 1, 2]))
+
+    reads = [[rand_read() for _ in range(20)] for _ in range(3)]
+    reads[0].append(mkrec(
+        "del1", 2100, [("M", 150), ("D", 300), ("M", 150)],
+        "".join(random.choice("ACGT") for _ in range(300)), "I" * 300))
+    p1 = [[-0.1 * j for j in range(len(s))] for s in reads]
+    p2 = [[-0.2 * j for j in range(len(s))] for s in reads]
+
+    def run(no_native):
+        if no_native:
+            monkeypatch.setenv("LONGTR_NO_NATIVE", "1")
+        else:
+            monkeypatch.delenv("LONGTR_NO_NATIVE", raising=False)
+        rs = [[r.clone() for r in s] for s in reads]
+        return A.left_align_reads(RG, chrom, rs, p1, p2)
+
+    nat = run(False)
+    py = run(True)
+    assert len(nat[0]) == len(py[0]) and len(py[0]) > 10
+    for a, b in zip(nat[0], py[0]):
+        for f in ("start", "stop", "rev_strand", "deleted", "name",
+                  "base_qualities", "sequence", "alignment", "cigar",
+                  "use_for_haps"):
+            assert getattr(a, f) == getattr(b, f), (b.name, f)
+    assert nat[1:] == py[1:]
