@@ -237,47 +237,53 @@ def _write_block_record(gt, sample_names, hap_block_index, region,
 
     LL = gt.log_aln_probs
     seed_positions = getattr(gt, "seed_positions", None)
-    for r in range(gt.num_reads):
-        if gt.switch_old_align_len and seed_positions is not None \
-                and seed_positions[r] < 0:
-            # Mode B: unseeded reads are excluded from the per-sample stats
-            # (seq_stutter_genotyper.cpp:946-951)
-            continue
-        s = gt.sample_label[r]
-        hap_a, hap_b = haplotypes[s]
-        a_val = LL[r, hap_a] + gt.log_p1[r] + LOG_ONE_HALF
-        b_val = LL[r, hap_b] + gt.log_p2[r] + LOG_ONE_HALF
-        total = np.logaddexp(a_val, b_val)
-        log_read_phases[s].append(a_val - total)
-
-        read_strand = 0
-        if not gt.haploid and hap_a != hap_b:
-            v1 = gt.log_p1[r] + LL[r, hap_a]
-            v2 = gt.log_p2[r] + LL[r, hap_b]
-            read_strand = 0 if v1 > v2 else 1
-            if read_strand == 0:
-                unique_hap_one[s] += 1
+    # Vectorized transcription of the reference's per-read stats loop
+    # (seq_stutter_genotyper.cpp:929-1039); the scalar ops are the same
+    # ufuncs element-wise, so per-sample values are unchanged.
+    if gt.switch_old_align_len and seed_positions is not None:
+        # Mode B: unseeded reads are excluded from the per-sample stats
+        # (seq_stutter_genotyper.cpp:946-951)
+        idx = np.flatnonzero(np.asarray(seed_positions) >= 0)
+    else:
+        idx = np.arange(gt.num_reads)
+    if len(idx):
+        s_arr = np.asarray(gt.sample_label)[idx]
+        haps_arr = np.asarray(haplotypes, dtype=int).reshape(-1, 2)
+        hap_a = haps_arr[s_arr, 0]
+        hap_b = haps_arr[s_arr, 1]
+        LLa = np.asarray(LL)[idx, hap_a]
+        LLb = np.asarray(LL)[idx, hap_b]
+        p1 = np.asarray(gt.log_p1)[idx]
+        p2 = np.asarray(gt.log_p2)[idx]
+        a_vals = LLa + p1 + LOG_ONE_HALF
+        b_vals = LLb + p2 + LOG_ONE_HALF
+        phases = a_vals - np.logaddexp(a_vals, b_vals)
+        het = (hap_a != hap_b) if not gt.haploid \
+            else np.zeros(len(idx), dtype=bool)
+        strand = (het & ~(p1 + LLa > p2 + LLb)).astype(int)
+        np.add.at(unique_hap_one, s_arr[het & (strand == 0)], 1)
+        np.add.at(unique_hap_two, s_arr[het & (strand == 1)], 1)
+        np.add.at(num_aligned, s_arr, 1)
+        snp = np.abs(p1 - p2) > TOLERANCE
+        np.add.at(num_with_snps, s_arr[snp], 1)
+        np.add.at(num_strand_one, s_arr[snp & (p1 > p2)], 1)
+        np.add.at(num_strand_two, s_arr[snp & ~(p1 > p2)], 1)
+        best_hap = np.where(strand == 0, hap_a, hap_b)
+        ml_vals = np.asarray(allele_bp_diffs)[np.asarray(h2a)[best_hap]]
+        phases_l = phases.tolist()
+        ml_l = ml_vals.tolist()
+        for k, r in enumerate(idx.tolist()):
+            s = s_arr[k]
+            log_read_phases[s].append(phases_l[k])
+            aln = gt.alns[r]
+            if aln.deleted:
+                bps_per_sample[s].append(-len(alleles[0]))
             else:
-                unique_hap_two[s] += 1
-        best_hap = hap_a if read_strand == 0 else hap_b
-
-        num_aligned[s] += 1
-        if abs(gt.log_p1[r] - gt.log_p2[r]) > TOLERANCE:
-            num_with_snps[s] += 1
-            if gt.log_p1[r] > gt.log_p2[r]:
-                num_strand_one[s] += 1
-            else:
-                num_strand_two[s] += 1
-
-        aln = gt.alns[r]
-        if aln.deleted:
-            bps_per_sample[s].append(-len(alleles[0]))
-        else:
-            ok, bp_diff = extract_cigar(aln.cigar, aln.start,
-                                        region.start - 5, region.stop + 5)
-            if ok:
-                bps_per_sample[s].append(bp_diff)
-        ml_bps_per_sample[s].append(allele_bp_diffs[h2a[best_hap]])
+                ok, bp_diff = extract_cigar(aln.cigar, aln.start,
+                                            region.start - 5, region.stop + 5)
+                if ok:
+                    bps_per_sample[s].append(bp_diff)
+            ml_bps_per_sample[s].append(ml_l[k])
 
     # Allele counts over samples of interest (:1041-1069)
     soi = set(sample_names)
