@@ -77,18 +77,57 @@ class BamRecord:
     def __post_init__(self):
         self.end_pos = self.pos + cigar_ref_len(self.cigar)
 
+    def __getattr__(self, attr):
+        # Lazy CIGAR: window-cache records carry columnar (ops, lens) views
+        # of the decode batch and only materialize the tuple list when a
+        # consumer actually iterates it (the native left-align path never
+        # does).
+        if attr == "cigar":
+            cols = self.__dict__.get("_cig_cols")
+            if cols is not None:
+                c = list(zip(cols[0].tobytes().decode(), cols[1].tolist()))
+                self.cigar = c
+                return c
+        raise AttributeError(attr)
+
+    @property
+    def n_cigar(self) -> int:
+        """CIGAR op count without materializing the tuple list."""
+        if "cigar" not in self.__dict__:
+            cols = self.__dict__.get("_cig_cols")
+            if cols is not None:
+                return len(cols[1])
+        return len(self.cigar)
+
+    def _edge_op(self, last: bool) -> str:
+        if "cigar" not in self.__dict__:
+            cols = self.__dict__.get("_cig_cols")
+            if cols is not None:
+                ops = cols[0]
+                if not len(ops):
+                    return ""
+                return chr(ops[-1] if last else ops[0])
+        c = self.cigar
+        if not c:
+            return ""
+        return c[-1][0] if last else c[0][0]
+
     @classmethod
     def raw(cls, name, flag, ref_id, pos, mapq, cigar, mate_ref_id, mate_pos,
             tlen, seq, qual, tags, filename, ref_name, mate_ref_name,
             end_pos):
-        """Fast constructor with a precomputed end_pos (no CIGAR walk)."""
+        """Fast constructor with a precomputed end_pos (no CIGAR walk).
+
+        ``cigar=None`` defers to a columnar ``_cig_cols = (ops, lens)``
+        attribute the caller must set (see ``__getattr__``)."""
         rec = object.__new__(cls)
         rec.name = name
         rec.flag = flag
         rec.ref_id = ref_id
         rec.pos = pos
         rec.mapq = mapq
-        rec.cigar = cigar
+        if cigar is not None:
+            rec.cigar = cigar
         rec.mate_ref_id = mate_ref_id
         rec.mate_pos = mate_pos
         rec.tlen = tlen
@@ -106,13 +145,20 @@ class BamRecord:
         """Fresh copy safe to hand downstream (trims mutate in place).
 
         The CIGAR list is shallow-copied: trim_alignment deep-copies it
-        before any element mutation.
+        before any element mutation.  An unmaterialized columnar CIGAR is
+        shared (the decode-batch views are never mutated).
         """
-        return BamRecord.raw(
+        lazy = "cigar" not in self.__dict__ and \
+            self.__dict__.get("_cig_cols") is not None
+        rec = BamRecord.raw(
             self.name, self.flag, self.ref_id, self.pos, self.mapq,
-            list(self.cigar), self.mate_ref_id, self.mate_pos, self.tlen,
+            None if lazy else list(self.cigar), self.mate_ref_id,
+            self.mate_pos, self.tlen,
             self.seq, self.qual, dict(self.tags), self.filename,
             self.ref_name, self.mate_ref_name, self.end_pos)
+        if lazy:
+            rec._cig_cols = self._cig_cols
+        return rec
 
     # -- flag helpers (bam_io.h) -------------------------------------------
     @property
@@ -154,16 +200,16 @@ class BamRecord:
         return self.tags.get(tag, default)
 
     def starts_with_hard_clip(self):
-        return bool(self.cigar) and self.cigar[0][0] == "H"
+        return self._edge_op(False) == "H"
 
     def ends_with_hard_clip(self):
-        return bool(self.cigar) and self.cigar[-1][0] == "H"
+        return self._edge_op(True) == "H"
 
     def starts_with_soft_clip(self):
-        return bool(self.cigar) and self.cigar[0][0] == "S"
+        return self._edge_op(False) == "S"
 
     def ends_with_soft_clip(self):
-        return bool(self.cigar) and self.cigar[-1][0] == "S"
+        return self._edge_op(True) == "S"
 
     def trim_alignment(self, min_read_start: int, max_read_stop: int):
         """In-place trim to a reference window (bam_io.cpp:267-372).
@@ -685,10 +731,14 @@ class BamReader:
                     continue
                 tmpl = BamRecord.raw(
                     batch.name(i), flag, ref_id, pos, mapq,
-                    batch.cigar(i), mref, mpos, tlen, batch.seq(i),
+                    None, mref, mpos, tlen, batch.seq(i),
                     batch.qual(i), _decode_tags(batch.tag_blob(i), 0),
                     self.path, self.header.ref_name(ref_id),
                     self.header.ref_name(mref), pos + ref_len)
+                co = batch.offsets[i, 2]
+                cn = batch.offsets[i, 3]
+                tmpl._cig_cols = (batch.cigar_ops[co: co + cn],
+                                  batch.cigar_lens[co: co + cn])
                 templates[i] = tmpl
             elif tmpl.ref_id != rid or tmpl.pos >= end:
                 break

@@ -349,11 +349,19 @@ def trim_expand_batch(chrom_window: bytes, chrom_off: int, recs,
         seq_parts.append(b)
         tot_s += len(b)
         seq_off[i + 1] = tot_s
-        cig = rec.cigar
-        ops_parts.append("".join(op for op, _ in cig).encode())
-        lens_parts.append(np.fromiter((n for _, n in cig),
-                                      np.int32, len(cig)))
-        tot_c += len(cig)
+        cols = None
+        if "cigar" not in rec.__dict__:
+            cols = rec.__dict__.get("_cig_cols")
+        if cols is not None:            # columnar fast path (no tuple list)
+            ops_parts.append(cols[0].tobytes())
+            lens_parts.append(cols[1])
+            tot_c += len(cols[1])
+        else:
+            cig = rec.cigar
+            ops_parts.append("".join(op for op, _ in cig).encode())
+            lens_parts.append(np.fromiter((n for _, n in cig),
+                                          np.int32, len(cig)))
+            tot_c += len(cig)
         cig_off[i + 1] = tot_c
         pos[i] = rec.pos
         endp[i] = rec.end_pos

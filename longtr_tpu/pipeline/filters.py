@@ -167,7 +167,7 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
         if len(paired) > config.max_total_reads:
             counters.too_many_reads = True
             break
-        if not rec.is_mapped or rec.pos == 0 or not rec.cigar or rec.length == 0:
+        if not rec.is_mapped or rec.pos == 0 or rec.n_cigar == 0 or rec.length == 0:
             continue
 
         # Hard-clipped reads overlapping the region are dropped outright:
@@ -177,7 +177,7 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
         if config.base_qual_trim > " " and \
                 rec.pos < region_group.stop and \
                 rec.end_pos >= region_group.start:
-            if rec.cigar and (rec.cigar[0][0] == "H" or rec.cigar[-1][0] == "H"):
+            if rec.starts_with_hard_clip() or rec.ends_with_hard_clip():
                 counters.read_count += 1
                 counters.hard_clip += 1
                 _write_filt(rec, "HARD_CLIPPED", filt_writer)
