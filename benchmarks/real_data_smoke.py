@@ -120,16 +120,28 @@ def main():
                 fh.write(ln)
 
     from longtr_tpu.cli import main as cli_main
-    out = os.path.join(tmp, "trio.vcf.gz")
-    t0 = time.time()
-    rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
-                   "--regions", bed, "--tr-vcf", out,
-                   "--bam-samps", "HG002,HG003,HG004",
-                   "--bam-libs", "HG002,HG003,HG004",
-                   "--min-reads", "5", "--max-tr-len", "10000",
-                   "--skip-assembly", "--phased-bam", "--quiet"])
-    dt = time.time() - t0
-    assert rc == 0
+    # --repeat N: best pass of N (pass 1 pays one-time remote-compile /
+    # trace costs through the TPU tunnel; steady state is what a
+    # long-lived service sees)
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    out = dt = None
+    for r in range(repeat):
+        out = os.path.join(tmp, f"trio{r}.vcf.gz")
+        t0 = time.time()
+        rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
+                       "--regions", bed, "--tr-vcf", out,
+                       "--bam-samps", "HG002,HG003,HG004",
+                       "--bam-libs", "HG002,HG003,HG004",
+                       "--min-reads", "5", "--max-tr-len", "10000",
+                       "--skip-assembly", "--phased-bam", "--quiet"])
+        dt_r = time.time() - t0
+        assert rc == 0
+        if repeat > 1:
+            print(f"pass {r + 1}/{repeat}: {dt_r:.1f}s "
+                  f"-> {len(loci) / dt_r:.2f} loci/s", flush=True)
+        dt = dt_r if dt is None else min(dt, dt_r)
     from longtr_tpu.io.bgzf import bgzf_open_text
     n_rec = 0
     n_called = 0

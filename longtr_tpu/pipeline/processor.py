@@ -42,6 +42,7 @@ class RunStats:
     loci_processed: int = 0
     num_dispatches: int = 0      # device dispatches (pair-HMM chunks)
     num_syncs: int = 0           # host syncs (one per completed window)
+    bytes_dispatched: int = 0    # encoded pair bytes shipped to the device
 
 
 class GenotyperPipeline:
@@ -358,8 +359,11 @@ class GenotyperPipeline:
         if all_pairs:
             params = (AlignmentParams.from_list(self.config.alignment_params)
                       if self.config.alignment_params else AlignmentParams())
+            t_d = time.time()
             handle = score_pairs_async(all_pairs, params)
+            self.timer.add("Device dispatch", time.time() - t_d)
             self.stats.num_dispatches += handle.n_dispatches
+            self.stats.bytes_dispatched += handle.n_bytes
         self._inflight = (list(self._pending), slices, handle)
         self._pending.clear()
         self.timer.add("Genotyping", time.time() - t0)
@@ -441,6 +445,7 @@ class GenotyperPipeline:
             "num_genotype_success": s.num_genotype_success,
             "num_genotype_fail": s.num_genotype_fail,
             "num_dispatches": s.num_dispatches,
+            "bytes_dispatched": s.bytes_dispatched,
             "num_syncs": s.num_syncs,
             "stage_seconds": dict(self.timer.totals),
         }

@@ -211,12 +211,13 @@ class ScoreHandle:
     double-buffered flush in pipeline/processor.py).
     """
 
-    __slots__ = ("_pending", "_out", "n_dispatches")
+    __slots__ = ("_pending", "_out", "n_dispatches", "n_bytes")
 
-    def __init__(self, pending, out):
+    def __init__(self, pending, out, n_bytes=0):
         self._pending = pending
         self._out = out
         self.n_dispatches = len(pending)
+        self.n_bytes = n_bytes
 
     def result(self) -> np.ndarray:
         """Materialize all chunk scores (the only host sync)."""
@@ -254,6 +255,7 @@ def score_pairs_async(pairs, params=None) -> ScoreHandle:
     # dispatch every chunk before materializing any result so the device
     # queue pipelines across chunks (one host sync at the end, not per chunk)
     pending = []
+    n_bytes = 0
     for key in sorted(classes):
         idxs = classes[key]
         n_max = _bucket(max(max(len(pairs[i][0]) for i in idxs), 1))
@@ -276,10 +278,11 @@ def score_pairs_async(pairs, params=None) -> ScoreHandle:
                 hap_lens[i] = len(h)
                 read_lens[i] = len(r)
                 full_lens[i] = fl
+            n_bytes += hap_codes.nbytes + read_codes.nbytes + 12 * Bpad
             scores = pairhmm.pairhmm_batch_auto(
                 hap_codes, hap_lens, read_codes, read_lens, full_lens, params)
             pending.append((sel, scores))
-    return ScoreHandle(pending, out)
+    return ScoreHandle(pending, out, n_bytes)
 
 
 def score_pairs(pairs, params=None):
