@@ -342,6 +342,28 @@ def enable_compile_cache():
         pass
 
 
+def runs_on_host(N: int, M: int) -> bool:
+    """Whether :func:`pairhmm_batch_auto` would score a (N, M)-padded batch
+    on the host rather than enqueue it on a device.
+
+    Mirrors the dispatch branch below so callers can route host-bound
+    chunks to a worker thread (a host batch blocks for its full compute
+    time, while a device batch returns at enqueue).
+    """
+    import os
+    from longtr_tpu.utils import mathops
+    if mathops.ref_fidelity():
+        return True
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and (jax.default_backend() in ("tpu", "axon")
+                      or os.environ.get("LONGTR_FORCE_MESH") == "1"):
+        return False
+    if jax.default_backend() in ("tpu", "axon"):
+        from longtr_tpu.ops.pairhmm_pallas import pallas_fits
+        return not pallas_fits(N, M)
+    return True
+
+
 def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
                        full_hap_lens, params: AlignmentParams = AlignmentParams()):
     """Backend-adaptive batch scorer.

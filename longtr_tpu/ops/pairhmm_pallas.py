@@ -36,15 +36,32 @@ from longtr_tpu.ops.pairhmm import (AlignmentParams, BAND_FAIL_SCORE,
 TILE_B = 128
 
 
-def pallas_fits(N, M, budget=14 * 1024 * 1024):
-    """Whether the kernel's scoped VMEM footprint fits for this shape.
+def _vmem_bytes(N, M):
+    """Scoped-VMEM footprint model for one batch tile.
 
     Lane dims pad to 128 regardless of batch tile, so the footprint is set
     by sequence length alone: hap + read inputs, three M/I/D scratch rows
     and ~3 live (M, 128) temporaries, each M*128*4 bytes.  Empirically the
     compiler reports ~512*(N + 7M) bytes (23.7MB at N=M=5376).
     """
-    return 512 * (N + 7 * M) <= budget
+    return 512 * (N + 7 * M)
+
+
+# v5e has 128MiB of VMEM per core; shapes above XLA's ~16MB default
+# scoped-vmem limit get an explicit vmem_limit_bytes (multi-kb VNTR pairs
+# would otherwise fall back to the host scorer — they are LongTR's
+# headline workload).  The gate is the hardware-validated envelope
+# (N=M=13312, i.e. ~13kb pairs, bit-identical vs the native scorer on
+# v5e): the compiler's true stack allocation exceeds this model by up to
+# ~1.65x at mid sizes, and a compile-time VMEM OOM wedges a shared axon
+# tunnel for ~40min, so do not raise this without re-validating on
+# hardware (tmp history: 2560/4096/5376/8192/13312 all pass).
+VMEM_BUDGET = 56 * 1024 * 1024
+
+
+def pallas_fits(N, M, budget=VMEM_BUDGET):
+    """Whether the kernel's scoped VMEM footprint fits for this shape."""
+    return _vmem_bytes(N, M) <= budget
 
 
 def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
@@ -186,9 +203,20 @@ def _pallas_call(hap_t, hl, read_t, rl, fl, trans, interpret=False,
     Mdim = read_t.shape[0]
     TILE = tile_b
     grid = (B // TILE,)
+    need = _vmem_bytes(N, Mdim)
+    kwargs = {}
+    if need > 4 * 1024 * 1024 and not interpret:
+        # past XLA's ~16MB default scoped-vmem limit (the analytic model
+        # under-reports the compiler's true stack allocation by up to ~2x
+        # at mid sizes, so raise the limit with generous slack): multi-kb
+        # pairs must stay on the device
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(max(need * 2.5, 32 * 1024 * 1024),
+                                     120 * 1024 * 1024)))
     out = pl.pallas_call(
         _kernel,
         grid=grid,
+        **kwargs,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # trans (7,)
             pl.BlockSpec((N, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),

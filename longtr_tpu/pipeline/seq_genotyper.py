@@ -24,6 +24,8 @@ The haplotype/read trimming geometry for alignment reproduces
 from __future__ import annotations
 
 import os
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 
 import numpy as np
 
@@ -31,6 +33,9 @@ from longtr_tpu.haplotype.blocks import Haplotype
 from longtr_tpu.haplotype.generator import HaplotypeGenerator, REF_FLANK_LEN
 from longtr_tpu.ops import pairhmm
 from longtr_tpu.ops.posterior import genotype_log_priors
+
+# per-chunk dispatch trace (shape, batch, seconds) for perf triage
+_TRACE_DISPATCH = os.environ.get("LONGTR_TRACE_DISPATCH") == "1"
 
 
 class ReadPooler:
@@ -198,8 +203,10 @@ def _bucket(n: int, step: int = 64) -> int:
 
 
 # Batch-size ladder: few distinct sizes -> few XLA compiles. Batches larger
-# than the top rung are chunked.
-BATCH_LADDER = (256, 2048, 8192, 65536)
+# than the top rung are chunked.  The bottom rung equals the Pallas batch
+# tile (128 lanes), so a single heavy locus (reads x haps ~ 100-500 pairs,
+# the typical multi-kb VNTR case) isn't padded to double its device cost.
+BATCH_LADDER = (128, 256, 2048, 8192, 65536)
 
 
 class ScoreHandle:
@@ -223,11 +230,34 @@ class ScoreHandle:
         """Materialize all chunk scores (the only host sync)."""
         if self._pending is not None:
             for sel, scores in self._pending:
+                if isinstance(scores, Future):
+                    scores = scores.result()
                 vals = np.asarray(scores, dtype=np.float64)
                 for i, k in enumerate(sel):
                     self._out[k] = vals[i]
             self._pending = None
         return self._out
+
+
+_host_pool_lock = threading.Lock()
+_host_pool = None
+
+
+def _host_score_pool() -> ThreadPoolExecutor:
+    """Single background worker for host-scored chunks.
+
+    Host batches (ref-fidelity f64, CPU backend, or pairs too long for the
+    device kernel's VMEM budget) compute synchronously; running them on a
+    worker keeps score_pairs_async returning at enqueue so the pipeline's
+    double-buffered flush overlaps them with the next window's IO/decode.
+    One worker: the native scorer is already threaded across the batch.
+    """
+    global _host_pool
+    with _host_pool_lock:
+        if _host_pool is None:
+            _host_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="longtr-host-score")
+        return _host_pool
 
 
 def score_pairs_async(pairs, params=None) -> ScoreHandle:
@@ -279,8 +309,22 @@ def score_pairs_async(pairs, params=None) -> ScoreHandle:
                 read_lens[i] = len(r)
                 full_lens[i] = fl
             n_bytes += hap_codes.nbytes + read_codes.nbytes + 12 * Bpad
-            scores = pairhmm.pairhmm_batch_auto(
-                hap_codes, hap_lens, read_codes, read_lens, full_lens, params)
+            on_host = pairhmm.runs_on_host(n_max, m_max)
+            if _TRACE_DISPATCH:
+                import time as _time
+                _t0 = _time.time()
+            if on_host:
+                scores = _host_score_pool().submit(
+                    pairhmm.pairhmm_batch_auto, hap_codes, hap_lens,
+                    read_codes, read_lens, full_lens, params)
+            else:
+                scores = pairhmm.pairhmm_batch_auto(
+                    hap_codes, hap_lens, read_codes, read_lens, full_lens,
+                    params)
+            if _TRACE_DISPATCH:
+                print(f"[dispatch] class={key} B={len(sel)}->{Bpad} "
+                      f"N={n_max} M={m_max} host={on_host} "
+                      f"{_time.time() - _t0:.3f}s", flush=True)
             pending.append((sel, scores))
     return ScoreHandle(pending, out, n_bytes)
 
