@@ -239,8 +239,20 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
             while not_converged:
                 updated = {}
                 new_centroids = []
-                for members in clusters.values():
-                    consensus = poa_consensus(members)
+                member_lists = list(clusters.values())
+                if len(member_lists) > 1:
+                    # independent per-cluster POA; the native DP releases
+                    # the GIL, so clusters run on all cores.  Results are
+                    # folded back in the original cluster order, so the
+                    # output is identical to the sequential loop.
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(
+                            max_workers=min(4, len(member_lists))) as pool:
+                        consensuses = list(pool.map(poa_consensus,
+                                                    member_lists))
+                else:
+                    consensuses = [poa_consensus(m) for m in member_lists]
+                for members, consensus in zip(member_lists, consensuses):
                     if consensus not in updated:
                         new_centroids.append(consensus)
                         updated[consensus] = list(members)

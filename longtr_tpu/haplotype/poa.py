@@ -208,19 +208,34 @@ class PoaGraph:
         return "".join(out)
 
 
+# Consensus is a pure function of the (ordered) member list, and the
+# cluster-convergence loop in generator.py recomputes clusters whose
+# membership did not change between iterations (and across threshold
+# retries) — memoize so each distinct cluster pays its POA DP once.
+_memo: dict = {}
+_MEMO_CAP = 256
+
+
 def poa_consensus(seqs) -> str:
     """Consensus of a cluster (HaplotypeGenerator::poa semantics)."""
     seqs = list(seqs)
     if len(seqs) > CLUSTER_SIZE_LIMIT:
         seqs = seqs[:CLUSTER_SIZE_LIMIT]  # deterministic subsample
+    key = tuple(seqs)
+    hit = _memo.get(key)
+    if hit is not None:
+        return hit
     try:
         from longtr_tpu import native
         out = native.poa_consensus(seqs)
-        if out is not None:
-            return out
     except Exception:
-        pass
-    g = PoaGraph()
-    for s in seqs:
-        g.add_sequence(s)
-    return g.consensus()
+        out = None
+    if out is None:
+        g = PoaGraph()
+        for s in seqs:
+            g.add_sequence(s)
+        out = g.consensus()
+    if len(_memo) >= _MEMO_CAP:
+        _memo.clear()
+    _memo[key] = out
+    return out

@@ -586,24 +586,33 @@ struct Graph {
     std::vector<int32_t>& dp = dp_;
     std::vector<int32_t>& bt_node = bt_node_;
     std::vector<signed char>& bt_type = bt_type_;
-    dp.assign((n + 1) * W, (int32_t)NEG);
-    bt_node.assign((n + 1) * W, -1);
-    bt_type.assign((n + 1) * W, 2);
+    // grow-only: every row i>=1 cell is written before it is read (rows
+    // fill in topo order), and traceback never reads bt at row 0, so a
+    // full NEG/-1 fill would be ~80MB of pure memset per aligned read
+    size_t need = (size_t)(n + 1) * W;
+    if (dp.size() < need) {
+      dp.resize(need);
+      bt_node.resize(need);
+      bt_type.resize(need);
+    }
     for (int j = 0; j <= m; j++) dp[j] = (int32_t)(j * GAP);
-    std::vector<int32_t> best_diag(W), best_up(W);
-    std::vector<int32_t> best_diag_p(W), best_up_p(W);
+    std::vector<int32_t> best_up(W);
+    std::vector<int32_t> best_up_p(W);
     for (int i = 1; i <= n; i++) {
       int v = order[i - 1];
-      // predecessor rows (insertion order; first strict improvement wins)
+      // predecessor rows (insertion order; first strict improvement wins).
+      // best_diag[j] == best_up[j] for j < W-1 under strict-improvement
+      // scanning in the same predecessor order, so one row serves both.
       bool any_pred = !in_e[v].empty();
+      const int32_t* up;
+      int up_p = -2;  // >= -1: all predecessors are this single row id
       if (!any_pred) {
-        const int32_t* d = &dp[0];
-        for (size_t j = 0; j < W; j++) { best_up[j] = d[j]; best_up_p[j] = 0; }
+        up = &dp[0];
+        up_p = 0;
       } else if (in_e[v].size() == 1) {
-        // single predecessor (the common case): its row IS the best row
-        int p = pos_in_order[in_e[v][0].first] + 1;
-        const int32_t* d = &dp[(size_t)p * W];
-        for (size_t j = 0; j < W; j++) { best_up[j] = d[j]; best_up_p[j] = p; }
+        // single predecessor (the common case): alias its row, no copy
+        up_p = pos_in_order[in_e[v][0].first] + 1;
+        up = &dp[(size_t)up_p * W];
       } else {
         for (size_t j = 0; j < W; j++) { best_up[j] = (int32_t)NEG; best_up_p[j] = -1; }
         for (auto& e : in_e[v]) {
@@ -612,23 +621,36 @@ struct Graph {
           for (size_t j = 0; j < W; j++)
             if (d[j] > best_up[j]) { best_up[j] = d[j]; best_up_p[j] = p; }
         }
+        up = best_up.data();
       }
-      // best_diag[j] == best_up[j] for j < W-1 under strict-improvement
-      // scanning in the same predecessor order, so reuse it.
       char base = ch[v];
       int32_t* dst = &dp[(size_t)i * W];
       int32_t* bn = &bt_node[(size_t)i * W];
       signed char* bt = &bt_type[(size_t)i * W];
-      // up, then strictly-better diag, then strictly-better left
-      for (size_t j = 0; j < W; j++) {
-        dst[j] = best_up[j] + GAP;
-        bn[j] = best_up_p[j];
-        bt[j] = 1;
-      }
-      for (size_t j = 1; j < W; j++) {
-        int32_t diag = best_up[j - 1] +
-                       ((seq[j - 1] == base) ? MATCH : MISMATCH);
-        if (diag > dst[j]) { dst[j] = diag; bn[j] = best_up_p[j - 1]; bt[j] = 0; }
+      // fused pass: up, then strictly-better diag (same result order as
+      // separate passes); the sequential left-gap pass stays on its own
+      dst[0] = up[0] + GAP;
+      bn[0] = (up_p >= -1) ? up_p : best_up_p[0];
+      bt[0] = 1;
+      if (up_p >= -1) {
+        for (size_t j = 1; j < W; j++) {
+          int32_t val = up[j] + GAP;
+          signed char t = 1;
+          int32_t diag = up[j - 1] +
+                         ((seq[j - 1] == base) ? MATCH : MISMATCH);
+          if (diag > val) { val = diag; t = 0; }
+          dst[j] = val; bn[j] = up_p; bt[j] = t;
+        }
+      } else {
+        for (size_t j = 1; j < W; j++) {
+          int32_t val = up[j] + GAP;
+          int32_t node = best_up_p[j];
+          signed char t = 1;
+          int32_t diag = up[j - 1] +
+                         ((seq[j - 1] == base) ? MATCH : MISMATCH);
+          if (diag > val) { val = diag; node = best_up_p[j - 1]; t = 0; }
+          dst[j] = val; bn[j] = node; bt[j] = t;
+        }
       }
       for (size_t j = 1; j < W; j++)
         if (dst[j - 1] + GAP > dst[j]) { dst[j] = dst[j - 1] + GAP; bn[j] = i; bt[j] = 2; }
