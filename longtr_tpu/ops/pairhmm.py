@@ -359,8 +359,8 @@ def runs_on_host(N: int, M: int) -> bool:
                       or os.environ.get("LONGTR_FORCE_MESH") == "1"):
         return False
     if jax.default_backend() in ("tpu", "axon"):
-        from longtr_tpu.ops.pairhmm_pallas import pallas_fits
-        return not pallas_fits(N, M)
+        from longtr_tpu.ops.pairhmm_pallas import device_fits
+        return not device_fits(N, M)
     return True
 
 
@@ -408,17 +408,19 @@ def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,
                                      read_lens, full_hap_lens, params)
     if jax.default_backend() in ("tpu", "axon"):
         enable_compile_cache()
-        from longtr_tpu.ops.pairhmm_pallas import (pairhmm_batch_pallas,
-                                                   pallas_fits)
+        from longtr_tpu.ops.pairhmm_pallas import (device_fits,
+                                                   pairhmm_batch_pallas)
         import numpy as _np
         N = _np.asarray(hap_codes).shape[1]
         M = _np.asarray(read_codes).shape[1]
-        if pallas_fits(N, M):
+        if device_fits(N, M):
+            # resident kernel, or the j-chunked streaming kernel for
+            # multi-kb pairs beyond its VMEM envelope (same bits)
             return pairhmm_batch_pallas(hap_codes, hap_lens, read_codes,
                                         read_lens, full_hap_lens, params)
-        # ultra-long pairs (multi-kb VNTRs): the kernel's VMEM-resident
-        # rows don't fit; score these rare pairs on the host (bit-identical
-        # C++ path, threaded over the batch; jnp scan as fallback)
+        # ultra-long pairs beyond even the chunked kernel's edge-array
+        # envelope (~40kb): score on the host (bit-identical C++ path,
+        # threaded over the batch; jnp scan as fallback)
         out = _host_batch(hap_codes, hap_lens, read_codes, read_lens,
                           full_hap_lens, params)
         if out is not None:

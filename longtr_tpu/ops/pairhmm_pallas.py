@@ -239,14 +239,289 @@ def _pallas_call(hap_t, hl, read_t, rl, fl, trans, interpret=False,
     return out[0]
 
 
+def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
+                    fl_ref, out_ref, mrow, irow, drow, epred, ecm, ermax,
+                    r0_ref, acc):
+    """J-chunked variant: the read axis streams through VMEM in blocks.
+
+    Grid is (batch_tile, j_chunk) with the chunk axis minor (sequential on
+    TPU), so scratch persists across a tile's chunks.  Cross-chunk DP state
+    rides three (N, B) edge arrays:
+
+    * ``epred[i]`` — fused predecessor max(M,I,D + trans) of row i at the
+      chunk's last column (consumed by the next chunk's row i+1 via a
+      one-row stagger carried through the fori_loop);
+    * ``ecm[i]``   — the deletion recurrence's decayed running max through
+      the chunk's last column (consumed by the next chunk at the same row);
+    * ``ermax[i]`` — accumulated band row-max (band fail is decided at the
+      last chunk, when the row max is complete).
+
+    Every cross-chunk combine is a pure ``max`` of identically-computed
+    terms, so outputs are bit-identical to the resident kernel and the jnp
+    scan (tests enforce).  VMEM scales as ~2048*N + O(chunk) instead of
+    ~4096*M, lifting the on-device pair length cap from ~13kb to ~40kb.
+    """
+    Jc, B = read_ref.shape
+    N = hap_ref.shape[0]
+    c_idx = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    first = c_idx == 0
+    last = c_idx == n_chunks - 1
+    cs = c_idx * Jc
+
+    NEG = jnp.float32(IMPOSSIBLE)
+    MA = jnp.float32(MATCH_EMIT)
+    MI = jnp.float32(MISMATCH_EMIT)
+    i2i = trans_ref[0]
+    i2m = trans_ref[1]
+    d2d = trans_ref[2]
+    d2m = trans_ref[3]
+    m2m = trans_ref[4]
+    m2i = trans_ref[5]
+    m2d = trans_ref[6]
+
+    read = read_ref[:]                                   # (Jc, B) int32
+    jl_idx = jax.lax.broadcasted_iota(jnp.int32, (Jc, B), 0)
+    j_idx = jl_idx + cs                                  # global j
+    n = hl_ref[:]                                        # (1, B)
+    m = rl_ref[:]                                        # (1, B)
+    valid_j = j_idx < m
+    jf = j_idx.astype(jnp.float32)
+    in_chunk = (m - 1 >= cs) & (m - 1 < cs + Jc)         # (1, B)
+
+    @pl.when(first)
+    def _init():
+        r0_ref[:] = read[0:1, :]
+        col0_read = jnp.where(m > 1, read[1:2, :], read[0:1, :])
+        h0_ = hap_ref[0:1, :]
+        acc[2:3, :] = jnp.where(h0_ == col0_read, MA, MI)   # col0_emit
+        acc[0:1, :] = jnp.full((1, B), NEG)
+        acc[1:2, :] = jnp.zeros((1, B), jnp.float32)
+
+    r0 = r0_ref[:]                                       # (1, B)
+    col0_emit = acc[2:3, :]
+    h0 = hap_ref[0:1, :]
+
+    # ---- row 0 (closed-form in global j; HapAligner.cpp:268 quirk) ----
+    # prev chunk's row-0 edge, read BEFORE overwrite (stagger carry)
+    carry0 = jnp.where(first, jnp.full((1, B), NEG), epred[0:1, :])
+    hap_m = hapm_ref[:]                                  # (Jc, B) int32
+    emit_row0 = jnp.where(hap_m == r0, MA, MI)
+    Dk = jnp.where(j_idx >= 1, m2d + (jf - 1.0) * d2d, NEG)
+    Dk_shift = jnp.where(j_idx >= 2, m2d + (jf - 2.0) * d2d, NEG)
+    M0 = jnp.where(j_idx == 0, jnp.where(h0 == r0, MA, MI),
+                   Dk_shift + d2m + emit_row0)
+    M0 = jnp.where(valid_j, M0, NEG)
+    D0 = jnp.where(valid_j, Dk, NEG)
+    I0 = jnp.full((Jc, B), NEG)
+    mrow[:] = M0
+    irow[:] = I0
+    drow[:] = D0
+    fused0 = jnp.maximum(jnp.maximum(M0 + m2m, D0 + d2m), I0 + i2m)
+    epred[0:1, :] = fused0[Jc - 1: Jc, :]
+
+    corner_mask = j_idx == (m - 1)
+    best0 = jnp.maximum(jnp.maximum(M0, I0), D0)
+    corner0 = jnp.max(jnp.where(corner_mask, best0, NEG), axis=0,
+                      keepdims=True)
+    acc[0:1, :] = jnp.where((n == 1) & in_chunk, corner0, acc[0:1, :])
+
+    log2_steps = max(1, (Jc - 1).bit_length())
+    thresh = jnp.float32(BAND_THRESH)
+
+    def row_body(i, carry_pred):
+        # prev chunk's edges for this row, read BEFORE overwrite
+        old_pred_i = epred[pl.ds(i, 1), :]
+        old_cm_i = jnp.where(first, jnp.full((1, B), NEG),
+                             ecm[pl.ds(i, 1), :])
+        old_rm_i = jnp.where(first, jnp.full((1, B), NEG),
+                             ermax[pl.ds(i, 1), :])
+        Mp = mrow[:]
+        Ip = irow[:]
+        Dp = drow[:]
+        hrow = hap_ref[pl.ds(i, 1), :]                    # (1, B)
+        emit = jnp.where(hrow == read, MA, MI)
+
+        pred = jnp.maximum(jnp.maximum(Mp + m2m, Dp + d2m), Ip + i2m)
+        pred = pltpu.roll(pred, 1, axis=0)
+        # chunk boundary: the rolled-in lane is the previous chunk's
+        # fused edge at row i-1 (garbage wrap at chunk 0 is discarded by
+        # the j==0 where, exactly as in the resident kernel)
+        pred = jnp.where(jl_idx == 0, carry_pred, pred)
+        Mn = emit + jnp.where(j_idx == 0, NEG, pred)
+        In = MA + jnp.maximum(Mp + m2i, Ip + i2i)
+        M_col0 = Ip[0:1, :] + i2m + col0_emit
+        I_col0 = MA + m2i + (i.astype(jnp.float32) - 1.0) * i2i
+        Mn = jnp.where(j_idx == 0, M_col0, Mn)
+        In = jnp.where(j_idx == 0, I_col0, In)
+
+        # deletion recurrence: decayed running max, seeded by the previous
+        # chunk's carry for this row
+        c = Mn + m2d - (jf + 1.0) * d2d
+        cm = c
+        s = 1
+        for _k in range(log2_steps):
+            shifted = pltpu.roll(cm, s, axis=0)
+            cm = jnp.maximum(cm, jnp.where(jl_idx < s, NEG, shifted))
+            s *= 2
+        cm = jnp.maximum(cm, old_cm_i)
+        ecm[pl.ds(i, 1), :] = cm[Jc - 1: Jc, :]
+        cm1 = pltpu.roll(cm, 1, axis=0)
+        cm1 = jnp.where(jl_idx == 0, old_cm_i, cm1)
+        Dn = jnp.where(j_idx == 0, NEG, jf * d2d + cm1)
+
+        Mn = jnp.where(valid_j, Mn, NEG)
+        In = jnp.where(valid_j, In, NEG)
+        Dn = jnp.where(valid_j, Dn, NEG)
+
+        best = jnp.maximum(jnp.maximum(Mn, In), Dn)
+        band = jnp.abs((n - m) - (i - j_idx)).astype(jnp.float32) * d2d
+        band_mask = (j_idx >= 1) & (j_idx <= m - 1)
+        row_best = jnp.max(jnp.where(band_mask, best + band, NEG), axis=0,
+                           keepdims=True)
+        row_best = jnp.maximum(row_best, old_rm_i)
+        ermax[pl.ds(i, 1), :] = row_best
+        row_active = i <= n - 1                           # (1, B)
+
+        @pl.when(last)
+        def _fail():
+            fail = jnp.where(row_active & (row_best < thresh), 1.0, 0.0)
+            acc[1:2, :] = jnp.maximum(acc[1:2, :], fail)
+
+        corner = jnp.max(jnp.where(corner_mask, best, NEG), axis=0,
+                         keepdims=True)
+        acc[0:1, :] = jnp.where((i == n - 1) & in_chunk, corner,
+                                acc[0:1, :])
+
+        m_new = jnp.where(row_active, Mn, Mp)
+        i_new = jnp.where(row_active, In, Ip)
+        d_new = jnp.where(row_active, Dn, Dp)
+        mrow[:] = m_new
+        irow[:] = i_new
+        drow[:] = d_new
+        fused = jnp.maximum(jnp.maximum(m_new + m2m, d_new + d2m),
+                            i_new + i2m)
+        epred[pl.ds(i, 1), :] = fused[Jc - 1: Jc, :]
+        return old_pred_i
+
+    jax.lax.fori_loop(1, N, row_body,
+                      jnp.where(first, jnp.full((1, B), NEG), carry0))
+
+    @pl.when(last)
+    def _finish():
+        score = jnp.where(acc[1:2, :] > 0.5, jnp.float32(BAND_FAIL_SCORE),
+                          acc[0:1, :])
+        score = jnp.where(jnp.abs(n - m) > LEN_DIFF_LIMIT,
+                          jnp.float32(BAND_FAIL_SCORE), score)
+        score = jnp.where(fl_ref[:] <= MIN_FULL_HAP_LEN, NEG, score)
+        out_ref[:] = score
+
+
+JCHUNK = 512
+
+# hardware-validated chunked-kernel envelope (same discipline as
+# VMEM_BUDGET: a compile-time VMEM OOM wedges the shared tunnel, so gate
+# to sizes actually compiled on a v5e)
+CHUNKED_N_CAP = 40 * 1024
+
+
+def chunked_vmem_bytes(N, jc=JCHUNK):
+    """hap (N,B) i32 + 3 f32 edge arrays (N,B) + ~14 chunk-sized buffers."""
+    return 2048 * N + 512 * 14 * jc
+
+
+def chunked_fits(N, M, jc=JCHUNK):
+    return N <= CHUNKED_N_CAP and chunked_vmem_bytes(N, jc) <= VMEM_BUDGET * 2
+
+
+def device_fits(N, M):
+    """Whether any Pallas path (resident or chunked) covers this shape."""
+    return pallas_fits(N, M) or chunked_fits(N, M)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_b", "jc"))
+def _pallas_call_chunked_u8(hap, hl, read, rl, fl, trans, interpret=False,
+                            tile_b=TILE_B, jc=JCHUNK):
+    """Chunked entry taking untransposed (B, N)/(B, Mpad) uint8 batches."""
+    hap_t = hap.T.astype(jnp.int32)
+    read_t = read.T.astype(jnp.int32)
+    Mdim = read_t.shape[0]
+    N = hap_t.shape[0]
+    # hap re-indexed along the read axis for the row-0 emission quirk
+    # (HapAligner.cpp:268: hap[j] vs read[0]); pad/trim to Mdim
+    if N >= Mdim:
+        hap_m = hap_t[:Mdim]
+    else:
+        hap_m = jnp.concatenate(
+            [hap_t, jnp.zeros((Mdim - N, hap_t.shape[1]), jnp.int32)], axis=0)
+    return _pallas_call_chunked(hap_t, hl, read_t, hap_m, rl, fl, trans,
+                                interpret=interpret, tile_b=tile_b, jc=jc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_b", "jc"))
+def _pallas_call_chunked(hap_t, hl, read_t, hap_m, rl, fl, trans,
+                         interpret=False, tile_b=TILE_B, jc=JCHUNK):
+    N, B = hap_t.shape
+    Mdim = read_t.shape[0]
+    assert Mdim % jc == 0, (Mdim, jc)
+    TILE = tile_b
+    n_chunks = Mdim // jc
+    grid = (B // TILE, n_chunks)
+    Npad = -(-N // 8) * 8
+    kwargs = {}
+    if not interpret:
+        need = chunked_vmem_bytes(N, jc)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(max(need * 2, 32 * 1024 * 1024),
+                                     120 * 1024 * 1024)))
+    out = pl.pallas_call(
+        _kernel_chunked,
+        grid=grid,
+        **kwargs,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # trans (7,)
+            pl.BlockSpec((N, TILE), lambda b, c: (0, b),
+                         memory_space=pltpu.VMEM),               # hap
+            pl.BlockSpec((1, TILE), lambda b, c: (0, b),
+                         memory_space=pltpu.VMEM),               # hl
+            pl.BlockSpec((jc, TILE), lambda b, c: (c, b),
+                         memory_space=pltpu.VMEM),               # read chunk
+            pl.BlockSpec((jc, TILE), lambda b, c: (c, b),
+                         memory_space=pltpu.VMEM),               # hap_m chunk
+            pl.BlockSpec((1, TILE), lambda b, c: (0, b),
+                         memory_space=pltpu.VMEM),               # rl
+            pl.BlockSpec((1, TILE), lambda b, c: (0, b),
+                         memory_space=pltpu.VMEM),               # fl
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda b, c: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((jc, TILE), jnp.float32),    # mrow
+            pltpu.VMEM((jc, TILE), jnp.float32),    # irow
+            pltpu.VMEM((jc, TILE), jnp.float32),    # drow
+            pltpu.VMEM((Npad, TILE), jnp.float32),  # epred
+            pltpu.VMEM((Npad, TILE), jnp.float32),  # ecm
+            pltpu.VMEM((Npad, TILE), jnp.float32),  # ermax
+            pltpu.VMEM((1, TILE), jnp.int32),       # r0
+            pltpu.VMEM((8, TILE), jnp.float32),     # acc
+        ],
+        interpret=interpret,
+    )(trans, hap_t, hl, read_t, hap_m, rl, fl)
+    return out[0]
+
+
 def pairhmm_batch_pallas(hap_codes, hap_lens, read_codes, read_lens,
                          full_hap_lens, params: AlignmentParams = AlignmentParams(),
-                         interpret: bool = False, tile_b: int | None = None):
+                         interpret: bool = False, tile_b: int | None = None,
+                         jc: int | None = None):
     """Drop-in replacement for pairhmm.pairhmm_batch using the Pallas kernel.
 
     Accepts the same (B, N)/(B, M) uint8 batch and transposes into the
-    lanes-carry-batch layout expected by the kernel.  ``tile_b=None``
-    selects the widest batch tile that fits VMEM for the shape.
+    lanes-carry-batch layout expected by the kernel.  Shapes beyond the
+    resident kernel's VMEM envelope stream the read axis through the
+    chunked kernel (same results bit-for-bit); ``jc`` overrides the chunk
+    length (testing hook).
     """
     hap = np.asarray(hap_codes)
     read = np.asarray(read_codes)
@@ -266,6 +541,19 @@ def pairhmm_batch_pallas(hap_codes, hap_lens, read_codes, read_lens,
     trans = jnp.asarray(params.as_array())
     hap_u8 = hap.astype(np.uint8, copy=False)
     read_u8 = read.astype(np.uint8, copy=False)
+    N, M = hap.shape[1], read.shape[1]
+    use_chunked = jc is not None or not pallas_fits(N, M)
+    if use_chunked:
+        jc_eff = jc or JCHUNK
+        Mpad = -(-M // jc_eff) * jc_eff
+        if Mpad != M:
+            read_u8 = np.pad(read_u8, ((0, 0), (0, Mpad - M)))
+        out = _pallas_call_chunked_u8(
+            jnp.asarray(hap_u8), jnp.asarray(hl[None, :]),
+            jnp.asarray(read_u8), jnp.asarray(rl[None, :]),
+            jnp.asarray(fl[None, :]), trans,
+            interpret=interpret, tile_b=tile_b, jc=jc_eff)
+        return out[:B]
     out = _pallas_call_u8(jnp.asarray(hap_u8), jnp.asarray(hl[None, :]),
                           jnp.asarray(read_u8), jnp.asarray(rl[None, :]),
                           jnp.asarray(fl[None, :]), trans,

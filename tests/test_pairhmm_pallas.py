@@ -85,3 +85,40 @@ def test_pallas_long_shapes():
     ref = np.asarray(pairhmm_batch(hap_codes, hl, read_codes, rl, fl,
                                    AlignmentParams()))
     assert np.array_equal(pal, ref)
+
+
+def test_chunked_matches_scan_multi_chunk():
+    """J-chunked kernel across 3+ chunks must be bit-identical to the scan
+    (cross-chunk pred/cummax/band carries exercised)."""
+    H, hl, R, rl, fl = make_batch(8, 100, 200)
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True,
+                                          tile_b=8, jc=64))
+    assert np.array_equal(got, want)
+
+
+def test_chunked_single_chunk_and_boundaries():
+    """Edge cases: reads shorter than one chunk, read end exactly at a
+    chunk boundary, n==1 haplotypes, and band-fail pairs."""
+    H, hl, R, rl, fl = make_batch(8, 30, 130)
+    rl_pad = R.shape[1]
+    # read length exactly at the chunk boundary for pair 0
+    if rl_pad >= 64:
+        rl[0] = 64
+    hl[1] = 1                      # single-row haplotype
+    R[2] = encode_seq("G" * int(rl[2]), R.shape[1])   # band fail
+    fl[3] = 60                     # short-hap gate
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True,
+                                          tile_b=8, jc=64))
+    assert np.array_equal(got, want)
+
+
+def test_chunked_custom_params():
+    H, hl, R, rl, fl = make_batch(4, 80, 150)
+    params = AlignmentParams.from_list([-2.0, -0.3, -1.5, -0.25, -0.0001,
+                                        -8.0, -9.0])
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl, params))
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, params,
+                                          interpret=True, tile_b=8, jc=64))
+    assert np.array_equal(got, want)
