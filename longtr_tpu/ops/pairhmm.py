@@ -342,13 +342,41 @@ def enable_compile_cache():
         pass
 
 
-def runs_on_host(N: int, M: int) -> bool:
+def _native_ready() -> bool:
+    try:
+        from longtr_tpu import native
+        return native.get_lib() is not None
+    except Exception:
+        return False
+
+
+def device_min_cells() -> int:
+    """Minimum DP cells for a chunk to be worth a device dispatch.
+
+    Latency-aware placement: through the tunneled `axon` backend a
+    dispatch costs ~40ms of round trips, so a chunk below ~32M cells
+    finishes sooner on the (bit-identical, background-threaded) native
+    host scorer — short-STR classes go host, multi-kb VNTR classes go
+    device.  On a locally-attached TPU (`tpu` backend) dispatch is
+    sub-ms, so everything that fits goes to the device.  Override with
+    LONGTR_DEVICE_MIN_CELLS (0 forces all fitting chunks on-device).
+    """
+    import os
+    v = os.environ.get("LONGTR_DEVICE_MIN_CELLS")
+    if v is not None:
+        return int(v)
+    return 32_000_000 if jax.default_backend() == "axon" else 0
+
+
+def runs_on_host(N: int, M: int, cells: int | None = None) -> bool:
     """Whether :func:`pairhmm_batch_auto` would score a (N, M)-padded batch
     on the host rather than enqueue it on a device.
 
     Mirrors the dispatch branch below so callers can route host-bound
     chunks to a worker thread (a host batch blocks for its full compute
-    time, while a device batch returns at enqueue).
+    time, while a device batch returns at enqueue).  ``cells`` (the real
+    DP cell count of the chunk) enables the latency-aware small-chunk
+    routing of :func:`device_min_cells`.
     """
     import os
     from longtr_tpu.utils import mathops
@@ -360,8 +388,35 @@ def runs_on_host(N: int, M: int) -> bool:
         return False
     if jax.default_backend() in ("tpu", "axon"):
         from longtr_tpu.ops.pairhmm_pallas import device_fits
-        return not device_fits(N, M)
+        if not device_fits(N, M):
+            return True
+        if cells is not None and cells < device_min_cells() \
+                and _native_ready():
+            return True
+        return False
     return True
+
+
+def pairhmm_batch_hostpath(hap_codes, hap_lens, read_codes, read_lens,
+                           full_hap_lens,
+                           params: AlignmentParams = AlignmentParams()):
+    """Force the host scorer for a batch (bit-identical to the device
+    kernels): native C++ threaded over the batch, jnp scan on the CPU
+    device as fallback.  Used by callers that made a placement decision
+    via :func:`runs_on_host` (re-entering pairhmm_batch_auto could pick
+    the device again).  Reference-fidelity mode keeps its f64 path.
+    """
+    from longtr_tpu.utils import mathops
+    if mathops.ref_fidelity():
+        return pairhmm_batch_auto(hap_codes, hap_lens, read_codes,
+                                  read_lens, full_hap_lens, params)
+    out = _host_batch(hap_codes, hap_lens, read_codes, read_lens,
+                      full_hap_lens, params)
+    if out is not None:
+        return out
+    with jax.default_device(jax.devices("cpu")[0]):
+        return pairhmm_batch(hap_codes, hap_lens, read_codes, read_lens,
+                             full_hap_lens, params)
 
 
 def pairhmm_batch_auto(hap_codes, hap_lens, read_codes, read_lens,

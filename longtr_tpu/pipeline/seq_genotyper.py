@@ -309,13 +309,16 @@ def score_pairs_async(pairs, params=None) -> ScoreHandle:
                 read_lens[i] = len(r)
                 full_lens[i] = fl
             n_bytes += hap_codes.nbytes + read_codes.nbytes + 12 * Bpad
-            on_host = pairhmm.runs_on_host(n_max, m_max)
+            k = len(sel)
+            cells = int(np.dot(hap_lens[:k].astype(np.int64),
+                               read_lens[:k].astype(np.int64)))
+            on_host = pairhmm.runs_on_host(n_max, m_max, cells)
             if _TRACE_DISPATCH:
                 import time as _time
                 _t0 = _time.time()
             if on_host:
                 scores = _host_score_pool().submit(
-                    pairhmm.pairhmm_batch_auto, hap_codes, hap_lens,
+                    pairhmm.pairhmm_batch_hostpath, hap_codes, hap_lens,
                     read_codes, read_lens, full_lens, params)
             else:
                 scores = pairhmm.pairhmm_batch_auto(
