@@ -18,20 +18,45 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
-def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1):
+def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1,
+                  vntr=False):
     from synth import Locus, make_genome, write_bed, write_sample_bam
     from longtr_tpu.io.fasta import write_fasta
     rng = np.random.default_rng(seed)
-    motifs = ["AC", "AGAT", "CTG", "TTTA", "ACGGT", "A"]
     loci = []
     per_chrom = 8
-    for i in range(n_loci):
-        chrom = f"chr{i // per_chrom + 1}"
-        offset = (i % per_chrom) * 1500 + 1000
-        motif = motifs[i % len(motifs)]
-        copies = int(rng.integers(8, 20)) if motif != "A" else int(rng.integers(10, 25))
-        loci.append(Locus(chrom, offset, motif, copies, f"L{i}"))
-    genome = make_genome(rng, loci, chrom_len=per_chrom * 1500 + 2000)
+    if vntr:
+        # multi-kb VNTRs (500-3000bp repeats, 10-31bp motifs): the
+        # device-dominant regime (BASELINE config 5 scale-up)
+        vmotifs = ["ACGGTCATGG", "ACGGTCATGGACGGTCA",
+                   "ACGGTCATGGACGGTCATGGACG",
+                   "ACGGTCATGGACGGTCATGGACGGTCATGGA"]
+        offset = 1000
+        chrom_i = 1
+        k = 0
+        for i in range(n_loci):
+            motif = vmotifs[i % len(vmotifs)]
+            copies = int(rng.integers(500 // len(motif),
+                                      3000 // len(motif)))
+            loci.append(Locus(f"chr{chrom_i}", offset, motif, copies,
+                              f"L{i}"))
+            offset = loci[-1].stop + 900
+            k += 1
+            if k == per_chrom:
+                k = 0
+                chrom_i += 1
+                offset = 1000
+        chrom_len = max(l.stop for l in loci) + 1200
+    else:
+        motifs = ["AC", "AGAT", "CTG", "TTTA", "ACGGT", "A"]
+        for i in range(n_loci):
+            chrom = f"chr{i // per_chrom + 1}"
+            offset = (i % per_chrom) * 1500 + 1000
+            motif = motifs[i % len(motifs)]
+            copies = int(rng.integers(8, 20)) if motif != "A" else int(rng.integers(10, 25))
+            loci.append(Locus(chrom, offset, motif, copies, f"L{i}"))
+        chrom_len = per_chrom * 1500 + 2000
+    genome = make_genome(rng, loci, chrom_len=chrom_len)
     fasta = os.path.join(tmpdir, "g.fa")
     write_fasta(fasta, genome)
     bed = os.path.join(tmpdir, "r.bed")
@@ -54,6 +79,7 @@ def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1):
 
 def main():
     n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    vntr = "--vntr" in sys.argv
     workers = 1
     if "--workers" in sys.argv:
         workers = int(sys.argv[sys.argv.index("--workers") + 1])
@@ -65,8 +91,10 @@ def main():
     enable_compile_cache()
 
     tmpdir = tempfile.mkdtemp()
-    print(f"building {n_loci}-locus catalog...", flush=True)
-    fasta, bed, bams, loci, truth_gts = build_catalog(tmpdir, n_loci)
+    print(f"building {n_loci}-locus{' VNTR' if vntr else ''} catalog...",
+          flush=True)
+    fasta, bed, bams, loci, truth_gts = build_catalog(tmpdir, n_loci,
+                                                      vntr=vntr)
 
     from longtr_tpu.cli import main as cli_main
     # --repeat N: run the same catalog N times in-process and report the
@@ -85,6 +113,7 @@ def main():
                        "--regions", bed, "--tr-vcf", out,
                        "--min-reads", "5", "--quiet",
                        "--metrics-out", metrics_path]
+                      + (["--max-tr-len", "10000"] if vntr else [])
                       + (["--workers", str(workers)] if workers > 1 else []))
         dt_r = time.time() - t0
         assert rc == 0

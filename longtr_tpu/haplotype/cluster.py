@@ -11,11 +11,18 @@ import numpy as np
 
 
 def edit_distance_banded(a: str, b: str, T: int) -> int:
-    """Unit-cost NW edit distance; returns T+1 if it provably exceeds T.
+    """Unit-cost NW edit distance: exact when <= T, else T+1.
 
     Transcription of HaplotypeGenerator::needleman_wunsch
-    (HaplotypeGenerator.cpp:201-234), vectorized row-wise.  Dispatches to
-    the value-identical native C++ scorer when available
+    (HaplotypeGenerator.cpp:201-234) with one conscious deviation
+    (PARITY.md ledger): the reference returns the exact distance even when
+    it exceeds the threshold unless its per-row band abort fires first;
+    every call site only ever tests ``score < threshold``, so this
+    implementation clamps all above-threshold results to T+1.  That fixed
+    contract lets the native path use a true Ukkonen band (O(n*T) instead
+    of O(n*m)) — unit-cost distance satisfies d[i][j] >= |i-j|, so cells
+    off the 2T+1-wide diagonal band can never produce a value <= T.
+    Dispatches to the native C++ scorer when available
     (tests/test_components.py fuzzes the two against each other).
     """
     n, m = len(a), len(b)
@@ -48,7 +55,7 @@ def edit_distance_banded(a: str, b: str, T: int) -> int:
         if band.min() > T:
             return T + 1
         prev = cur
-    return int(prev[m])
+    return min(int(prev[m]), T + 1)
 
 
 def greedy_clustering(seqs, threshold: int):
@@ -56,12 +63,22 @@ def greedy_clustering(seqs, threshold: int):
 
     Returns dict centroid -> member list, or None if >15 clusters formed.
     """
+    try:
+        from longtr_tpu import native
+        batch = native.edit_distance_batch
+    except Exception:
+        batch = None
     clusters = {seqs[0]: [seqs[0]]}
     centroids = [seqs[0]]
     for s in seqs[1:]:
         best_score, best = None, None
-        for c in centroids:
-            score = edit_distance_banded(s, c, threshold)
+        # one threaded native call for all centroid distances; the
+        # first-minimum tie-break below matches the sequential loop
+        dists = batch(s, centroids, threshold) if batch else None
+        if dists is None:
+            dists = [edit_distance_banded(s, c, threshold)
+                     for c in centroids]
+        for c, score in zip(centroids, dists):
             if score < threshold and (best_score is None or score < best_score):
                 best_score, best = score, c
         if best is not None:

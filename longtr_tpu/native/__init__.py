@@ -68,6 +68,12 @@ def get_lib():
         lib.ltr_edit_distance_banded.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long]
+    if hasattr(lib, "ltr_edit_distance_batch"):
+        lib.ltr_edit_distance_batch.restype = ctypes.c_long
+        lib.ltr_edit_distance_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long)]
     lib.ltr_rans_decode.restype = ctypes.c_int
     lib.ltr_rans_decode.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                     ctypes.c_char_p, ctypes.c_long]
@@ -194,6 +200,21 @@ def edit_distance_banded(a: str, b: str, threshold: int) -> int | None:
         return None
     return int(lib.ltr_edit_distance_banded(a.encode(), len(a),
                                             b.encode(), len(b), threshold))
+
+
+def edit_distance_batch(a: str, bs: list, threshold: int) -> list | None:
+    """Distances from ``a`` to every sequence in ``bs`` (one native call,
+    threaded over candidates).  Value-identical to per-pair
+    edit_distance_banded.  None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ltr_edit_distance_batch"):
+        return None
+    blobs = [b.encode() for b in bs]
+    lens = (ctypes.c_long * len(blobs))(*[len(b) for b in blobs])
+    out = (ctypes.c_long * len(blobs))()
+    lib.ltr_edit_distance_batch(a.encode(), len(a), b"".join(blobs), lens,
+                                len(blobs), threshold, out)
+    return list(out)
 
 
 def rans_decode(data: bytes, out_sz: int) -> bytes | None:

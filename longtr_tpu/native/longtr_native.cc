@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
+#include <atomic>
 #include <vector>
 #include <thread>
 
@@ -756,30 +757,93 @@ struct Graph {
 // HaplotypeGenerator.cpp:201-234): returns the exact distance, or T+1 as
 // soon as every band-adjusted cell of a row exceeds T.
 extern "C" long ltr_edit_distance_banded(const char* a, long n,
+                                         const char* b, long m, long T);
+
+// One query against a packed list of candidates, threaded over candidates
+// (greedy clustering computes query-vs-every-centroid; one call + threads
+// beats k sequential ctypes crossings on multi-kb VNTR reads).
+extern "C" long ltr_edit_distance_batch(const char* a, long n,
+                                        const char* bs, const long* lens,
+                                        long k, long T, long* out) {
+  std::vector<const char*> ptrs(k);
+  {
+    const char* p = bs;
+    for (long i = 0; i < k; i++) { ptrs[i] = p; p += lens[i]; }
+  }
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 4;
+  if ((long)nt > k) nt = (unsigned)k;
+  std::vector<std::thread> threads;
+  std::atomic<long> next(0);
+  auto work = [&]() {
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= k) return;
+      out[i] = ltr_edit_distance_banded(a, n, ptrs[i], lens[i], T);
+    }
+  };
+  if (nt <= 1) {
+    work();
+  } else {
+    threads.reserve(nt);
+    for (unsigned t = 0; t < nt; t++) threads.emplace_back(work);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+extern "C" long ltr_edit_distance_banded(const char* a, long n,
                                          const char* b, long m, long T) {
   long diff = n - m;
   if (diff < 0 ? (-diff > T) : (diff > T)) return T + 1;
-  std::vector<int32_t> prev(m + 1), cur(m + 1);
-  for (long j = 0; j <= m; j++) prev[j] = (int32_t)j;
-  for (long i = 1; i <= n; i++) {
-    cur[0] = (int32_t)i;
-    char ai = a[i - 1];
-    int32_t band_min = INT32_MAX;
-    for (long j = 1; j <= m; j++) {
-      int32_t c = prev[j - 1] + (ai != b[j - 1]);
-      int32_t up = prev[j] + 1;
-      if (up < c) c = up;
-      int32_t left = cur[j - 1] + 1;
-      if (left < c) c = left;
-      cur[j] = c;
-      long band_off = (n - m) - (i - j);
-      int32_t band = c + (int32_t)(band_off < 0 ? -band_off : band_off);
-      if (band < band_min) band_min = band;
-    }
-    if (band_min > T) return T + 1;
-    std::swap(prev, cur);
+  // Ukkonen band: unit-cost edit distance satisfies d[i][j] >= |i-j|, so
+  // cells with |i-j| > T can never contribute a value <= T.  Computing
+  // only the 2T+1 diagonal band gives values <= T exactly and clamps
+  // everything else to T+1 — decision-identical at every call site
+  // (clustering compares `score < threshold` only; contract documented
+  // in haplotype/cluster.py and PARITY.md).  O(n*T) instead of O(n*m).
+  const long W = 2 * T + 1;
+  const int32_t CLAMP = (int32_t)(T + 1);
+  std::vector<int32_t> prev(W + 2), cur(W + 2);
+  // offset k = j - i + T; rows padded with CLAMP sentinels at both ends
+  int32_t* pv = prev.data() + 1;
+  int32_t* cv = cur.data() + 1;
+  prev[0] = cur[0] = CLAMP;
+  prev[W + 1] = cur[W + 1] = CLAMP;
+  for (long k = 0; k < W; k++) {
+    long j = k - T;                     // row 0: d[0][j] = j
+    pv[k] = (j >= 0 && j <= m) ? (int32_t)(j < CLAMP ? j : CLAMP) : CLAMP;
   }
-  return prev[m];
+  for (long i = 1; i <= n; i++) {
+    const char ai = a[i - 1];
+    int32_t row_min = CLAMP;
+    long kmin = 0;
+    if (i <= T) {
+      // column j=0 sits inside the band at offset T-i
+      const long k0 = T - i;
+      for (long k = 0; k < k0; k++) cv[k] = CLAMP;
+      cv[k0] = (int32_t)(i < CLAMP ? i : CLAMP);
+      if (cv[k0] < row_min) row_min = cv[k0];
+      kmin = k0 + 1;
+    }
+    const long kmax = (i + T <= m) ? W - 1 : m - i + T;
+    const char* bj = b + (i + kmin - T - 1);
+    for (long k = kmin; k <= kmax; k++) {
+      int32_t d = pv[k] + (ai != bj[k - kmin]);       // diag: (i-1, j-1)
+      int32_t u = pv[k + 1] + 1;                      // up:   (i-1, j)
+      int32_t l = cv[k - 1] + 1;                      // left: (i,   j-1)
+      int32_t v = d < u ? d : u;
+      if (l < v) v = l;
+      if (v > CLAMP) v = CLAMP;
+      cv[k] = v;
+      if (v < row_min) row_min = v;
+    }
+    for (long k = kmax + 1; k < W; k++) cv[k] = CLAMP;
+    if (row_min >= CLAMP) return T + 1;   // no path <= T can survive
+    std::swap(pv, cv);
+  }
+  int32_t out = pv[m - n + T];
+  return out > T ? T + 1 : out;
 }
 
 extern "C" long ltr_poa_consensus(const char* seqs, const long* lens,
