@@ -210,28 +210,15 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
         sequences[0] = (ref_seq, False)
 
     # Long-read rescue: cluster + POA for samples with many unexplained reads
-    cand_set = {s for s, _ in sequences}
-    not_added_all = []
-    for extracted in per_sample_seqs:
-        not_added = {}
-        samp_reads = 0
-        samp_ignored = 0
-        for subseq in extracted:
-            samp_reads += 1
-            if subseq not in cand_set:
-                not_added[subseq] = not_added.get(subseq, 0) + 1
-                samp_ignored += 1
-        if samp_ignored > samp_reads * 0.25:
-            not_added_all.append((not_added, samp_ignored))
-
-    for not_added, tot_ignored in not_added_all:
+    def _rescue_sample(item):
+        """Threshold-ladder clustering for one sample; returns the ordered
+        centroid candidates of the first threshold that explains >=80% of
+        the sample's unexplained reads (empty if none does)."""
+        not_added, tot_ignored = item
         unique = list(not_added.keys())
         if len(unique) > 1:
             unique = [unique[0]] + order_by_length_and_sequence(unique[1:])
-        finished = False
         for t in CLUSTER_THRESHOLDS:
-            if finished:
-                break
             clusters = greedy_clustering(unique, t)
             if clusters is None:
                 continue
@@ -269,13 +256,43 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
                 cluster_support = sum(not_added.get(s, 0) for s in members)
                 if cluster_support > min(int(tot_ignored * 0.10), 10):
                     new_seqs_added += cluster_support
-                    if centroid not in cand_set:
-                        potential.append((centroid, True))
+                    potential.append(centroid)
             if new_seqs_added >= int(0.80 * tot_ignored):
-                for pair in potential:
-                    sequences.append(pair)
-                    cand_set.add(pair[0])
-                finished = True
+                return potential
+        return []
+
+    cand_set = {s for s, _ in sequences}
+    not_added_all = []
+    for extracted in per_sample_seqs:
+        not_added = {}
+        samp_reads = 0
+        samp_ignored = 0
+        for subseq in extracted:
+            samp_reads += 1
+            if subseq not in cand_set:
+                not_added[subseq] = not_added.get(subseq, 0) + 1
+                samp_ignored += 1
+        if samp_ignored > samp_reads * 0.25:
+            not_added_all.append((not_added, samp_ignored))
+
+    # Phase 1 — per-sample cluster+POA, parallel across samples (each
+    # sample's clustering depends only on its own not_added reads; the
+    # cand_set membership filter moves to the sequential merge below so
+    # earlier samples' additions are seen exactly as in the serial loop).
+    if len(not_added_all) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(4, len(not_added_all))) as pool:
+            rescued = list(pool.map(_rescue_sample, not_added_all))
+    else:
+        rescued = [_rescue_sample(x) for x in not_added_all]
+    # Phase 2 — merge in original sample order (parity with the reference's
+    # sequential loop, HaplotypeGenerator.cpp rescue path)
+    for candidates in rescued:
+        for centroid in candidates:
+            if centroid not in cand_set:
+                sequences.append((centroid, True))
+                cand_set.add(centroid)
 
     # Sort alts by length then sequence (reference keeps ref first)
     import functools
