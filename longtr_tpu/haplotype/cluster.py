@@ -66,6 +66,9 @@ def greedy_clustering(seqs, threshold: int):
     try:
         from longtr_tpu import native
         batch = native.edit_distance_batch
+        from longtr_tpu.utils.workers import in_locus_worker
+        if in_locus_worker():
+            batch = None   # locus-level threads own the cores already
     except Exception:
         batch = None
     clusters = {seqs[0]: [seqs[0]]}

@@ -227,7 +227,8 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
                 updated = {}
                 new_centroids = []
                 member_lists = list(clusters.values())
-                if len(member_lists) > 1:
+                from longtr_tpu.utils.workers import in_locus_worker
+                if len(member_lists) > 1 and not in_locus_worker():
                     # independent per-cluster POA; the native DP releases
                     # the GIL, so clusters run on all cores.  Results are
                     # folded back in the original cluster order, so the
@@ -279,13 +280,30 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
     # sample's clustering depends only on its own not_added reads; the
     # cand_set membership filter moves to the sequential merge below so
     # earlier samples' additions are seen exactly as in the serial loop).
-    if len(not_added_all) > 1:
+    # sample-level parallelism stays on inside locus workers (the window
+    # often has one dominant VNTR locus whose wall time this splits);
+    # only the innermost cluster-POA/edit-batch layers serialize there.
+    # The thread-local worker flag must be re-entered in pool threads.
+    from longtr_tpu.utils.workers import (in_locus_worker,
+                                          locus_worker_scope, spare_workers)
+    _flag = in_locus_worker()
+
+    def _run_rescue(item):
+        if _flag:
+            with locus_worker_scope(nested=True):
+                return _rescue_sample(item)
+        return _rescue_sample(item)
+
+    # size the per-sample fan-out to the cores this locus can actually
+    # claim right now: a lone heavy VNTR locus gets them all, a window of
+    # uniformly heavy loci stays one-thread-per-locus
+    width = min(4, len(not_added_all), spare_workers() if _flag else 4)
+    if width > 1:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(
-                max_workers=min(4, len(not_added_all))) as pool:
-            rescued = list(pool.map(_rescue_sample, not_added_all))
+        with ThreadPoolExecutor(max_workers=width) as pool:
+            rescued = list(pool.map(_run_rescue, not_added_all))
     else:
-        rescued = [_rescue_sample(x) for x in not_added_all]
+        rescued = [_run_rescue(x) for x in not_added_all]
     # Phase 2 — merge in original sample order (parity with the reference's
     # sequential loop, HaplotypeGenerator.cpp rescue path)
     for candidates in rescued:

@@ -70,6 +70,7 @@ class GenotyperPipeline:
         self.filt_bam = None         # BamWriter for --filt-bam
         self._pending = []           # loci awaiting the fused device dispatch
         self._inflight = None        # dispatched window not yet completed
+        self._builders = None        # lazy thread pool for haplotype builds
         self._checkpoint_fh = None
         self._checkpoint_done = set()
 
@@ -314,19 +315,49 @@ class GenotyperPipeline:
         self.timer.add("Trimming alignment", time.time() - t0)
 
         t0 = time.time()
-        gt = SeqStutterGenotyper(
-            group, haploid, left_alns, filt_p1s, filt_p2s, n_p1s, n_p2s,
-            rg_names, chrom_seq, stutter_models, ref_vcf=self.ref_vcf,
-            logger=self.sel_log, skip_assembly=cfg.skip_assembly,
-            indel_flank_len=cfg.indel_flank_len,
-            switch_old_align_len=cfg.switch_old_align_len,
-            alignment_params=cfg.alignment_params)
-        ok, pairs = gt.genotype_prepare(cfg.max_total_haplotypes)
-        gt.chrom_seq = chrom_seq   # shared reference, used by the viz writer
-        self._pending.append((gt, pairs, ok, group))
+
+        def _build():
+            # pure given its inputs: log lines buffer and replay in locus
+            # order at dispatch, so parallel builds keep output identical
+            from longtr_tpu.utils.workers import locus_worker_scope
+            logbuf = []
+            t_b = time.time()
+            with locus_worker_scope():
+                return _build_inner(logbuf, t_b)
+
+        def _build_inner(logbuf, t_b):
+            gt = SeqStutterGenotyper(
+                group, haploid, left_alns, filt_p1s, filt_p2s, n_p1s, n_p2s,
+                rg_names, chrom_seq, stutter_models, ref_vcf=self.ref_vcf,
+                logger=logbuf.append, skip_assembly=cfg.skip_assembly,
+                indel_flank_len=cfg.indel_flank_len,
+                switch_old_align_len=cfg.switch_old_align_len,
+                alignment_params=cfg.alignment_params)
+            ok, pairs = gt.genotype_prepare(cfg.max_total_haplotypes)
+            gt.chrom_seq = chrom_seq   # shared ref, used by the viz writer
+            return gt, pairs, ok, logbuf, time.time() - t_b
+
+        # Haplotype generation (clustering + POA + NW; native, GIL-free)
+        # dominates host time on long-TR catalogs and is independent
+        # across loci: overlap the window's builds on a thread pool.
+        # ref_vcf mode shares a stateful VCF reader and mode B dispatches
+        # device work inside prepare — keep those serial.
+        if self.ref_vcf is None and not cfg.switch_old_align_len:
+            self._pending.append((self._build_pool().submit(_build), group))
+        else:
+            self._pending.append((_build(), group))
         self.timer.add("Genotyping", time.time() - t0)
         if len(self._pending) >= max(1, cfg.locus_batch):
             self._dispatch_pending()
+
+    def _build_pool(self):
+        if self._builders is None:
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+            self._builders = ThreadPoolExecutor(
+                max_workers=min(4, _os.cpu_count() or 4),
+                thread_name_prefix="longtr-hapgen")
+        return self._builders
 
     def _flush_pending(self):
         """Synchronous flush: dispatch the pending window and complete it
@@ -347,6 +378,20 @@ class GenotyperPipeline:
             return
         self._complete_inflight()
         t0 = time.time()
+        # resolve the window's (possibly parallel) builds in locus order,
+        # replaying each locus's buffered log lines
+        resolved = []
+        build_s = 0.0
+        for item, group in self._pending:
+            gt, pairs, ok, logbuf, bt = (item.result()
+                                         if hasattr(item, "result")
+                                         else item)
+            for msg in logbuf:
+                self.sel_log(msg)
+            build_s += bt
+            resolved.append((gt, pairs, ok, group))
+        self._pending = resolved
+        self.timer.add("Haplotype build", build_s)
         all_pairs = []
         slices = []
         for gt, pairs, ok, _group in self._pending:
