@@ -625,31 +625,37 @@ struct Graph {
         up = best_up.data();
       }
       char base = ch[v];
-      int32_t* dst = &dp[(size_t)i * W];
-      int32_t* bn = &bt_node[(size_t)i * W];
-      signed char* bt = &bt_type[(size_t)i * W];
+      // __restrict__: rows/arrays never overlap (dst is row i; up is a
+      // strictly earlier row or the separate best_up scratch) — lets the
+      // compiler vectorize without exploding alias-version checks
+      int32_t* __restrict__ dst = &dp[(size_t)i * W];
+      int32_t* __restrict__ bn = &bt_node[(size_t)i * W];
+      signed char* __restrict__ bt = &bt_type[(size_t)i * W];
+      const int32_t* __restrict__ upr = up;
+      const int32_t* __restrict__ bup = best_up_p.data();
+      const char* __restrict__ sq = seq;
       // fused pass: up, then strictly-better diag (same result order as
       // separate passes); the sequential left-gap pass stays on its own
-      dst[0] = up[0] + GAP;
-      bn[0] = (up_p >= -1) ? up_p : best_up_p[0];
+      dst[0] = upr[0] + GAP;
+      bn[0] = (up_p >= -1) ? up_p : bup[0];
       bt[0] = 1;
       if (up_p >= -1) {
         for (size_t j = 1; j < W; j++) {
-          int32_t val = up[j] + GAP;
+          int32_t val = upr[j] + GAP;
           signed char t = 1;
-          int32_t diag = up[j - 1] +
-                         ((seq[j - 1] == base) ? MATCH : MISMATCH);
+          int32_t diag = upr[j - 1] +
+                         ((sq[j - 1] == base) ? MATCH : MISMATCH);
           if (diag > val) { val = diag; t = 0; }
           dst[j] = val; bn[j] = up_p; bt[j] = t;
         }
       } else {
         for (size_t j = 1; j < W; j++) {
-          int32_t val = up[j] + GAP;
-          int32_t node = best_up_p[j];
+          int32_t val = upr[j] + GAP;
+          int32_t node = bup[j];
           signed char t = 1;
-          int32_t diag = up[j - 1] +
-                         ((seq[j - 1] == base) ? MATCH : MISMATCH);
-          if (diag > val) { val = diag; node = best_up_p[j - 1]; t = 0; }
+          int32_t diag = upr[j - 1] +
+                         ((sq[j - 1] == base) ? MATCH : MISMATCH);
+          if (diag > val) { val = diag; node = bup[j - 1]; t = 0; }
           dst[j] = val; bn[j] = node; bt[j] = t;
         }
       }
