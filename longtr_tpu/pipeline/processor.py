@@ -342,7 +342,9 @@ class GenotyperPipeline:
         # across loci: overlap the window's builds on a thread pool.
         # ref_vcf mode shares a stateful VCF reader and mode B dispatches
         # device work inside prepare — keep those serial.
-        if self.ref_vcf is None and not cfg.switch_old_align_len:
+        import os as _os
+        if self.ref_vcf is None and not cfg.switch_old_align_len \
+                and _os.environ.get("LONGTR_SERIAL_BUILD") != "1":
             self._pending.append((self._build_pool().submit(_build), group))
         else:
             self._pending.append((_build(), group))

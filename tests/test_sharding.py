@@ -127,3 +127,22 @@ def test_e2e_pipeline_through_mesh(tmp_path, monkeypatch):
                 if not ln.startswith("##command")]
 
     assert body(out1) == body(out2)
+
+
+def test_parallel_builds_match_serial(tmp_path, monkeypatch):
+    """Locus-parallel haplotype builds (thread pool + buffered log replay)
+    must produce byte-identical VCFs to LONGTR_SERIAL_BUILD=1, including
+    on loci that exercise the rescue clustering + POA path (noisy reads)."""
+    import numpy as np
+    from synth import standard_fixture
+
+    fx = standard_fixture(str(tmp_path), rng=np.random.default_rng(5),
+                          sub_rate=0.01)
+    base = ["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+            "--regions", fx["bed"], "--min-reads", "5", "--quiet"]
+    par = str(tmp_path / "par.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", par]) == 0
+    ser = str(tmp_path / "ser.vcf.gz")
+    monkeypatch.setenv("LONGTR_SERIAL_BUILD", "1")
+    assert cli_main(base + ["--tr-vcf", ser]) == 0
+    assert vcf_body(par) == vcf_body(ser)
