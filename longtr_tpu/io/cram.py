@@ -557,6 +557,13 @@ def _tag_value_to_bytes(typ: str, val) -> bytes:
         return val.encode() if isinstance(val, str) else bytes([val])
     if typ in ("Z", "H"):
         return val.encode() + b"\x00"
+    if typ == "B":
+        # numeric array (PacBio ip/pw etc.); same BAM layout io/bam.py
+        # decodes and io/bam_write.py emits: sub-type + count + values
+        sub = "f" if any(isinstance(v, float) for v in val) else "i"
+        fmt, _ = _TAG_FMT[sub]
+        return (sub.encode() + struct.pack("<I", len(val))
+                + struct.pack("<%d%s" % (len(val), fmt[-1]), *val))
     raise ValueError(f"unsupported tag type {typ}")
 
 
@@ -567,6 +574,11 @@ def _tag_value_from_bytes(typ: str, raw: bytes):
         return raw[:1].decode()
     if typ in ("Z", "H"):
         return raw.rstrip(b"\x00").decode()
+    if typ == "B":
+        sub = chr(raw[0])
+        (cnt,) = struct.unpack_from("<I", raw, 1)
+        fmt, _ = _TAG_FMT[sub]
+        return list(struct.unpack_from("<%d%s" % (cnt, fmt[-1]), raw, 5))
     raise ValueError(f"unsupported tag type {typ}")
 
 
@@ -575,6 +587,8 @@ def _pick_tag_type(val) -> str:
         return "i"
     if isinstance(val, float):
         return "f"
+    if isinstance(val, list):
+        return "B"
     return "Z"
 
 

@@ -440,8 +440,14 @@ class GenotyperPipeline:
         # parity) inside genotype_finalize.
         import os as _os
         initial = {}
+        import jax as _jx
         use_device_post = (_os.environ.get("LONGTR_DEVICE_POSTERIOR") == "1"
-                           or _os.environ.get("LONGTR_FORCE_MESH") == "1")
+                           or _os.environ.get("LONGTR_FORCE_MESH") == "1"
+                           # multi-chip: the mesh amortizes the dispatch;
+                           # single tunneled chip keeps the host-f64 path
+                           # (latency > the small posterior compute)
+                           or (_jx.local_device_count() > 1
+                               and _jx.default_backend() in ("tpu", "axon")))
         if use_device_post:
             from longtr_tpu.ops.posterior import batched_posteriors
             live = [(i, gt) for i, (gt, _p, ok, _g) in
