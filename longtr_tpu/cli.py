@@ -433,6 +433,8 @@ def _main(argv=None):
     cfg = config_from_args(args)
     from longtr_tpu.pipeline.processor import GenotyperPipeline
     pipeline = GenotyperPipeline(cfg, use_bam_rgs, full_logger, sel_logger)
+    if log_fh is not sys.stderr:
+        pipeline.log_flush = log_fh.flush
 
     if args.viz_out:
         if not args.viz_out.endswith(".gz"):

@@ -66,18 +66,22 @@ def greedy_clustering(seqs, threshold: int):
     try:
         from longtr_tpu import native
         batch = native.edit_distance_batch
-        from longtr_tpu.utils.workers import in_locus_worker
-        if in_locus_worker():
-            batch = None   # locus-level threads own the cores already
+        from longtr_tpu.utils.workers import in_locus_worker, spare_workers
+        # inside a locus worker, size the native fan-out to the cores this
+        # locus can actually claim (1 when the window is uniformly busy)
+        width = spare_workers() if in_locus_worker() else 0
+        if width == 1:
+            batch = None
     except Exception:
         batch = None
+        width = 0
     clusters = {seqs[0]: [seqs[0]]}
     centroids = [seqs[0]]
     for s in seqs[1:]:
         best_score, best = None, None
         # one threaded native call for all centroid distances; the
         # first-minimum tie-break below matches the sequential loop
-        dists = batch(s, centroids, threshold) if batch else None
+        dists = batch(s, centroids, threshold, width) if batch else None
         if dists is None:
             dists = [edit_distance_banded(s, c, threshold)
                      for c in centroids]

@@ -212,8 +212,19 @@ class PoaGraph:
 # cluster-convergence loop in generator.py recomputes clusters whose
 # membership did not change between iterations (and across threshold
 # retries) — memoize so each distinct cluster pays its POA DP once.
+# Keys are 16-byte blake2b digests of the member list, not the members
+# (a key of 30 x 25kb reads would pin ~750KB of finished-locus data).
 _memo: dict = {}
-_MEMO_CAP = 256
+_MEMO_CAP = 4096
+
+
+def _memo_key(seqs) -> bytes:
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for s in seqs:
+        h.update(s.encode())
+        h.update(b"\x00")
+    return h.digest()
 
 
 def poa_consensus(seqs) -> str:
@@ -221,7 +232,7 @@ def poa_consensus(seqs) -> str:
     seqs = list(seqs)
     if len(seqs) > CLUSTER_SIZE_LIMIT:
         seqs = seqs[:CLUSTER_SIZE_LIMIT]  # deterministic subsample
-    key = tuple(seqs)
+    key = _memo_key(seqs)
     hit = _memo.get(key)
     if hit is not None:
         return hit

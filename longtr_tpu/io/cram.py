@@ -559,8 +559,14 @@ def _tag_value_to_bytes(typ: str, val) -> bytes:
         return val.encode() + b"\x00"
     if typ == "B":
         # numeric array (PacBio ip/pw etc.); same BAM layout io/bam.py
-        # decodes and io/bam_write.py emits: sub-type + count + values
-        sub = "f" if any(isinstance(v, float) for v in val) else "i"
+        # decodes and io/bam_write.py emits: sub-type + count + values.
+        # int32 unless a value needs uint32 (B:I arrays are legal SAM)
+        if any(isinstance(v, float) for v in val):
+            sub = "f"
+        elif val and (max(val) > 0x7FFFFFFF):
+            sub = "I"
+        else:
+            sub = "i"
         fmt, _ = _TAG_FMT[sub]
         return (sub.encode() + struct.pack("<I", len(val))
                 + struct.pack("<%d%s" % (len(val), fmt[-1]), *val))

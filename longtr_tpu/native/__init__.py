@@ -73,7 +73,7 @@ def get_lib():
         lib.ltr_edit_distance_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_long)]
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long]
     lib.ltr_rans_decode.restype = ctypes.c_int
     lib.ltr_rans_decode.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                     ctypes.c_char_p, ctypes.c_long]
@@ -202,10 +202,12 @@ def edit_distance_banded(a: str, b: str, threshold: int) -> int | None:
                                             b.encode(), len(b), threshold))
 
 
-def edit_distance_batch(a: str, bs: list, threshold: int) -> list | None:
+def edit_distance_batch(a: str, bs: list, threshold: int,
+                        nthreads: int = 0) -> list | None:
     """Distances from ``a`` to every sequence in ``bs`` (one native call,
-    threaded over candidates).  Value-identical to per-pair
-    edit_distance_banded.  None if the library is unavailable."""
+    threaded over candidates; ``nthreads`` caps the worker count, 0 =
+    hardware).  Value-identical to per-pair edit_distance_banded.  None
+    if the library is unavailable."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "ltr_edit_distance_batch"):
         return None
@@ -213,7 +215,7 @@ def edit_distance_batch(a: str, bs: list, threshold: int) -> list | None:
     lens = (ctypes.c_long * len(blobs))(*[len(b) for b in blobs])
     out = (ctypes.c_long * len(blobs))()
     lib.ltr_edit_distance_batch(a.encode(), len(a), b"".join(blobs), lens,
-                                len(blobs), threshold, out)
+                                len(blobs), threshold, out, nthreads)
     return list(out)
 
 

@@ -770,13 +770,17 @@ extern "C" long ltr_edit_distance_banded(const char* a, long n,
 // beats k sequential ctypes crossings on multi-kb VNTR reads).
 extern "C" long ltr_edit_distance_batch(const char* a, long n,
                                         const char* bs, const long* lens,
-                                        long k, long T, long* out) {
+                                        long k, long T, long* out,
+                                        long nthreads) {
   std::vector<const char*> ptrs(k);
   {
     const char* p = bs;
     for (long i = 0; i < k; i++) { ptrs[i] = p; p += lens[i]; }
   }
-  unsigned nt = std::thread::hardware_concurrency();
+  // caller-provided thread budget (the Python side sizes it to the cores
+  // this locus can claim); <=0 means use the hardware count
+  unsigned nt = nthreads > 0 ? (unsigned)nthreads
+                             : std::thread::hardware_concurrency();
   if (nt == 0) nt = 4;
   if ((long)nt > k) nt = (unsigned)k;
   std::vector<std::thread> threads;

@@ -71,13 +71,18 @@ def sharded_pairhmm(mesh: Mesh, hap, hap_len, read, read_len, full_len, trans):
 
 
 def sharded_pairhmm_pallas(mesh: Mesh, hap, hap_len, read, read_len,
-                           full_len, trans):
+                           full_len, trans, chunked: bool = False):
     """Locus-sharded Pallas kernel: each chip runs the transposed-VMEM
     kernel on its shard (real multi-chip path; the scan variant above is
-    the CPU-mesh equivalent)."""
-    from longtr_tpu.ops.pairhmm_pallas import _pallas_call_u8
+    the CPU-mesh equivalent).  ``chunked`` selects the j-chunked streaming
+    variant for pairs beyond the resident kernel's VMEM envelope."""
+    from longtr_tpu.ops.pairhmm_pallas import (JCHUNK, _pallas_call_chunked_u8,
+                                               _pallas_call_u8)
 
     def local(h, hl, r, rl, fl, tr):
+        if chunked:
+            return _pallas_call_chunked_u8(h, hl[None, :], r, rl[None, :],
+                                           fl[None, :], tr)
         return _pallas_call_u8(h, hl[None, :], r, rl[None, :],
                                fl[None, :], tr)
 
@@ -103,11 +108,17 @@ def pairhmm_batch_sharded(hap_codes, hap_lens, read_codes, read_lens,
     """
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size
-    from longtr_tpu.ops.pairhmm_pallas import pallas_fits
-    use_pallas = (jax.default_backend() in ("tpu", "axon")
-                  and pallas_fits(np.asarray(hap_codes).shape[1],
-                                  np.asarray(read_codes).shape[1]))
-    quantum = ndev * (128 if use_pallas else 8)
+    from longtr_tpu.ops.pairhmm_pallas import (JCHUNK, chunked_fits,
+                                               pallas_fits)
+    N = np.asarray(hap_codes).shape[1]
+    M = np.asarray(read_codes).shape[1]
+    on_accel = jax.default_backend() in ("tpu", "axon")
+    use_pallas = on_accel and pallas_fits(N, M)
+    # multi-kb pairs beyond the resident envelope stream through the
+    # j-chunked kernel per shard (the scan fallback serializes per-row
+    # host syncs on axon — ~1000x slower)
+    use_chunked = on_accel and not use_pallas and chunked_fits(N, M)
+    quantum = ndev * (128 if (use_pallas or use_chunked) else 8)
     hap = np.asarray(hap_codes, dtype=np.uint8)
     read = np.asarray(read_codes, dtype=np.uint8)
     B = hap.shape[0]
@@ -115,12 +126,15 @@ def pairhmm_batch_sharded(hap_codes, hap_lens, read_codes, read_lens,
     if Bpad != B:
         hap = np.pad(hap, ((0, Bpad - B), (0, 0)))
         read = np.pad(read, ((0, Bpad - B), (0, 0)))
+    if use_chunked and M % JCHUNK:
+        read = np.pad(read, ((0, 0), (0, JCHUNK - M % JCHUNK)))
     pad1 = lambda a: np.pad(np.asarray(a, np.int32), (0, Bpad - B),
                             constant_values=1)
     hl, rl, fl = pad1(hap_lens), pad1(read_lens), pad1(full_hap_lens)
     trans = jnp.asarray(params.as_array())
-    if use_pallas:
-        out = sharded_pairhmm_pallas(mesh, hap, hl, read, rl, fl, trans)
+    if use_pallas or use_chunked:
+        out = sharded_pairhmm_pallas(mesh, hap, hl, read, rl, fl, trans,
+                                     chunked=use_chunked)
     else:
         out = sharded_pairhmm(mesh, hap.astype(np.int32), hl,
                               read.astype(np.int32), rl, fl, trans)

@@ -52,6 +52,7 @@ class GenotyperPipeline:
         self.use_bam_rgs = use_bam_rgs
         self.full_log = full_logger or (lambda *a: None)
         self.sel_log = selective_logger or (lambda *a: None)
+        self.log_flush = None        # optional; called per completed window
         self.vcf_writer = VCFWriter()
         self.samples_to_genotype = []
         self.stats = RunStats()
@@ -379,7 +380,7 @@ class GenotyperPipeline:
         if not self._pending:
             return
         self._complete_inflight()
-        t0 = time.time()
+        t_res = time.time()
         # resolve the window's (possibly parallel) builds in locus order,
         # replaying each locus's buffered log lines
         resolved = []
@@ -390,10 +391,18 @@ class GenotyperPipeline:
                                          else item)
             for msg in logbuf:
                 self.sel_log(msg)
+            # later phases (genotype_finalize's pruning messages) must log
+            # live again, not into the already-replayed buffer
+            gt.logger = self.sel_log
             build_s += bt
             resolved.append((gt, pairs, ok, group))
         self._pending = resolved
+        # "Haplotype build" = summed per-locus thread time (cpu-seconds,
+        # can exceed wall); "Build wait" = the wall this window actually
+        # blocked on builds.  "Genotyping" excludes both (no double count).
+        self.timer.add("Build wait", time.time() - t_res)
         self.timer.add("Haplotype build", build_s)
+        t0 = time.time()
         all_pairs = []
         slices = []
         for gt, pairs, ok, _group in self._pending:
@@ -483,6 +492,10 @@ class GenotyperPipeline:
                 self.stats.num_genotype_fail += 1
             self._checkpoint_mark(group)
         self.timer.add("Genotyping", time.time() - t0)
+        if self.log_flush is not None:
+            # bound buffered-stderr loss to one window: a wedged tunnel or
+            # a killed run keeps its "which locus was in flight" evidence
+            self.log_flush()
 
     def metrics(self) -> dict:
         """Structured run metrics (counters + stage timings in seconds)."""
