@@ -167,3 +167,38 @@ def test_cram_multi_container(tmp_path):
     want = [r.name for r in recs
             if r.ref_name == "chr1" and r.pos < 2100 and r.end_pos > 1900]
     assert sorted(got) == sorted(want) and got
+
+
+def test_cram_byteflip_fuzz(tmp_path):
+    """Random byte flips over a real CRAM container must never crash the
+    reader: every mutation either decodes or raises a clean Python
+    exception (IOError/ValueError/struct.error family), mirroring the
+    BAM decoder's fuzz guarantee."""
+    import random
+
+    fx = standard_fixture(str(tmp_path))
+    cram, _ = _bam_to_cram(tmp_path, fx["bams"][0], fx["fasta"])
+    with open(cram, "rb") as fh:
+        data = fh.read()
+    rng = random.Random(99)
+
+    def try_read(blob):
+        p = str(tmp_path / "fuzz.cram")
+        with open(p, "wb") as fh:
+            fh.write(blob)
+        try:
+            r = CramReader(p, fx["fasta"])
+            n = 0
+            while r.get_next_alignment() is not None and n < 10_000:
+                n += 1
+        except Exception as e:      # clean failure is the contract
+            assert not isinstance(e, (SystemExit, KeyboardInterrupt,
+                                      MemoryError))
+
+    for _ in range(150):
+        mutated = bytearray(data)
+        for _k in range(rng.randint(1, 6)):
+            mutated[rng.randrange(26, len(mutated))] = rng.randrange(256)
+        try_read(bytes(mutated))
+    for cut in range(30, min(len(data), 4000), 131):
+        try_read(data[:cut])
