@@ -36,7 +36,11 @@ MIN_SEED_DIST = 5
 
 def fast_lse(vals) -> float:
     """fast_log_sum_exp semantics (term dropping); exact by default, the
-    reference's Mineiro bit patterns in reference-fidelity mode."""
+    reference's Mineiro bit patterns in reference-fidelity mode.
+
+    Exact mode accumulates kept exp terms SEQUENTIALLY in entry order
+    (matching the reference's loop and the vectorized column variant
+    below bit-for-bit; np.sum's pairwise order would diverge)."""
     from longtr_tpu.utils import mathops
     if mathops.ref_fidelity():
         from longtr_tpu.utils import fastapprox
@@ -46,7 +50,32 @@ def fast_lse(vals) -> float:
     if not np.isfinite(m):
         return float(m)
     d = arr - m
-    return float(m + np.log(np.exp(d[d > LOG_THRESH]).sum()))
+    total = 0.0
+    for v in d:
+        if v > LOG_THRESH:
+            total += np.exp(v)
+    return float(m + np.log(total))
+
+
+def fast_lse_cols(entries) -> np.ndarray:
+    """Column-wise fast_lse over a list of equal-length entry vectors.
+
+    Bit-identical per column to calling :func:`fast_lse` on that column's
+    entries: terms accumulate sequentially in entry order, dropped terms
+    contribute an exact +0.0.
+    """
+    E = np.stack(entries)                          # (n_entries, N)
+    from longtr_tpu.utils import mathops
+    if mathops.ref_fidelity():
+        from longtr_tpu.utils import fastapprox
+        return fastapprox.fast_log_sum_exp_cols(E)
+    m = E.max(axis=0)
+    total = np.zeros(E.shape[1])
+    for row in E:
+        d = row - m
+        total = total + np.where(d > LOG_THRESH, np.exp(d), 0.0)
+    out = m + np.log(total)
+    return np.where(np.isfinite(m), out, m)
 
 
 class StutterAligner:
@@ -98,55 +127,56 @@ class StutterAligner:
         self.ins_probs = np.zeros((L, max(nI, 1)))
         self.del_probs = np.zeros((L, max(nD, 1))) if nD else None
         self.match_probs = np.zeros(L)
-        for i in range(L):
-            log_prob = 0.0
-            j = 0
-            di = 0
-            # C++ loops on -max_deletion_ (the positive magnitude,
-            # StutterAlignerClass.cpp:28,33); max_deletion here mirrors the
-            # negative C++ member.
-            lim = min(L - i, -self.max_deletion)
-            while j < lim:
-                log_prob += (lc_rev[i + j] if seq_rev[i + j] == blk_rev[j]
-                             else lw_rev[i + j])
-                if (j + 1) % self.period == 0:
-                    self.del_probs[i, di] = log_prob
-                    di += 1
-                j += 1
-            while j < -self.max_deletion:
-                if (j + 1) % self.period == 0:
-                    di += 1
-                j += 1
-            while j < min(L - i, self.block_len):
-                log_prob += (lc_rev[i + j] if seq_rev[i + j] == blk_rev[j]
-                             else lw_rev[i + j])
-                j += 1
-            self.match_probs[i] = log_prob
+        # Vectorized over offsets i (one j step = one diagonal): every
+        # offset accumulates its j terms in ascending order, exactly like
+        # the scalar walk (StutterAlignerClass.cpp:12-53); truncated terms
+        # (j >= L - i) add an exact +0.0, and del snapshots only write
+        # where the scalar recorded (j < L - i).
+        seqv = (np.frombuffer(seq_rev.encode(), np.uint8)
+                if isinstance(seq_rev, str)
+                else np.asarray([ord(c) for c in seq_rev], np.uint8))
+        blkv = np.frombuffer(blk_rev.encode(), np.uint8)
+        lwv = np.asarray(lw_rev, dtype=np.float64)
+        lcv = np.asarray(lc_rev, dtype=np.float64)
+        iv = np.arange(L)
+        run = np.zeros(L)
+        di = 0
+        for j in range(self.block_len):
+            rr = np.minimum(iv + j, L - 1)      # clamped; masked below
+            s = np.where(seqv[rr] == blkv[j], lcv[rr], lwv[rr])
+            run = run + np.where(j < L - iv, s, 0.0)
+            if (j + 1) % self.period == 0 and j < -self.max_deletion \
+                    and di < max(nD, 1) and self.del_probs is not None:
+                self.del_probs[:, di] = np.where(j < L - iv, run,
+                                                 self.del_probs[:, di])
+                di += 1
+        self.match_probs[:] = run
 
-            log_ins = 0.0
-            j = 0
-            ii = 0
-            while j < min(self.max_insertion, L - i):
-                if j % self.period < self.block_len:
-                    log_ins += (lc_rev[i + j]
-                                if seq_rev[i + j] == blk_rev[j % self.period]
-                                else lw_rev[i + j])
-                else:
-                    log_ins += lc_rev[i + j]
-                if (j + 1) % self.period == 0:
-                    self.ins_probs[i, ii] = log_ins
-                    ii += 1
-                j += 1
-            while j < self.max_insertion:
-                if (j + 1) % self.period == 0:
-                    self.ins_probs[i, ii] = log_ins
-                    ii += 1
-                j += 1
+        run_ins = np.zeros(L)
+        ii = 0
+        for j in range(self.max_insertion):
+            rr = np.minimum(iv + j, L - 1)
+            if j % self.period < self.block_len:
+                s = np.where(seqv[rr] == blkv[j % self.period],
+                             lcv[rr], lwv[rr])
+            else:
+                s = lcv[rr]
+            run_ins = run_ins + np.where(j < L - iv, s, 0.0)
+            if (j + 1) % self.period == 0:
+                self.ins_probs[:, ii] = run_ins
+                ii += 1
         self._seq_rev = seq_rev
         self._lw_rev = lw_rev
         self._lc_rev = lc_rev
         self._blk_rev = blk_rev
         self._L = L
+        # numpy views for the vectorized bulk path
+        self._seqv = np.frombuffer(seq_rev.encode(), dtype=np.uint8) \
+            if isinstance(seq_rev, str) else np.asarray(
+                [ord(c) for c in seq_rev], dtype=np.uint8)
+        self._blkv = np.frombuffer(blk_rev.encode(), dtype=np.uint8)
+        self._lwv = np.asarray(lw_rev, dtype=np.float64)
+        self._lcv = np.asarray(lc_rev, dtype=np.float64)
 
     def _score(self, read_idx, blk_idx):
         """Match log-prob of reversed read pos vs reversed block pos."""
@@ -166,6 +196,177 @@ class StutterAligner:
         if D > 0:
             return self._align_insertion(base_seq_len, offset, D)
         return self._align_deletion(base_seq_len, offset, D)
+
+    def _score_vec(self, r, blk_idx):
+        """Vector of match log-probs at reversed read positions ``r`` vs a
+        single reversed block position (elementwise _score)."""
+        return np.where(self._seqv[r] == self._blkv[blk_idx],
+                        self._lcv[r], self._lwv[r])
+
+    def align_bulk(self, offsets, D) -> np.ndarray:
+        """Vectorized :meth:`align` across read offsets, valid for columns
+        whose ``base_len`` equals ``block_len + D`` (and, for deletions,
+        ``offset + D >= 0``) — the constant-``base_len`` regime where the
+        scalar walk takes the same control path for every offset, because
+        upstream-match skips depend only on the block.  Bit-identical per
+        column to the scalar methods: identical op order per element, LSE
+        via :func:`fast_lse_cols`.  Discards best_pos (the dense artifact
+        tables never use it).
+        """
+        offsets = np.asarray(offsets, dtype=np.int64)
+        if D == 0:
+            return self.match_probs[offsets]
+        blk_len = self.block_len
+        base_len = blk_len + D
+        entries = []
+        if D > 0:
+            upstream = self.upstream[0]
+            log_prior = -int_log(blk_len + 1)
+            lp = log_prior + self.ins_probs[offsets, D // self.period - 1]
+            if base_len > D:
+                lp = lp + self.match_probs[offsets + D]
+            entries.append(lp)
+            i = 0
+            lim = -min(max(0, base_len - D), blk_len)
+            while i > lim:
+                if -i + self.period < blk_len:
+                    um = upstream[blk_len - 1 + i]
+                    if um == 0:
+                        idx = i - self.period
+                        while idx >= i - D:
+                            r = offsets - idx
+                            lp = lp - self._score_vec(r, -i)
+                            lp = lp + self._score_vec(r, -(i - self.period))
+                            idx -= self.period
+                        entries.append(lp)
+                    else:
+                        entries.append(int_log(um) + lp)
+                        i -= (um - 1)
+                else:
+                    entries.append(lp)
+                i -= 1
+            if i > -blk_len:
+                entries.append(int_log(blk_len + i) + lp)
+            return fast_lse_cols(entries)
+        # D < 0 (deletion); callers guarantee offsets + D >= 0
+        upstream = self.upstream[-D // self.period - 1]
+        log_prior = -int_log(blk_len + D + 1)
+        lp = log_prior + (self.match_probs[offsets + D]
+                          - self.del_probs[offsets + D,
+                                           -D // self.period - 1])
+        entries.append(lp)
+        i = 0
+        while i > -base_len:
+            um = upstream[blk_len - 1 + i]
+            r = offsets - i
+            if um == 0:
+                lp = lp - self._score_vec(r, -(i + D))
+                lp = lp + self._score_vec(r, -i)
+                entries.append(lp)
+            else:
+                entries.append(int_log(um) + lp)
+                i -= (um - 1)
+            i -= 1
+        if -i < blk_len + D:
+            entries.append(int_log(blk_len + D + i) + lp)
+        return fast_lse_cols(entries)
+
+    def align_short_batch(self, j_arr, D) -> np.ndarray:
+        """Vectorized :meth:`align` for the short-prefix columns, where
+        ``base_len == j+1 < block_len + D`` (insertions: any such j;
+        deletions: additionally ``offset + D >= 0``).
+
+        The scalar walk's i-descent (including upstream-match jumps) is
+        column-independent; only the exit point ``lim_j`` varies.  All
+        columns ride one shared descent: entries are masked to the steps a
+        column actually executed (masked slots hold -inf, an exact no-op
+        in the term-dropping LSE), the running lp may keep updating after
+        a column's exit but is never read for it again, and each column's
+        tail entry captures lp at its own exit step — bit-identical per
+        column to the scalar methods.
+        """
+        j_arr = np.asarray(j_arr, dtype=np.int64)
+        offsets = (self._L - 1 - j_arr)
+        N = j_arr.size
+        NEG_INF = -np.inf
+        blk_len = self.block_len
+        base_len = j_arr + 1
+
+        def masked(vec, act):
+            return np.where(act, vec, NEG_INF)
+
+        if D > 0:
+            upstream = self.upstream[0]
+            log_prior = -int_log(blk_len + 1)
+            lp = log_prior + self.ins_probs[offsets, D // self.period - 1]
+            has_match = base_len > D
+            mo = np.minimum(offsets + D, self._L - 1)
+            lp = lp + np.where(has_match, self.match_probs[mo], 0.0)
+            lim = -np.minimum(np.maximum(0, base_len - D), blk_len)
+            upstream_d = upstream
+        else:
+            assert D < 0
+            upstream_d = self.upstream[-D // self.period - 1]
+            log_prior = -int_log(blk_len + D + 1)
+            od = offsets + D                      # callers ensure >= 0
+            lp = log_prior + (self.match_probs[od]
+                              - self.del_probs[od, -D // self.period - 1])
+            lim = -base_len
+
+        entries = [lp]
+        tail = np.full(N, NEG_INF)
+        lim_min = int(lim.min())
+        i = 0
+        # the scalar tail entry differs by sign of D:
+        #   D>0: if i > -blk_len:        append(int_log(blk_len + i) + lp)
+        #   D<0: if -i < blk_len + D:    append(int_log(blk_len + D + i) + lp)
+        t_base = blk_len if D > 0 else blk_len + D
+
+        def capture_exit(old_i, new_i):
+            # columns whose loop condition first fails at new_i
+            just = (old_i > lim) & (new_i <= lim)
+            if not just.any():
+                return tail
+            ok = just & (new_i > -t_base)
+            if not ok.any():
+                return tail
+            tval = int_log(t_base + new_i)
+            return np.where(ok, tval + lp, tail)
+
+        # columns with an empty loop exit at i == 0
+        tail = capture_exit(1, 0) if (lim >= 0).any() else tail
+        while i > lim_min and i > (-blk_len if D > 0 else lim_min - 1):
+            act = i > lim
+            if D > 0 and not (-i + self.period < blk_len):
+                entries.append(masked(lp, act))
+                old_i, i = i, i - 1
+                tail = capture_exit(old_i, i)
+                continue
+            um = upstream_d[blk_len - 1 + i]
+            if um == 0:
+                if D > 0:
+                    idx = i - self.period
+                    while idx >= i - D:
+                        r = np.clip(offsets - idx, 0, self._L - 1)
+                        lp = lp - self._score_vec(r, -i)
+                        lp = lp + self._score_vec(r, -(i - self.period))
+                        idx -= self.period
+                else:
+                    r = np.clip(offsets - i, 0, self._L - 1)
+                    lp = lp - self._score_vec_del(r, -(i + D))
+                    lp = lp + self._score_vec(r, -i)
+                entries.append(masked(lp, act))
+                old_i, i = i, i - 1
+            else:
+                entries.append(masked(int_log(um) + lp, act))
+                old_i, i = i, i - (um - 1) - 1
+            tail = capture_exit(old_i, i)
+        entries.append(tail)
+        return fast_lse_cols(entries)
+
+    def _score_vec_del(self, r, blk_idx):
+        return np.where(self._blkv[blk_idx] == self._seqv[r],
+                        self._lcv[r], self._lwv[r])
 
     def _align_insertion(self, base_seq_len, offset, D):
         blk_len = self.block_len

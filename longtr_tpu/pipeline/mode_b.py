@@ -333,13 +333,39 @@ class ModeBAligner:
         A = np.full((n_d, l_pad), -np.inf)
         A[:, :L] = IMPOSSIBLE
         A[len(d_list):, :L] = -np.inf
-        for j in range(L):
-            offset = L - 1 - j
-            for di, Dart in enumerate(d_list):
+        all_j = np.arange(L)
+        for di, Dart in enumerate(d_list):
+            prior = block.log_prob_pcr_artifact(option, Dart)
+            # bulk regime: base_len == block_len + D (constant), and for
+            # deletions offset + D >= 0 — the scalar walk's control path is
+            # offset-independent there, so all such columns vectorize
+            # (align_bulk is bit-identical per column)
+            bulk = all_j + 1 >= block_len + Dart
+            if Dart < 0:
+                bulk &= (L - 1 - all_j) + Dart >= 0
+                if block_len + Dart < 0:
+                    bulk &= False   # base_len < 0 everywhere: scalar skips
+            if Dart == 0:
+                bulk = all_j >= 0                   # D==0 ignores base_len
+            jb = all_j[bulk]
+            if jb.size:
+                A[di, jb] = prior + sa.align_bulk(L - 1 - jb, Dart)
+            # short-prefix regime (base_len == j+1 < block_len + D): one
+            # shared masked descent covers every such column
+            short = ~bulk & (Dart != 0)
+            if Dart < 0:
+                short &= (L - 1 - all_j) + Dart >= 0
+                if block_len + Dart < 0:
+                    short &= False
+            js = all_j[short]
+            if js.size:
+                A[di, js] = prior + sa.align_short_batch(js, Dart)
+            for j in all_j[~bulk & ~short]:
+                offset = L - 1 - j
                 base_len = min(block_len + Dart, j + 1)
                 if base_len >= 0:
                     pr, _pos = sa.align(base_len, j, offset, Dart)
-                    A[di, j] = block.log_prob_pcr_artifact(option, Dart) + pr
+                    A[di, j] = prior + pr
         return A
 
     def score_reads_batch(self, alns, seeds, dtype=np.float32):

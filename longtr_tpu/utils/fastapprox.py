@@ -144,6 +144,23 @@ def fast_log_sum_exp_vec(log_vals) -> float:
     return max_val + float(fasterlog(np.float32(total)))
 
 
+def fast_log_sum_exp_cols(E) -> np.ndarray:
+    """Column-wise :func:`fast_log_sum_exp_vec` over an (n_entries, N)
+    matrix — bit-identical per column (same elementwise Mineiro ops, same
+    sequential f64 accumulation in entry order; dropped terms add exact
+    +0.0)."""
+    E = np.asarray(E, dtype=np.float64)
+    m = E.max(axis=0)
+    diffs = E - m
+    keep = diffs > _LOG_THRESH
+    fe = fasterexp(diffs.astype(np.float32))
+    fe = np.atleast_2d(fe)
+    total = np.zeros(E.shape[1])
+    for r in range(E.shape[0]):
+        total = total + np.where(keep[r], fe[r].astype(np.float64), 0.0)
+    return m + fasterlog(total.astype(np.float32)).astype(np.float64)
+
+
 # ---------------------------------------------------------------------------
 # JAX variants (for device-side reference-fidelity scoring).  Same bit
 # patterns via jnp bitcast; kept separate so numpy paths have no jax import

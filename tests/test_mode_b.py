@@ -115,3 +115,105 @@ def test_e2e_homopolymer_with_stutter_align(tmp_path):
     lens = sorted(len(v.alleles[a]) for a in gt[:2])
     ref_extra = len(v.ref) - 14
     assert [x - ref_extra for x in lens] == [14, 18]
+
+
+def test_align_bulk_bit_identical_to_scalar():
+    """Vectorized StutterAligner.align_bulk vs the scalar walk: exact
+    equality over random homopolymer/periodic blocks, reads, artifact
+    sizes, in both math modes (the bulk path feeds every artifact table)."""
+    import numpy as np
+    from longtr_tpu.haplotype.blocks import RepeatBlock
+    from longtr_tpu.models.stutter import StutterModel
+    from longtr_tpu.ops.stutter_hmm import StutterAligner
+    from longtr_tpu.utils import mathops
+
+    rng = np.random.default_rng(42)
+    for fidelity in (False, True):
+        mathops.set_ref_fidelity(fidelity)
+        try:
+            for trial in range(20):
+                period = int(rng.integers(1, 3))
+                units = int(rng.integers(6, 20))
+                model = StutterModel(0.9, 0.05, 0.05, 0.85, 0.02, 0.01,
+                                     "N" * period)
+                base = "".join(rng.choice(list("ACGT"), period))
+                bseq = base * units
+                if rng.random() < 0.3:      # imperfect repeat
+                    p = int(rng.integers(0, len(bseq)))
+                    bseq = bseq[:p] + "ACGT"[int(rng.integers(4))] + \
+                        bseq[p + 1:]
+                blk = RepeatBlock(100, 100 + len(bseq), bseq, period, model)
+                sa = StutterAligner(bseq, period, True, blk.repeat_info)
+                L = int(rng.integers(len(bseq) + 8, len(bseq) + 60))
+                seg = "".join(rng.choice(list("ACGT"), L))
+                lw = -rng.uniform(2.0, 6.0, L)
+                lc = -rng.uniform(1e-4, 1e-2, L)
+                sa.load_read(L, seg, list(lw), list(lc))
+                blen = len(bseq)
+                for D in range(blk.max_del, blk.max_ins + 1, period):
+                    jj = np.arange(L)
+                    ok = jj + 1 >= blen + D
+                    if D < 0:
+                        ok &= (L - 1 - jj) + D >= 0
+                    if D == 0:
+                        ok = jj >= 0
+                    jb = jj[ok]
+                    if not jb.size:
+                        continue
+                    got = sa.align_bulk(L - 1 - jb, D)
+                    want = np.array([sa.align(min(blen + D, j + 1), j,
+                                              L - 1 - j, D)[0]
+                                     for j in jb])
+                    assert np.array_equal(got, want), (fidelity, trial, D)
+        finally:
+            mathops.set_ref_fidelity(False)
+
+
+def test_align_short_batch_bit_identical_to_scalar():
+    """align_short_batch (shared masked descent over varying base_len)
+    vs the scalar walk: exact equality across the short-prefix regime."""
+    import numpy as np
+    from longtr_tpu.haplotype.blocks import RepeatBlock
+    from longtr_tpu.models.stutter import StutterModel
+    from longtr_tpu.ops.stutter_hmm import StutterAligner
+    from longtr_tpu.utils import mathops
+
+    rng = np.random.default_rng(43)
+    for fidelity in (False, True):
+        mathops.set_ref_fidelity(fidelity)
+        try:
+            for trial in range(20):
+                period = int(rng.integers(1, 3))
+                units = int(rng.integers(6, 20))
+                model = StutterModel(0.9, 0.05, 0.05, 0.85, 0.02, 0.01,
+                                     "N" * period)
+                base = "".join(rng.choice(list("ACGT"), period))
+                bseq = base * units
+                if rng.random() < 0.4:      # imperfect repeat
+                    p = int(rng.integers(0, len(bseq)))
+                    bseq = bseq[:p] + "ACGT"[int(rng.integers(4))] + \
+                        bseq[p + 1:]
+                blk = RepeatBlock(100, 100 + len(bseq), bseq, period, model)
+                sa = StutterAligner(bseq, period, True, blk.repeat_info)
+                blen = len(bseq)
+                L = int(rng.integers(max(blen, 10), blen + 40))
+                seg = "".join(rng.choice(list("ACGT"), L))
+                lw = -rng.uniform(2.0, 6.0, L)
+                lc = -rng.uniform(1e-4, 1e-2, L)
+                sa.load_read(L, seg, list(lw), list(lc))
+                for D in range(blk.max_del, blk.max_ins + 1, period):
+                    if D == 0 or blen + D < 0:
+                        continue
+                    jj = np.arange(L)
+                    short = jj + 1 < blen + D
+                    if D < 0:
+                        short &= (L - 1 - jj) + D >= 0
+                    js = jj[short]
+                    if not js.size:
+                        continue
+                    got = sa.align_short_batch(js, D)
+                    want = np.array([sa.align(j + 1, j, L - 1 - j, D)[0]
+                                     for j in js])
+                    assert np.array_equal(got, want), (fidelity, trial, D)
+        finally:
+            mathops.set_ref_fidelity(False)
