@@ -272,9 +272,10 @@ class StutterAligner:
         return fast_lse_cols(entries)
 
     def align_short_batch(self, j_arr, D) -> np.ndarray:
-        """Vectorized :meth:`align` for the short-prefix columns, where
-        ``base_len == j+1 < block_len + D`` (insertions: any such j;
-        deletions: additionally ``offset + D >= 0``).
+        """Vectorized :meth:`align` for every non-bulk column (D != 0):
+        short prefixes (``base_len == j+1 < block_len + D``) and, for
+        deletions, the ``offset + D < 0`` columns whose initialization
+        sums the whole segment prefix.
 
         The scalar walk's i-descent (including upstream-match jumps) is
         column-independent; only the exit point ``lim_j`` varies.  All
@@ -290,7 +291,7 @@ class StutterAligner:
         N = j_arr.size
         NEG_INF = -np.inf
         blk_len = self.block_len
-        base_len = j_arr + 1
+        base_len = np.minimum(blk_len + D, j_arr + 1)
 
         def masked(vec, act):
             return np.where(act, vec, NEG_INF)
@@ -308,9 +309,25 @@ class StutterAligner:
             assert D < 0
             upstream_d = self.upstream[-D // self.period - 1]
             log_prior = -int_log(blk_len + D + 1)
-            od = offsets + D                      # callers ensure >= 0
-            lp = log_prior + (self.match_probs[od]
-                              - self.del_probs[od, -D // self.period - 1])
+            od = offsets + D
+            neg = od < 0
+            odc = np.maximum(od, 0)
+            main_lp = log_prior + (self.match_probs[odc]
+                                   - self.del_probs[odc,
+                                                    -D // self.period - 1])
+            if neg.any():
+                # offset+D < 0 columns: the scalar else branch sums the
+                # whole segment prefix term-by-term (ascending t), with
+                # truncated terms an exact +0.0
+                else_lp = np.full(N, log_prior)
+                for t in range(int(base_len[neg].max())):
+                    r = np.clip(offsets + t, 0, self._L - 1)
+                    s = np.where(self._blkv[t - D] == self._seqv[r],
+                                 self._lcv[r], self._lwv[r])
+                    else_lp = else_lp + np.where(t < base_len, s, 0.0)
+                lp = np.where(neg, else_lp, main_lp)
+            else:
+                lp = main_lp
             lim = -base_len
 
         entries = [lp]

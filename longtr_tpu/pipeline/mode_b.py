@@ -351,12 +351,11 @@ class ModeBAligner:
             if jb.size:
                 A[di, jb] = prior + sa.align_bulk(L - 1 - jb, Dart)
             # short-prefix regime (base_len == j+1 < block_len + D): one
-            # shared masked descent covers every such column
+            # shared masked descent covers every such column, including
+            # deletion columns with offset + D < 0 (else-branch init)
             short = ~bulk & (Dart != 0)
-            if Dart < 0:
-                short &= (L - 1 - all_j) + Dart >= 0
-                if block_len + Dart < 0:
-                    short &= False
+            if Dart < 0 and block_len + Dart < 0:
+                short &= False
             js = all_j[short]
             if js.size:
                 A[di, js] = prior + sa.align_short_batch(js, Dart)

@@ -205,15 +205,17 @@ def test_align_short_batch_bit_identical_to_scalar():
                     if D == 0 or blen + D < 0:
                         continue
                     jj = np.arange(L)
+                    # every non-bulk column, incl. deletion offset+D<0
                     short = jj + 1 < blen + D
                     if D < 0:
-                        short &= (L - 1 - jj) + D >= 0
+                        short |= (L - 1 - jj) + D < 0
                     js = jj[short]
                     if not js.size:
                         continue
                     got = sa.align_short_batch(js, D)
-                    want = np.array([sa.align(j + 1, j, L - 1 - j, D)[0]
-                                     for j in js])
+                    want = np.array(
+                        [sa.align(min(blen + D, j + 1), j, L - 1 - j, D)[0]
+                         for j in js])
                     assert np.array_equal(got, want), (fidelity, trial, D)
         finally:
             mathops.set_ref_fidelity(False)
