@@ -321,7 +321,7 @@ class StutterAligner:
                 # truncated terms an exact +0.0
                 else_lp = np.full(N, log_prior)
                 for t in range(int(base_len[neg].max())):
-                    r = np.clip(offsets + t, 0, self._L - 1)
+                    r = np.minimum(offsets + t, self._L - 1)
                     s = np.where(self._blkv[t - D] == self._seqv[r],
                                  self._lcv[r], self._lwv[r])
                     else_lp = else_lp + np.where(t < base_len, s, 0.0)
@@ -364,12 +364,12 @@ class StutterAligner:
                 if D > 0:
                     idx = i - self.period
                     while idx >= i - D:
-                        r = np.clip(offsets - idx, 0, self._L - 1)
+                        r = np.minimum(offsets - idx, self._L - 1)
                         lp = lp - self._score_vec(r, -i)
                         lp = lp + self._score_vec(r, -(i - self.period))
                         idx -= self.period
                 else:
-                    r = np.clip(offsets - i, 0, self._L - 1)
+                    r = np.minimum(offsets - i, self._L - 1)
                     lp = lp - self._score_vec_del(r, -(i + D))
                     lp = lp + self._score_vec(r, -i)
                 entries.append(masked(lp, act))
