@@ -372,12 +372,22 @@ class ModeBAligner:
 
         Returns (P, num_combs) LLs, or None if any config falls outside the
         kernel envelope (caller falls back to per-read ``score_read``).
-        Row tables/A tables are host-built (cached per (read, side, block,
-        option) — strictly less StutterAligner work than the per-config host
-        path), the row DP runs on device, and the final seed marginalization
-        reuses the tested f64 ``compute_aln_logprob``.
+        Split into a host phase (table building — safe in a locus build
+        worker) and a finish phase (device dispatch + marginalization —
+        main thread at dispatch time).
         """
-        from longtr_tpu.ops.mode_b_device import mode_b_cols, _pad_to
+        prep = self.score_reads_batch_prepare(alns, seeds, dtype)
+        if prep is None:
+            return None
+        return self.score_reads_batch_finish(prep)
+
+    def score_reads_batch_prepare(self, alns, seeds, dtype=np.float32):
+        """Host phase: row tables + artifact tables (cached per
+        (read, side, block, option) — strictly less StutterAligner work
+        than the per-config host path).  Returns an opaque dict for
+        :meth:`score_reads_batch_finish`, or None if any config falls
+        outside the device kernel envelope."""
+        from longtr_tpu.ops.mode_b_device import _pad_to
 
         configs = list(self.hap.all_configs())
         K = len(configs)
@@ -488,13 +498,27 @@ class ModeBAligner:
 
         params = np.array([self.i2i, self.i2m, self.d2d, self.d2m,
                            self.m2m, self.m2i, self.m2d], dtype=dtype)
+        return dict(codes=codes, blw_a=blw_a, blc_a=blc_a, pre_a=pre_a,
+                    last=last, hapchar=hapchar, kind=kind,
+                    stut_ord=stut_ord, A=A, bl_a=bl_a, d0_a=d0_a,
+                    dstep_a=dstep_a, params=params, n_d=n_d, dtype=dtype,
+                    alns=alns, seeds=seeds, segs=segs, configs=configs,
+                    sides=sides, elem=elem, lprob=lprob, P=P, K=K)
+
+    def score_reads_batch_finish(self, prep):
+        """Finish phase: one device dispatch + f64 seed marginalization."""
+        from longtr_tpu.ops.mode_b_device import mode_b_cols
+
+        dtype = prep["dtype"]
 
         def dispatch():
             return np.asarray(mode_b_cols(
-                codes, blw_a.astype(dtype), blc_a.astype(dtype),
-                pre_a.astype(dtype), last, hapchar, kind, stut_ord,
-                A.astype(dtype), bl_a, d0_a, dstep_a, params,
-                n_d=n_d), dtype=np.float64)
+                prep["codes"], prep["blw_a"].astype(dtype),
+                prep["blc_a"].astype(dtype), prep["pre_a"].astype(dtype),
+                prep["last"], prep["hapchar"], prep["kind"],
+                prep["stut_ord"], prep["A"].astype(dtype), prep["bl_a"],
+                prep["d0_a"], prep["dstep_a"], prep["params"],
+                n_d=prep["n_d"]), dtype=np.float64)
 
         if dtype == np.float64:
             import jax
@@ -503,7 +527,10 @@ class ModeBAligner:
         else:
             cols = dispatch()
 
-        out = np.empty((P, K))
+        alns, seeds, segs = prep["alns"], prep["seeds"], prep["segs"]
+        configs, sides, elem = prep["configs"], prep["sides"], prep["elem"]
+        lprob = prep["lprob"]
+        out = np.empty((prep["P"], prep["K"]))
         for p, aln in enumerate(alns):
             seq = aln.sequence
             _, blw, blc = segs[p]

@@ -341,10 +341,11 @@ class GenotyperPipeline:
         # Haplotype generation (clustering + POA + NW; native, GIL-free)
         # dominates host time on long-TR catalogs and is independent
         # across loci: overlap the window's builds on a thread pool.
-        # ref_vcf mode shares a stateful VCF reader and mode B dispatches
-        # device work inside prepare — keep those serial.
+        # Mode B's device dispatch is deferred to _dispatch_pending (main
+        # thread) so its table building parallelizes too; ref_vcf mode
+        # shares a stateful VCF reader — keep that serial.
         import os as _os
-        if self.ref_vcf is None and not cfg.switch_old_align_len \
+        if self.ref_vcf is None \
                 and _os.environ.get("LONGTR_SERIAL_BUILD") != "1":
             self._pending.append((self._build_pool().submit(_build), group))
         else:
@@ -394,6 +395,11 @@ class GenotyperPipeline:
             # later phases (genotype_finalize's pruning messages) must log
             # live again, not into the already-replayed buffer
             gt.logger = self.sel_log
+            fin = getattr(gt, "_mode_b_finish", None)
+            if fin is not None:
+                # mode B: the deferred device dispatch + marginalization
+                gt._pool_scores = fin()
+                gt._mode_b_finish = None
             build_s += bt
             resolved.append((gt, pairs, ok, group))
         self._pending = resolved

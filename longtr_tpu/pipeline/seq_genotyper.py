@@ -578,11 +578,17 @@ class SeqStutterGenotyper:
             LL[i] = tot
         self.log_aln_probs = LL
 
-    def _mode_b_scores(self) -> np.ndarray:
+    def _mode_b_scores(self, deferred: bool = False):
         """Mode-B scoring of all pools (HapAligner::process_reads short path).
 
         Reads without a valid seed get an all-zero LL row
         (HapAligner.cpp:570-574); their seed position is recorded as -1.
+
+        With ``deferred=True``, the host phase (seed calc + all table
+        building) runs now — safe inside a locus build worker — and the
+        device dispatch + marginalization is stored as
+        ``self._mode_b_finish`` for the scheduler to call on the main
+        thread; returns None in that case.
         """
         from longtr_tpu.pipeline.mode_b import ModeBAligner, calc_seed_base
         aligner = ModeBAligner(self.haplotype, self.alignment_params)
@@ -597,22 +603,28 @@ class SeqStutterGenotyper:
                                   aligner.repeat_ends, hap_start, hap_end)
             self.pool_seed_positions[p] = seed
         valid = np.flatnonzero(self.pool_seed_positions >= 0)
-        batch = None
+        self.seed_positions = self.pool_seed_positions[self.pool_index]
+        prep = None
         from longtr_tpu.utils import mathops
         if len(valid) and not mathops.ref_fidelity() \
                 and os.environ.get("LONGTR_MODE_B_HOST", "") != "1":
             # One device dispatch for all (read, config) pairs; the f64 host
             # path remains the reference-fidelity / fallback scorer.
-            batch = aligner.score_reads_batch(
+            prep = aligner.score_reads_batch_prepare(
                 [pools[p] for p in valid],
                 [int(self.pool_seed_positions[p]) for p in valid])
-        if batch is not None:
-            scores[valid] = batch
+        if prep is not None:
+            if deferred:
+                def _finish():
+                    scores[valid] = aligner.score_reads_batch_finish(prep)
+                    return scores
+                self._mode_b_finish = _finish
+                return None
+            scores[valid] = aligner.score_reads_batch_finish(prep)
         else:
             for p in valid:
                 scores[p] = aligner.score_read(
                     pools[p], int(self.pool_seed_positions[p]))
-        self.seed_positions = self.pool_seed_positions[self.pool_index]
         return scores
 
     def _calc_posteriors(self):
@@ -747,7 +759,11 @@ class SeqStutterGenotyper:
                     return False, None
         self.pooler.pool()
         if self._use_mode_b():
-            self._pool_scores = self._mode_b_scores()
+            # host phase only; the scheduler calls self._mode_b_finish
+            # (device dispatch + marginalization) on the main thread
+            r = self._mode_b_scores(deferred=True)
+            if r is not None:
+                self._pool_scores = r
             return True, None
         self._aligner = HapAlignerTPU(self.haplotype, self.indel_flank_len,
                                       self.alignment_params)
