@@ -5,7 +5,17 @@ S samples at the given coverage, runs the full pipeline in-process
 (single warm process — fresh-process tunnel overhead would dominate
 otherwise) and reports loci/s plus the stage timing breakdown.
 
-Usage: python benchmarks/loci_throughput.py [n_loci] [--cpu]
+Modes: --vntr builds 500-3000bp repeats (device-dominant regime);
+--ont injects 2% substitutions + 2% indels and the reference README's
+raised-gap-open alignment params (BASELINE config 5).  Note the --ont
+exact-genotype concordance (~56%) reflects the information limit of 4%
+error on short motifs at 20x — candidate generation cannot separate
++/-1-copy alleles from indel noise — and is parameter-insensitive
+(default vs raised-gap vs EM-learned stutter all land within 0.5%);
+the run's purpose is robustness (all loci must still call cleanly).
+
+Usage: python benchmarks/loci_throughput.py [n_loci] [--cpu] [--vntr]
+       [--ont] [--workers N] [--repeat N]
 """
 
 import os
@@ -19,7 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
 def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1,
-                  vntr=False):
+                  vntr=False, ont=False):
     from synth import Locus, make_genome, write_bed, write_sample_bam
     from longtr_tpu.io.fasta import write_fasta
     rng = np.random.default_rng(seed)
@@ -71,7 +81,9 @@ def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1,
             gts[loc.name] = (a, max(b, 2))
         path = os.path.join(tmpdir, f"S{s}.bam")
         write_sample_bam(path, genome, loci, gts, f"S{s}", rng,
-                         coverage=coverage, sub_rate=0.002)
+                         coverage=coverage,
+                         sub_rate=0.02 if ont else 0.002,
+                         indel_rate=0.02 if ont else 0.0)
         bams.append(path)
         truth[f"S{s}"] = dict(gts)
     return fasta, bed, bams, loci, truth
@@ -80,6 +92,9 @@ def build_catalog(tmpdir, n_loci, coverage=20, n_samples=3, seed=1,
 def main():
     n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     vntr = "--vntr" in sys.argv
+    # --ont: BASELINE config 5 — high-error reads (2% subs + 2% indels)
+    # with the raised-gap-open alignment params from the reference README
+    ont = "--ont" in sys.argv
     workers = 1
     if "--workers" in sys.argv:
         workers = int(sys.argv[sys.argv.index("--workers") + 1])
@@ -94,7 +109,7 @@ def main():
     print(f"building {n_loci}-locus{' VNTR' if vntr else ''} catalog...",
           flush=True)
     fasta, bed, bams, loci, truth_gts = build_catalog(tmpdir, n_loci,
-                                                      vntr=vntr)
+                                                      vntr=vntr, ont=ont)
 
     from longtr_tpu.cli import main as cli_main
     # --repeat N: run the same catalog N times in-process and report the
@@ -114,6 +129,9 @@ def main():
                        "--min-reads", "5", "--quiet",
                        "--metrics-out", metrics_path]
                       + (["--max-tr-len", "10000"] if vntr else [])
+                      + (["--alignment-params=-1.5,-0.3,-1.5,-0.3,"
+                          "-0.0001,-8.0,-8.0", "--max-tr-len", "1000"]
+                         if ont and not vntr else [])
                       + (["--workers", str(workers)] if workers > 1 else []))
         dt_r = time.time() - t0
         assert rc == 0

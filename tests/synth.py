@@ -90,7 +90,8 @@ def add_errors(rng, seq, cigar, sub_rate=0.002):
 
 
 def write_sample_bam(path, genome, loci, genotypes, sample, rng,
-                     coverage=20, flank=300, sub_rate=0.0, haplotag=True):
+                     coverage=20, flank=300, sub_rate=0.0, haplotag=True,
+                     indel_rate=0.0):
     """Write a coordinate-sorted BAM (+ .bai) for one sample.
 
     genotypes: {locus_name: (copies_hap1, copies_hap2)}
@@ -111,6 +112,8 @@ def write_sample_bam(path, genome, loci, genotypes, sample, rng,
             pos, seq, cigar = sample_haplotype_read(genome, loc, copies, flank)
             if sub_rate:
                 seq, cigar = add_errors(rng, seq, cigar, sub_rate)
+            if indel_rate:
+                seq, cigar = add_indel_errors(rng, seq, cigar, indel_rate)
             tags = {"RG": f"rg_{sample}"}
             if haplotag:
                 tags["HP"] = hap
