@@ -70,11 +70,12 @@ def fast_lse_cols(entries) -> np.ndarray:
         from longtr_tpu.utils import fastapprox
         return fastapprox.fast_log_sum_exp_cols(E)
     m = E.max(axis=0)
-    total = np.zeros(E.shape[1])
-    for row in E:
-        d = row - m
-        total = total + np.where(d > LOG_THRESH, np.exp(d), 0.0)
-    out = m + np.log(total)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        total = np.zeros(E.shape[1])
+        for row in E:
+            d = row - m
+            total = total + np.where(d > LOG_THRESH, np.exp(d), 0.0)
+        out = m + np.log(total)
     return np.where(np.isfinite(m), out, m)
 
 
@@ -170,13 +171,11 @@ class StutterAligner:
         self._lc_rev = lc_rev
         self._blk_rev = blk_rev
         self._L = L
-        # numpy views for the vectorized bulk path
-        self._seqv = np.frombuffer(seq_rev.encode(), dtype=np.uint8) \
-            if isinstance(seq_rev, str) else np.asarray(
-                [ord(c) for c in seq_rev], dtype=np.uint8)
-        self._blkv = np.frombuffer(blk_rev.encode(), dtype=np.uint8)
-        self._lwv = np.asarray(lw_rev, dtype=np.float64)
-        self._lcv = np.asarray(lc_rev, dtype=np.float64)
+        # numpy views for the vectorized paths (same arrays as above)
+        self._seqv = seqv
+        self._blkv = blkv
+        self._lwv = lwv
+        self._lcv = lcv
 
     def _score(self, read_idx, blk_idx):
         """Match log-prob of reversed read pos vs reversed block pos."""

@@ -219,3 +219,24 @@ def test_align_short_batch_bit_identical_to_scalar():
                     assert np.array_equal(got, want), (fidelity, trial, D)
         finally:
             mathops.set_ref_fidelity(False)
+
+
+def test_fast_lse_cols_edge_cases():
+    """fast_lse_cols matches per-column fast_lse, including all -inf
+    columns (the guard path) and IMPOSSIBLE sentinels."""
+    import numpy as np
+    from longtr_tpu.ops.stutter_hmm import (IMPOSSIBLE, fast_lse,
+                                            fast_lse_cols)
+
+    rng = np.random.default_rng(9)
+    E = rng.uniform(-50, 0, size=(7, 12))
+    E[0, 3] = -np.inf
+    E[:, 5] = -np.inf                       # whole column dropped
+    E[2, 7] = IMPOSSIBLE
+    got = fast_lse_cols(list(E))
+    for c in range(E.shape[1]):
+        want = fast_lse(E[:, c])
+        if np.isfinite(want):
+            assert got[c] == want, c
+        else:
+            assert not np.isfinite(got[c]), c
