@@ -50,10 +50,14 @@ def fast_lse(vals) -> float:
     if not np.isfinite(m):
         return float(m)
     d = arr - m
+    # One vectorized exp; the ADDITIONS stay sequential in entry order
+    # (that is what the bit-identity contract requires — per-element
+    # np.exp on scalars was ~10x slower for the same bits).
+    e = np.exp(d)
     total = 0.0
-    for v in d:
-        if v > LOG_THRESH:
-            total += np.exp(v)
+    for dv, ev in zip(d.tolist(), e.tolist()):
+        if dv > LOG_THRESH:
+            total += ev
     return float(m + np.log(total))
 
 
@@ -369,7 +373,7 @@ class StutterAligner:
                         idx -= self.period
                 else:
                     r = np.minimum(offsets - i, self._L - 1)
-                    lp = lp - self._score_vec_del(r, -(i + D))
+                    lp = lp - self._score_vec(r, -(i + D))
                     lp = lp + self._score_vec(r, -i)
                 entries.append(masked(lp, act))
                 old_i, i = i, i - 1
@@ -379,10 +383,6 @@ class StutterAligner:
             tail = capture_exit(old_i, i)
         entries.append(tail)
         return fast_lse_cols(entries)
-
-    def _score_vec_del(self, r, blk_idx):
-        return np.where(self._blkv[blk_idx] == self._seqv[r],
-                        self._lcv[r], self._lwv[r])
 
     def _align_insertion(self, base_seq_len, offset, D):
         blk_len = self.block_len

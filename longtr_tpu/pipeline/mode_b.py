@@ -443,15 +443,20 @@ class ModeBAligner:
 
         B = P * K * 2
         B_pad = _pad_to(B, 32)
+        # The batched device inputs are allocated in the final device dtype:
+        # assignment casts each f64 row exactly as a whole-array astype would
+        # at dispatch, and the deferred-dispatch scheduler pins these arrays
+        # from build to window dispatch — half the resident bytes (f32 mode)
+        # and no cast copy at dispatch time.
         codes = np.zeros((B_pad, L_max), dtype=np.int32)
-        blw_a = np.zeros((B_pad, L_max))
-        blc_a = np.zeros((B_pad, L_max))
-        pre_a = np.zeros((B_pad, L_max))
+        blw_a = np.zeros((B_pad, L_max), dtype=dtype)
+        blc_a = np.zeros((B_pad, L_max), dtype=dtype)
+        pre_a = np.zeros((B_pad, L_max), dtype=dtype)
         last = np.zeros(B_pad, dtype=np.int32)
         hapchar = np.zeros((B_pad, R_max), dtype=np.int32)
         kind = np.full((B_pad, R_max), 3, dtype=np.int32)
         stut_ord = np.zeros((B_pad, R_max), dtype=np.int32)
-        A = np.full((B_pad, S_max, n_d, L_max), -np.inf)
+        A = np.full((B_pad, S_max, n_d, L_max), -np.inf, dtype=dtype)
         bl_a = np.ones((B_pad, S_max), dtype=np.int32)
         d0_a = np.zeros((B_pad, S_max), dtype=np.int32)
         dstep_a = np.ones((B_pad, S_max), dtype=np.int32)
@@ -513,10 +518,9 @@ class ModeBAligner:
 
         def dispatch():
             return np.asarray(mode_b_cols(
-                prep["codes"], prep["blw_a"].astype(dtype),
-                prep["blc_a"].astype(dtype), prep["pre_a"].astype(dtype),
+                prep["codes"], prep["blw_a"], prep["blc_a"], prep["pre_a"],
                 prep["last"], prep["hapchar"], prep["kind"],
-                prep["stut_ord"], prep["A"].astype(dtype), prep["bl_a"],
+                prep["stut_ord"], prep["A"], prep["bl_a"],
                 prep["d0_a"], prep["dstep_a"], prep["params"],
                 n_d=prep["n_d"]), dtype=np.float64)
 

@@ -824,6 +824,12 @@ class SeqStutterGenotyper:
         ok, pairs = self.genotype_prepare(max_total_haplotypes)
         if not ok:
             return False
+        # Mode-B prepare defers the device dispatch for the cross-locus
+        # scheduler; a direct genotype() call must run it here.
+        fin = getattr(self, "_mode_b_finish", None)
+        if fin is not None:
+            self._pool_scores = fin()
+            self._mode_b_finish = None
         if pairs is not None:
             self.logger("Aligning reads to each candidate haplotype")
             self._pool_scores = score_pairs(

@@ -133,6 +133,10 @@ def fast_log_sum_exp_vec(log_vals) -> float:
     """mathops.cpp:98-107 (vector form, fasterexp/fasterlog)."""
     arr = np.asarray(log_vals, dtype=np.float64)
     max_val = float(arr.max())
+    if not np.isfinite(max_val):
+        # all-(-inf): the reference computes max + fasterlog(0) = -inf; the
+        # numpy subtraction would emit a NaN invalid warning first.
+        return max_val
     diffs = arr - max_val
     keep = diffs > _LOG_THRESH
     # total accumulates the float results in double, in element order
@@ -151,14 +155,20 @@ def fast_log_sum_exp_cols(E) -> np.ndarray:
     +0.0)."""
     E = np.asarray(E, dtype=np.float64)
     m = E.max(axis=0)
-    diffs = E - m
+    # All-(-inf) column guard (mirrors the exact-mode twin): -inf - -inf is
+    # NaN, and a NaN reaching fasterexp's int32 cast raises a numpy invalid
+    # RuntimeWarning.  Subtracting 0 instead gives diffs of -inf, which
+    # fasterexp clips safely and `keep` drops; the column result is m itself.
+    finite = np.isfinite(m)
+    diffs = E - np.where(finite, m, 0.0)
     keep = diffs > _LOG_THRESH
     fe = fasterexp(diffs.astype(np.float32))
     fe = np.atleast_2d(fe)
     total = np.zeros(E.shape[1])
     for r in range(E.shape[0]):
         total = total + np.where(keep[r], fe[r].astype(np.float64), 0.0)
-    return m + fasterlog(total.astype(np.float32)).astype(np.float64)
+    out = m + fasterlog(total.astype(np.float32)).astype(np.float64)
+    return np.where(finite, out, m)
 
 
 # ---------------------------------------------------------------------------

@@ -240,3 +240,94 @@ def test_fast_lse_cols_edge_cases():
             assert got[c] == want, c
         else:
             assert not np.isfinite(got[c]), c
+
+
+def test_fast_lse_cols_edge_cases_fidelity():
+    """Same edge cases in reference-fidelity mode: the Mineiro column
+    variant must match the scalar variant per column and must not emit
+    numpy invalid-cast warnings on all-(-inf) columns (the NaN-diff guard,
+    utils/fastapprox.fast_log_sum_exp_cols)."""
+    import warnings
+
+    from longtr_tpu.ops.stutter_hmm import (IMPOSSIBLE, fast_lse,
+                                            fast_lse_cols)
+    from longtr_tpu.utils import mathops
+
+    rng = np.random.default_rng(9)
+    E = rng.uniform(-50, 0, size=(7, 12))
+    E[0, 3] = -np.inf
+    E[:, 5] = -np.inf                       # whole column dropped
+    E[2, 7] = IMPOSSIBLE
+    mathops.set_ref_fidelity(True)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = fast_lse_cols(list(E))
+            per_col = [fast_lse(E[:, c]) for c in range(E.shape[1])]
+    finally:
+        mathops.set_ref_fidelity(False)
+    for c, want in enumerate(per_col):
+        if np.isfinite(want):
+            assert got[c] == want, c
+        else:
+            assert not np.isfinite(got[c]), c
+
+
+def test_mode_b_parallel_builds_match_serial(tmp_path, monkeypatch):
+    """Deferred mode-B dispatch (table prep on build workers, device finish
+    on the main thread) must produce byte-identical VCFs to
+    LONGTR_SERIAL_BUILD=1 on a multi-locus homopolymer catalog."""
+    import gzip
+
+    from longtr_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(17)
+    loci = [Locus("chr1", 1000 + 400 * i, "T", 11 + (i % 5), f"HOMO{i}")
+            for i in range(8)]
+    genome = make_genome(rng, loci)
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, genome)
+    bed = str(tmp_path / "r.bed")
+    write_bed(bed, loci)
+    genotypes = {l.name: (l.ref_copies, l.ref_copies + (2 if i % 2 else 0))
+                 for i, l in enumerate(loci)}
+    bam = str(tmp_path / "S1.bam")
+    write_sample_bam(bam, genome, loci, genotypes, "S1", rng, coverage=20)
+    base = ["--bams", bam, "--fasta", fasta, "--regions", bed,
+            "--min-reads", "5", "--stutter-align-len", "25", "--quiet"]
+
+    def body(p):
+        return [ln for ln in
+                gzip.decompress(open(p, "rb").read()).decode().splitlines()
+                if not ln.startswith("##command")]
+
+    par = str(tmp_path / "par.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", par]) == 0
+    monkeypatch.setenv("LONGTR_SERIAL_BUILD", "1")
+    ser = str(tmp_path / "ser.vcf.gz")
+    assert cli_main(base + ["--tr-vcf", ser]) == 0
+    assert body(par) == body(ser)
+    assert sum(1 for ln in body(par) if not ln.startswith("#")) == len(loci)
+
+
+def test_genotype_direct_call_runs_deferred_finish():
+    """SeqStutterGenotyper.genotype() (the library entry) must execute a
+    deferred mode-B finish itself: genotype_prepare defers the device
+    dispatch for the cross-locus scheduler, but a direct caller has no
+    scheduler (regression: _pool_scores was never set -> AttributeError)."""
+    from longtr_tpu.pipeline.seq_genotyper import SeqStutterGenotyper
+
+    gt = object.__new__(SeqStutterGenotyper)
+    scores = np.zeros((3, 2))
+    ran = []
+
+    def prepare(max_total_haplotypes=1000):
+        gt._mode_b_finish = lambda: (ran.append(1), scores)[1]
+        return True, None
+
+    gt.genotype_prepare = prepare
+    gt.genotype_finalize = lambda **kw: True
+    assert gt.genotype() is True
+    assert ran == [1]
+    assert gt._pool_scores is scores
+    assert gt._mode_b_finish is None
