@@ -71,14 +71,14 @@ def main():
     t0 = time.time()
     assert cli_main(["--bams", ",".join(bams), "--fasta", fasta,
                      "--regions", half_bed, "--min-reads", "5", "--quiet",
-                     "--tr-vcf", part1, "--shard", f"0/{n_shards}",
+                     "--tr-vcf", part1, "--shard", f"0/{n_shards}", "--shard-mode", "block",
                      "--checkpoint", ckpt]) == 0
     n_done = len(open(ckpt).read().splitlines())
     print(f"shard0 interrupted after {n_done} loci "
           f"({time.time() - t0:.1f}s)", flush=True)
     part2 = os.path.join(tmpdir, "shard0_part2.vcf.gz")
     t0 = time.time()
-    assert cli_main(base + ["--tr-vcf", part2, "--shard", f"0/{n_shards}",
+    assert cli_main(base + ["--tr-vcf", part2, "--shard", f"0/{n_shards}", "--shard-mode", "block",
                             "--checkpoint", ckpt]) == 0
     print(f"shard0 resumed ({time.time() - t0:.1f}s)", flush=True)
     resumed = os.path.join(tmpdir, "shard0_resumed.vcf.gz")
@@ -93,7 +93,7 @@ def main():
         mpath = os.path.join(tmpdir, f"m{i}.json")
         t0 = time.time()
         assert cli_main(base + ["--tr-vcf", out, "--shard",
-                                f"{i}/{n_shards}",
+                                f"{i}/{n_shards}", "--shard-mode", "block",
                                 "--metrics-out", mpath]) == 0
         m = json.load(open(mpath))
         metrics_total["num_dispatches"] += m.get("num_dispatches", 0)

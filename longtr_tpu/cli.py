@@ -136,8 +136,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "SNPs with Mendelian inconsistencies before phasing "
                         "(requires --snp-vcf)")
     p.add_argument("--shard", default="",
-                   help="Process an interleaved shard of the catalog, e.g. "
-                        "'0/4'; merge per-shard VCFs with longtr-merge-vcf")
+                   help="Process a shard of the catalog, e.g. '0/4'; merge "
+                        "per-shard VCFs with longtr-merge-vcf")
+    p.add_argument("--shard-mode", default="interleave",
+                   choices=["interleave", "block"],
+                   help="interleave (default): every Nth locus — best "
+                        "balance on small catalogs. block: contiguous "
+                        "chunks — keeps each host's BAM-window/FASTA IO "
+                        "proportional to its share; use for whole-genome "
+                        "multi-host runs")
     p.add_argument("--workers", type=int, default=1,
                    help="Run N shard worker processes on this host and merge "
                         "their outputs into the requested files (the "
@@ -484,7 +491,7 @@ def _main(argv=None):
     shard = None
     if args.shard:
         sid, nsh = (int(x) for x in args.shard.split("/"))
-        shard = (sid, nsh)
+        shard = (sid, nsh, args.shard_mode)
     if args.checkpoint:
         pipeline.set_checkpoint(args.checkpoint)
     profile_ctx = None

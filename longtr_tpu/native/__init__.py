@@ -243,8 +243,9 @@ def bgzf_inflate_all(data: bytes) -> bytes | None:
     out = np.empty(total, dtype=np.uint8)
     dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     if hasattr(lib, "ltr_bgzf_inflate_mt"):
+        from longtr_tpu.utils.workers import available_cores
         n = lib.ltr_bgzf_inflate_mt(data, len(data), dst, total,
-                                    min(os.cpu_count() or 1, 8))
+                                    min(available_cores(), 8))
     else:
         n = lib.ltr_bgzf_inflate_all(data, len(data), dst, total)
     if n < 0:

@@ -18,6 +18,24 @@
 #include <atomic>
 #include <vector>
 #include <thread>
+#ifdef __linux__
+#include <sched.h>
+#endif
+
+// Cores this process may actually run on: hardware_concurrency() reports
+// the machine total even under taskset/cgroup pinning (e.g. emulated
+// multi-host shards), which oversubscribes a pinned shard.
+static unsigned effective_cores() {
+#ifdef __linux__
+  cpu_set_t s;
+  if (sched_getaffinity(0, sizeof(s), &s) == 0) {
+    int n = CPU_COUNT(&s);
+    if (n > 0) return (unsigned)n;
+  }
+#endif
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? n : 4;
+}
 
 extern "C" {
 
@@ -780,7 +798,7 @@ extern "C" long ltr_edit_distance_batch(const char* a, long n,
   // caller-provided thread budget (the Python side sizes it to the cores
   // this locus can claim); <=0 means use the hardware count
   unsigned nt = nthreads > 0 ? (unsigned)nthreads
-                             : std::thread::hardware_concurrency();
+                             : effective_cores();
   if (nt == 0) nt = 4;
   if ((long)nt > k) nt = (unsigned)k;
   std::vector<std::thread> threads;
@@ -1155,7 +1173,7 @@ extern "C" void ltr_pairhmm_batch_f64(
     const int32_t* hap_len, const int32_t* read_len,
     const int32_t* full_hap_len, const float* trans,  // 7
     long B, long N, long Mdim, double* out) {
-  unsigned nt = std::thread::hardware_concurrency();
+  unsigned nt = effective_cores();
   const char* env = getenv("LONGTR_NATIVE_THREADS");
   if (env && *env) nt = (unsigned)atoi(env);
   if (nt < 1) nt = 1;
@@ -1182,7 +1200,7 @@ extern "C" void ltr_pairhmm_batch(
     const int32_t* hap_len, const int32_t* read_len,
     const int32_t* full_hap_len, const float* trans,  // 7
     long B, long N, long Mdim, float* out) {
-  unsigned nt = std::thread::hardware_concurrency();
+  unsigned nt = effective_cores();
   const char* env = getenv("LONGTR_NATIVE_THREADS");
   if (env && *env) nt = (unsigned)atoi(env);
   if (nt < 1) nt = 1;

@@ -20,10 +20,28 @@ import sys
 from longtr_tpu.io.bgzf import BgzfWriter, bgzf_open_text
 
 
-def shard_regions(regions, num_shards: int, shard_id: int):
-    """Deterministic interleaved shard of a sorted region list."""
+def shard_regions(regions, num_shards: int, shard_id: int,
+                  mode: str = "interleave"):
+    """Deterministic shard of a sorted region list.
+
+    ``interleave`` (default) takes every num_shards-th region — best load
+    balance for small catalogs.  ``block`` takes a contiguous balanced
+    chunk — at catalog scale adjacent loci share BAM windows and FASTA
+    chromosomes, so block shards keep each host's IO proportional to its
+    share (interleaved shards touch nearly every window/chromosome of the
+    whole catalog; measured 0.52 vs 0.87 two-host scaling efficiency at
+    10k loci, benchmarks/scaling_efficiency.py).  Merged output is
+    byte-identical either way (per-locus records are independent; tests
+    enforce)."""
     if not (0 <= shard_id < num_shards):
         raise ValueError("shard_id must be in [0, num_shards)")
+    if mode == "block":
+        n = len(regions)
+        lo = shard_id * n // num_shards
+        hi = (shard_id + 1) * n // num_shards
+        return list(regions[lo:hi])
+    if mode != "interleave":
+        raise ValueError(f"unknown shard mode {mode!r}")
     return [r for i, r in enumerate(regions) if i % num_shards == shard_id]
 
 

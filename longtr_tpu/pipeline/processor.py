@@ -111,7 +111,8 @@ class GenotyperPipeline:
                                              self.full_log))
         if shard is not None:
             from longtr_tpu.parallel.multihost import shard_regions
-            regions = shard_regions(regions, shard[1], shard[0])
+            mode = shard[2] if len(shard) > 2 else "interleave"
+            regions = shard_regions(regions, shard[1], shard[0], mode)
         fasta = FastaReader(fasta_file)
 
         chroms = []
@@ -356,10 +357,11 @@ class GenotyperPipeline:
 
     def _build_pool(self):
         if self._builders is None:
-            import os as _os
             from concurrent.futures import ThreadPoolExecutor
+
+            from longtr_tpu.utils.workers import available_cores
             self._builders = ThreadPoolExecutor(
-                max_workers=min(4, _os.cpu_count() or 4),
+                max_workers=min(4, available_cores()),
                 thread_name_prefix="longtr-hapgen")
         return self._builders
 

@@ -18,6 +18,16 @@ _lock = threading.Lock()
 _active_builds = 0
 
 
+def available_cores() -> int:
+    """Cores this process may actually run on: the scheduling-affinity set
+    (respects taskset/cgroup pinning — e.g. emulated multi-host shards),
+    falling back to os.cpu_count()."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except (AttributeError, OSError):
+        return os.cpu_count() or 4
+
+
 def in_locus_worker() -> bool:
     return getattr(_tl, "flag", False)
 
@@ -29,7 +39,7 @@ def spare_workers() -> int:
     per-locus instead of oversubscribing."""
     with _lock:
         act = max(1, _active_builds)
-    return max(1, (os.cpu_count() or 4) // act)
+    return max(1, available_cores() // act)
 
 
 class locus_worker_scope:

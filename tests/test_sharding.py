@@ -24,6 +24,11 @@ def test_shard_regions_partition():
     shards = [shard_regions(regions, 3, i) for i in range(3)]
     assert sorted(x for s in shards for x in s) == regions
     assert shards[0] == [0, 3, 6, 9]
+    # block mode: contiguous, balanced, covering
+    blocks = [shard_regions(regions, 3, i, "block") for i in range(3)]
+    assert [x for b in blocks for x in b] == regions
+    assert blocks[0] == [0, 1, 2]
+    assert {len(b) for b in blocks} <= {3, 4}
 
 
 def test_sharded_runs_merge_to_single_run(tmp_path):
@@ -32,14 +37,16 @@ def test_sharded_runs_merge_to_single_run(tmp_path):
             "--regions", fx["bed"], "--min-reads", "5", "--quiet"]
     whole = str(tmp_path / "whole.vcf.gz")
     assert cli_main(base + ["--tr-vcf", whole]) == 0
-    shard_paths = []
-    for i in range(2):
-        p = str(tmp_path / f"shard{i}.vcf.gz")
-        assert cli_main(base + ["--tr-vcf", p, "--shard", f"{i}/2"]) == 0
-        shard_paths.append(p)
-    merged = str(tmp_path / "merged.vcf.gz")
-    merge_sorted_vcfs(shard_paths, merged)
-    assert vcf_body(merged) == vcf_body(whole)
+    for mode in ("interleave", "block"):
+        shard_paths = []
+        for i in range(2):
+            p = str(tmp_path / f"{mode}{i}.vcf.gz")
+            assert cli_main(base + ["--tr-vcf", p, "--shard", f"{i}/2",
+                                    "--shard-mode", mode]) == 0
+            shard_paths.append(p)
+        merged = str(tmp_path / f"merged_{mode}.vcf.gz")
+        merge_sorted_vcfs(shard_paths, merged)
+        assert vcf_body(merged) == vcf_body(whole), mode
 
 
 def test_workers_mode_matches_single_run(tmp_path, monkeypatch):
