@@ -62,9 +62,17 @@ def main():
     # Simulate an interruption by first processing only half of shard 0's
     # catalog (truncated BED), then resuming over the full BED with the
     # same checkpoint ledger.
+    # The truncated BED must be a PREFIX of the catalog in processing order
+    # (regions sort by (chrom, start) — lexicographic chrom, regions.py:48),
+    # so that shard 0 of the half catalog is a subset of shard 0 of the
+    # full catalog under either shard mode.  Truncating by file order only
+    # worked for interleave by accident (8 loci/chrom, divisible by the
+    # shard count).
     half_bed = os.path.join(tmpdir, "half.bed")
     with open(bed) as src, open(half_bed, "w") as dst:
-        lines = src.readlines()
+        lines = sorted(src.readlines(),
+                       key=lambda ln: (ln.split("\t")[0],
+                                       int(ln.split("\t")[1])))
         dst.writelines(lines[: len(lines) // 2])
     ckpt = os.path.join(tmpdir, "shard0.ckpt")
     part1 = os.path.join(tmpdir, "shard0_part1.vcf.gz")

@@ -102,7 +102,7 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
                    Dk_shift + d2m + emit_row0)
     M0 = jnp.where(valid_j, M0, NEG)
     D0 = jnp.where(valid_j, Dk, NEG)
-    I0 = jnp.where(valid_j, NEG, NEG)
+    I0 = jnp.full_like(M0, NEG)
 
     mrow[:] = M0
     irow[:] = I0
@@ -545,6 +545,17 @@ def pairhmm_batch_pallas(hap_codes, hap_lens, read_codes, read_lens,
     use_chunked = jc is not None or not pallas_fits(N, M)
     if use_chunked:
         jc_eff = jc or JCHUNK
+        if jc_eff < 2:
+            raise ValueError(f"jc must be >= 2, got {jc_eff}")
+        if not interpret and not chunked_fits(N, M, jc_eff):
+            # Refuse rather than dispatch: an out-of-envelope Mosaic
+            # compile VMEM-OOMs, which wedges the shared axon tunnel for
+            # ~40 min.  Production callers pre-gate with device_fits and
+            # fall back to the bit-identical native host scorer.
+            raise ValueError(
+                f"shape N={N} (jc={jc_eff}) exceeds the hardware-validated "
+                f"chunked-kernel envelope (N<={CHUNKED_N_CAP}); score on "
+                f"the host (native.pairhmm_batch_native) instead")
         Mpad = -(-M // jc_eff) * jc_eff
         if Mpad != M:
             read_u8 = np.pad(read_u8, ((0, 0), (0, Mpad - M)))

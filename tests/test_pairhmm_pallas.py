@@ -122,3 +122,33 @@ def test_chunked_custom_params():
     got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, params,
                                           interpret=True, tile_b=8, jc=64))
     assert np.array_equal(got, want)
+
+
+def test_chunked_multi_batch_tile_scratch_reuse():
+    """Batch tiles beyond the first reuse the kernel's scratch rows: the
+    stale epred/ecm/ermax carries from tile b-1 must be fully discarded at
+    (tile b, chunk 0).  All other tests stay within one batch tile, which
+    leaves that masking unexercised (tile_b=4 with B=12 -> 3 tiles here,
+    each spanning several chunks)."""
+    H, hl, R, rl, fl = make_batch(12, 60, 140)
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True,
+                                          tile_b=4, jc=32))
+    assert np.array_equal(got, want)
+
+
+def test_envelope_guard_refuses_oversize():
+    """Out-of-envelope shapes must raise instead of dispatching (a Mosaic
+    VMEM-OOM compile wedges the shared tunnel); jc < 2 must raise too."""
+    H, hl, R, rl, fl = make_batch(2, 30, 60)
+    with pytest.raises(ValueError, match="jc must be >= 2"):
+        pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True, jc=1)
+    from longtr_tpu.ops import pairhmm_pallas as pp
+    big_n = pp.CHUNKED_N_CAP + 1024
+    Hb = np.zeros((2, big_n), np.uint8)
+    Rb = np.zeros((2, big_n), np.uint8)
+    hlb = np.array([big_n, big_n], np.int32)
+    assert not pp.pallas_fits(big_n, big_n) \
+        and not pp.chunked_fits(big_n, big_n)
+    with pytest.raises(ValueError, match="envelope"):
+        pairhmm_batch_pallas(Hb, hlb, Rb, hlb, hlb, interpret=False)
