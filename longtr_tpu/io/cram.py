@@ -28,7 +28,7 @@ import lzma
 import struct
 import zlib
 
-from longtr_tpu.io.bam import BamHeader, BamRecord
+from longtr_tpu.io.bam import _TAG_FMT, BamHeader, BamRecord
 from longtr_tpu.io.rans import rans_compress, rans_decompress
 
 CRAM_MAGIC = b"CRAM"
@@ -330,6 +330,11 @@ class Encoding:
     def read_bytes(self, core, ext, n=None):
         c = self.codec
         if c == 1:
+            if n is None:
+                raise ValueError(
+                    "EXTERNAL encoding for a byte-array series without an "
+                    "explicit length is unsupported (use BYTE_ARRAY_LEN or "
+                    "BYTE_ARRAY_STOP)")
             buf = ext[self.cid]
             out = bytes(buf[0][buf[1]:buf[1] + n])
             buf[1] += n
@@ -546,8 +551,8 @@ def read_slice_header(data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # record codec
 
-_TAG_FMT = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2),
-            "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4)}
+# the SAM tag wire-format table is shared with the BAM decoder (_TAG_FMT,
+# imported above): one copy to keep the two decoders in sync
 
 
 def _tag_value_to_bytes(typ: str, val) -> bytes:
@@ -644,7 +649,9 @@ class SliceDecoder:
         if ch.rn:
             name = self._e("RN").read_bytes(core, ext).decode()
 
-        mate_ref_id, mate_pos, tlen = -1, -1, 0
+        # mate_pos 0 here -> -1 after the 1-based conversion below, matching
+        # the BAM decode of an unset PNEXT (bam.py passes next_pos raw)
+        mate_ref_id, mate_pos, tlen = -1, 0, 0
         mf = 0
         nf = -1
         if cf & CF_DETACHED:
@@ -664,6 +671,12 @@ class SliceDecoder:
             enc = self.ch.tag_encodings[key]
             raw = enc.read_bytes(core, ext)
             tags[tag] = _tag_value_from_bytes(typ, raw)
+        # htslib strips the RG:Z tag into the RG data series (an index
+        # into the header's @RG lines; -1 = none) — restore it so
+        # read-group -> sample/library mapping works on external CRAMs
+        if rg >= 0 and "RG" not in tags \
+                and rg < len(self.header.read_groups):
+            tags["RG"] = self.header.read_groups[rg].id
 
         unmapped = bool(bf & 4)
         features = []
@@ -714,7 +727,9 @@ class SliceDecoder:
         if cf & CF_QS_STORED:
             quals = bytes(self._e("QS").read_byte(core, ext)
                           for _ in range(rl))
-            qual = "".join(chr(q + 33) for q in quals)
+            # clamp like the BAM decoder (bam.py): htslib uses 0xFF for
+            # missing quals, which must stay printable ASCII
+            qual = "".join(chr(min(q + 33, 126)) for q in quals)
         else:
             qual = "!" * rl
         if cf & CF_NO_SEQ:
@@ -890,7 +905,7 @@ class CramWriter:
 
     def set_reference(self, ref_id, seq):
         """Provide the reference sequence used to diff mapped reads."""
-        self._ref_cache[ref_id] = seq
+        self._ref_cache[ref_id] = seq.upper()
 
     def save_alignment(self, rec: BamRecord):
         self._pending.append(rec)
@@ -911,12 +926,18 @@ class CramWriter:
         ch = CompressionHeader()
         ch.ap = False   # absolute positions
         ch.rn = True
+        # RG:Z tags whose value matches a header @RG line move into the RG
+        # data series (htslib does the same); the reader restores the tag
+        rg_index = {g.id: i for i, g in enumerate(self.header.read_groups)}
+        rec_rg = [rg_index.get(rec.tags.get("RG"), -1) for rec in records]
         # tag dictionary: one line per distinct tag signature
         sigs = []
         sig_index = {}
         rec_tl = []
-        for rec in records:
-            sig = tuple((t, _pick_tag_type(v)) for t, v in sorted(rec.tags.items()))
+        for rec, rgi in zip(records, rec_rg):
+            sig = tuple((t, _pick_tag_type(v))
+                        for t, v in sorted(rec.tags.items())
+                        if not (t == "RG" and rgi >= 0))
             if sig not in sig_index:
                 sig_index[sig] = len(sigs)
                 sigs.append(list(sig))
@@ -936,7 +957,7 @@ class CramWriter:
         min_pos = min((r.pos + 1) for r in records)
         max_end = max(r.end_pos + 1 for r in records)
         n_bases = 0
-        for tl, rec in zip(rec_tl, records):
+        for tl, rgi, rec in zip(rec_tl, rec_rg, records):
             n_bases += len(rec.seq)
             flag = rec.flag
             put("BF", flag)
@@ -944,7 +965,7 @@ class CramWriter:
             put("CF", cf)
             put("RL", len(rec.seq))
             put("AP", rec.pos + 1)
-            put("RG", -1)
+            put("RG", rgi)
             rn += rec.name.encode() + b"\x00"
             mf = 0
             if flag & 0x20:
@@ -1128,8 +1149,13 @@ class CramReader:
         if magic != CRAM_MAGIC:
             raise IOError("Not a CRAM file: " + path)
         self.version = tuple(self.fh.read(2))
-        if self.version[0] not in (2, 3):
-            raise IOError(f"Unsupported CRAM version {self.version}")
+        if self.version[0] != 3:
+            # 2.x lacks the per-block/per-container CRC32 trailers this
+            # parser skips unconditionally — accepting it would misparse
+            # every block boundary after the first
+            raise IOError(f"Unsupported CRAM version "
+                          f"{self.version[0]}.{self.version[1]} "
+                          f"(only CRAM 3.x is supported)")
         self.fh.read(20)  # file id
         # SAM header container
         buf = self._read_container_bytes()
@@ -1165,7 +1191,11 @@ class CramReader:
         if seq is None:
             if self._fasta is None:
                 return "N" * (end - start)
-            seq = self._fasta.get_sequence(self.header.ref_name(ref_id))
+            # uppercase: soft-masked (lowercase) FASTA regions are exactly
+            # the tandem repeats; fill_match copies these bases verbatim
+            # into SEQ, and the BAM decode path is always uppercase
+            seq = self._fasta.get_sequence(
+                self.header.ref_name(ref_id)).upper()
             self._ref_cache[ref_id] = seq
         return seq[start:end]
 
@@ -1185,16 +1215,29 @@ class CramReader:
         return idx
 
     def _read_container_bytes(self):
-        """Read one container (header + body) into a buffer."""
-        head = self.fh.read(4)
-        if len(head) < 4:
+        """Read one container (header + body) into a buffer.
+
+        The container header has no fixed size (ITF8/LTF8 varints plus a
+        variable-length landmark array — multi-slice htslib containers can
+        exceed any fixed probe), so parse incrementally and then seek to
+        the exact body start: a fixed probe both crashed on long headers
+        and, for containers smaller than the probe, issued a negative read
+        that slurped the rest of the file."""
+        start_off = self.fh.tell()
+        chunk = self.fh.read(68)
+        if len(chunk) < 4:
             return None
-        (length,) = struct.unpack("<i", head)
-        # read rest of the header: parse incrementally from a chunk
-        chunk = head + self.fh.read(64)
-        hdr, pos = read_container_header(chunk, 0)
-        body_have = len(chunk) - pos
-        body = chunk[pos:] + self.fh.read(hdr["length"] - body_have)
+        while True:
+            try:
+                hdr, pos = read_container_header(chunk, 0)
+                break
+            except (IndexError, struct.error):
+                more = self.fh.read(64)
+                if not more:
+                    return None
+                chunk += more
+        self.fh.seek(start_off + pos)
+        body = self.fh.read(hdr["length"])
         return chunk[:pos] + body
 
     def _decode_container(self, buf):
@@ -1249,6 +1292,14 @@ class CramReader:
                 return None
             if self._region is not None:
                 rid, start, stop = self._region
+                # coordinate-sorted: once a container STARTS at/after the
+                # region end (or on a later reference), nothing further can
+                # overlap — check before filtering, else every query decodes
+                # to end-of-file
+                if recs and (recs[0].ref_id > rid >= 0
+                             or (recs[0].ref_id == rid
+                                 and recs[0].pos >= stop)):
+                    self._eof = True
                 recs = [r for r in recs
                         if r.ref_id == rid and r.pos < stop
                         and r.end_pos > start]

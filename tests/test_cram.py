@@ -202,3 +202,27 @@ def test_cram_byteflip_fuzz(tmp_path):
         try_read(bytes(mutated))
     for cut in range(30, min(len(data), 4000), 131):
         try_read(data[:cut])
+
+
+def test_cram_decode_with_softmasked_fasta(tmp_path):
+    """Soft-masked (lowercase) reference FASTAs — standard for GRCh38,
+    where tandem repeats are exactly the masked regions — must decode to
+    the same uppercase SEQ as the BAM path: fill_match copies reference
+    bases verbatim, so the reader uppercases the fetched chromosome."""
+    import os
+
+    from longtr_tpu.io.fasta import write_fasta
+
+    fx = standard_fixture(str(tmp_path))
+    fr = FastaReader(fx["fasta"])
+    masked = str(tmp_path / "masked.fa")
+    write_fasta(masked, {n: fr.get_sequence(n).lower()
+                         for n, *_ in fr.entries})
+    cram, bam_recs = _bam_to_cram(tmp_path, fx["bams"][0], masked)
+    c = CramReader(cram, masked)
+    for a in bam_recs:
+        b = c.get_next_alignment()
+        assert b is not None
+        assert a.seq == b.seq, a.name
+        assert b.seq == b.seq.upper(), a.name
+    assert c.get_next_alignment() is None
