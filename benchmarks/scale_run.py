@@ -27,10 +27,7 @@ def peak_rss_mb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
-def vcf_body(path):
-    from longtr_tpu.io.bgzf import bgzf_open_text
-    return [ln for ln in bgzf_open_text(path)
-            if not (ln.startswith("##command") or ln.startswith("##"))]
+from synth import vcf_body  # noqa: E402
 
 
 def main():

@@ -18,7 +18,6 @@ Usage: python benchmarks/scaling_efficiency.py [n_loci] [--hosts H]
        [--cores-per-host C]
 """
 
-import gzip
 import json
 import os
 import subprocess
@@ -32,10 +31,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 from loci_throughput import build_catalog  # noqa: E402
 
 
-def vcf_body(path):
-    return [ln for ln in
-            gzip.decompress(open(path, "rb").read()).decode().splitlines()
-            if not ln.startswith("##command")]
+from synth import vcf_body  # noqa: E402
 
 
 def run_hosts(base_argv, out_paths, core_sets, env):
@@ -53,10 +49,14 @@ def run_hosts(base_argv, out_paths, core_sets, env):
                      "--shard-mode", "block"]
         procs.append(subprocess.Popen(argv, env=env,
                                       stdout=subprocess.DEVNULL,
-                                      stderr=subprocess.DEVNULL))
-    rcs = [p.wait() for p in procs]
+                                      stderr=subprocess.PIPE))
+    outs = [p.communicate() for p in procs]
     wall = time.time() - t0
-    assert all(rc == 0 for rc in rcs), rcs
+    for p, (_, err) in zip(procs, outs):
+        if p.returncode != 0:
+            sys.stderr.write(err.decode(errors="replace")[-2000:])
+    assert all(p.returncode == 0 for p in procs), \
+        [p.returncode for p in procs]
     return wall
 
 
@@ -65,11 +65,14 @@ def main():
         not sys.argv[1].startswith("-") else 600
     hosts = int(sys.argv[sys.argv.index("--hosts") + 1]) \
         if "--hosts" in sys.argv else 2
+    # pin within the CPUs this process may actually use (taskset/cpuset)
+    cpu_ids = sorted(os.sched_getaffinity(0))
     cores = int(sys.argv[sys.argv.index("--cores-per-host") + 1]) \
         if "--cores-per-host" in sys.argv else \
-        max(1, (os.cpu_count() or 4) // hosts)
-    assert hosts * cores <= (os.cpu_count() or 4), \
-        f"need {hosts * cores} cores for disjoint pinning"
+        max(1, len(cpu_ids) // hosts)
+    assert hosts * cores <= len(cpu_ids), \
+        f"need {hosts * cores} schedulable CPUs for disjoint pinning, " \
+        f"have {len(cpu_ids)}"
 
     tmpdir = tempfile.mkdtemp()
     fasta, bed, bams, loci, _ = build_catalog(tmpdir, n_loci)
@@ -77,7 +80,7 @@ def main():
             "--min-reads", "5", "--quiet"]
     env = dict(os.environ, LONGTR_PLATFORM="cpu")
 
-    core_sets = [",".join(str(hosts * c + h) for c in range(cores))
+    core_sets = [",".join(str(cpu_ids[hosts * c + h]) for c in range(cores))
                  for h in range(hosts)]
 
     # warm (imports paged in, native lib built, any compile cache)

@@ -252,7 +252,8 @@ def _run_workers(argv, args):
     import subprocess
     n = args.workers
     rewrite = {"--tr-vcf", "--metrics-out", "--checkpoint", "--log",
-               "--viz-out", "--stutter-out"}
+               "--viz-out", "--stutter-out", "--pass-bam", "--filt-bam",
+               "--jax-profile"}
     base = []
     it = iter(argv)
     for a in it:
@@ -315,6 +316,14 @@ def _run_workers(argv, args):
         merge_text_blocks(parts, args.stutter_out, bgzf=False)
         for p in parts:
             os.unlink(p)
+    for bam_out in (args.pass_bam, args.filt_bam):
+        if bam_out:
+            from longtr_tpu.io.bam_write import merge_sorted_bams
+            parts = shards_of(bam_out)
+            merge_sorted_bams(parts, bam_out)
+            for p in parts:
+                os.unlink(p)
+    # --jax-profile traces stay per-worker (FILE.shardK directories)
     if args.metrics_out:
         import json
         merged = {}

@@ -166,3 +166,39 @@ def build_bai(bam_path: str, out_path: str | None = None):
             for v in filled:
                 fh.write(struct.pack("<Q", v))
     return out_path
+
+
+def merge_sorted_bams(paths, out_path: str):
+    """K-way merge of coordinate-sorted BAMs into one sorted BAM.
+
+    Used by the ``--workers`` fan-out to combine per-shard --pass-bam /
+    --filt-bam outputs.  Ties on (ref_id, pos) break by input order, so
+    the merge is deterministic.  Unmapped records (ref_id -1) sort last,
+    matching samtools convention."""
+    import heapq
+
+    from longtr_tpu.io.bam import BamReader
+
+    readers = [BamReader(p) for p in paths]
+    hdr = readers[0].header
+    out = BamWriter(out_path, hdr.text, hdr.ref_names, hdr.ref_lengths)
+
+    def key(rec, i):
+        rid = rec.ref_id if rec.ref_id >= 0 else 1 << 30
+        return (rid, rec.pos, i)
+
+    heap = []
+    for i, r in enumerate(readers):
+        rec = r.get_next_alignment()
+        if rec is not None:
+            heapq.heappush(heap, (key(rec, i), i, rec))
+    while heap:
+        (_, i, rec) = heapq.heappop(heap)
+        out.save_alignment(rec)
+        nxt = readers[i].get_next_alignment()
+        if nxt is not None:
+            heapq.heappush(heap, (key(nxt, i), i, nxt))
+    out.close()
+    for r in readers:
+        r.close()
+    return out_path

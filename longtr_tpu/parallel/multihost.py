@@ -29,7 +29,7 @@ def shard_regions(regions, num_shards: int, shard_id: int,
     chunk — at catalog scale adjacent loci share BAM windows and FASTA
     chromosomes, so block shards keep each host's IO proportional to its
     share (interleaved shards touch nearly every window/chromosome of the
-    whole catalog; measured 0.52 vs 0.87 two-host scaling efficiency at
+    whole catalog; measured 0.52 vs ~1.0 two-host scaling efficiency at
     10k loci, benchmarks/scaling_efficiency.py).  Merged output is
     byte-identical either way (per-locus records are independent; tests
     enforce)."""

@@ -111,8 +111,7 @@ class GenotyperPipeline:
                                              self.full_log))
         if shard is not None:
             from longtr_tpu.parallel.multihost import shard_regions
-            mode = shard[2] if len(shard) > 2 else "interleave"
-            regions = shard_regions(regions, shard[1], shard[0], mode)
+            regions = shard_regions(regions, shard[1], shard[0], shard[2])
         fasta = FastaReader(fasta_file)
 
         chroms = []

@@ -18,14 +18,40 @@ _lock = threading.Lock()
 _active_builds = 0
 
 
-def available_cores() -> int:
-    """Cores this process may actually run on: the scheduling-affinity set
-    (respects taskset/cgroup pinning — e.g. emulated multi-host shards),
-    falling back to os.cpu_count()."""
+def _cgroup_quota_cores() -> int | None:
+    """CPU budget from a cgroup quota (cpu.max / CFS), if any.
+
+    A container can be limited by quota without any cpuset restriction —
+    sched_getaffinity then reports the whole machine."""
     try:
-        return len(os.sched_getaffinity(0)) or 1
+        with open("/sys/fs/cgroup/cpu.max") as fh:      # cgroup v2
+            quota, period = fh.read().split()
+            if quota != "max":
+                return max(1, int(quota) // int(period))
+    except (OSError, ValueError):
+        pass
+    try:                                                 # cgroup v1
+        with open("/sys/fs/cgroup/cpu/cpu.cfs_quota_us") as fh:
+            quota = int(fh.read())
+        with open("/sys/fs/cgroup/cpu/cpu.cfs_period_us") as fh:
+            period = int(fh.read())
+        if quota > 0:
+            return max(1, quota // period)
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def available_cores() -> int:
+    """Cores this process may actually run on: min of the scheduling-
+    affinity set (taskset/cpuset — e.g. emulated multi-host shards) and
+    any cgroup CPU quota, falling back to os.cpu_count()."""
+    try:
+        n = len(os.sched_getaffinity(0)) or 1
     except (AttributeError, OSError):
-        return os.cpu_count() or 4
+        n = os.cpu_count() or 4
+    q = _cgroup_quota_cores()
+    return min(n, q) if q else n
 
 
 def in_locus_worker() -> bool:

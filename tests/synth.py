@@ -211,3 +211,12 @@ def add_indel_errors(rng, seq, cigar, rate=0.01):
         else:
             comp.append([op, 1])
     return "".join(out_seq), [(op, n) for op, n in comp]
+
+
+def vcf_body(path):
+    """Canonical VCF-comparison helper: every line except the run-specific
+    ##command header.  Shared by the shard/merge identity tests and the
+    scaling/scale benchmarks so they all enforce the same byte-identity."""
+    from longtr_tpu.io.bgzf import bgzf_open_text
+    with bgzf_open_text(path) as fh:
+        return [ln for ln in fh if not ln.startswith("##command")]

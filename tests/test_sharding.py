@@ -6,17 +6,11 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
-from synth import standard_fixture  # noqa: E402
+from synth import standard_fixture, vcf_body  # noqa: E402
 
 from longtr_tpu.cli import main as cli_main  # noqa: E402
-from longtr_tpu.io.bgzf import bgzf_open_text  # noqa: E402
 from longtr_tpu.parallel.multihost import (merge_sorted_vcfs,  # noqa: E402
                                            shard_regions)
-
-
-def vcf_body(path):
-    with bgzf_open_text(path) as fh:
-        return [ln for ln in fh if not ln.startswith("##")]
 
 
 def test_shard_regions_partition():
@@ -58,15 +52,33 @@ def test_workers_mode_matches_single_run(tmp_path, monkeypatch):
             "--regions", fx["bed"], "--min-reads", "5", "--quiet"]
     whole = str(tmp_path / "whole.vcf.gz")
     metrics1 = str(tmp_path / "metrics1.json")
-    assert cli_main(base + ["--tr-vcf", whole,
+    pass1 = str(tmp_path / "pass1.bam")
+    assert cli_main(base + ["--tr-vcf", whole, "--pass-bam", pass1,
                             "--metrics-out", metrics1]) == 0
     multi = str(tmp_path / "multi.vcf.gz")
     metrics = str(tmp_path / "metrics.json")
+    passn = str(tmp_path / "passn.bam")
     assert cli_main(base + ["--tr-vcf", multi, "--workers", "2",
+                            "--pass-bam", passn,
                             "--metrics-out", metrics]) == 0
     assert vcf_body(multi) == vcf_body(whole)
     assert os.path.exists(multi + ".tbi")
     assert not [p for p in os.listdir(tmp_path) if ".shard" in p]
+
+    # per-shard --pass-bam outputs merge into one sorted BAM holding the
+    # same records as the single run (previously every worker wrote the
+    # SAME path concurrently -> corrupt output)
+    def bam_keys(path):
+        from longtr_tpu.io.bam import BamReader
+        r = BamReader(path)
+        out = []
+        while (rec := r.get_next_alignment()) is not None:
+            out.append((rec.name, rec.ref_id, rec.pos))
+        return out
+
+    got, want = bam_keys(passn), bam_keys(pass1)
+    assert sorted(got) == sorted(want) and len(got) > 0
+    assert got == sorted(got, key=lambda k: (k[1], k[2]))  # coord-sorted
     import json
     with open(metrics) as fh:
         m = json.load(fh)
