@@ -15,11 +15,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from longtr_tpu.ops.posterior import NEG_HALF_DBL_MAX
 from longtr_tpu.utils.mathops import (LOG_E_BASE_10, TOLERANCE,
                                       fast_log_sum_exp2, int_log,
                                       log_sum_exp2)
-
-NEG_INF = -np.inf
 
 
 def log_homozygous_prior(num_alleles: int, haploid: bool) -> float:
@@ -30,7 +29,7 @@ def log_homozygous_prior(num_alleles: int, haploid: bool) -> float:
 
 def log_heterozygous_prior(num_alleles: int, haploid: bool) -> float:
     if haploid:
-        return -8.988465674311579e307  # -DBL_MAX/2 (genotyper.cpp:31)
+        return NEG_HALF_DBL_MAX  # -DBL_MAX/2 (genotyper.cpp:31)
     return -int_log(num_alleles) - int_log(num_alleles + 1)
 
 
@@ -95,7 +94,7 @@ def extract_genotypes_and_likelihoods(
     # Marginalize haplotype pairs -> variant pairs with the reference's
     # STREAMING log-sum-exp in hap-pair scan order (genotyper.cpp:153-170,
     # mathops.cpp:73-86) — bit-identical, vectorized over samples.
-    maxv = np.full((S, V * V), -8.988465674311579e307)
+    maxv = np.full((S, V * V), NEG_HALF_DBL_MAX)
     totv = np.zeros((S, V * V))
     for a1 in range(A):
         g_base = V * int(h2a[a1])

@@ -26,6 +26,7 @@ NumPy oracle for tests.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -119,6 +120,16 @@ def calc_log_sample_posteriors(log_aln_probs, log_p1, log_p2, sample_label,
     return P, totals, totals.sum()
 
 
+@functools.lru_cache(maxsize=None)
+def _batched_posterior_fn(S_max: int):
+    """Stable jitted (vmapped) posterior fn per S_max: a fresh closure per
+    call would defeat jax.jit's trace cache and re-lower every window."""
+    def one(LLi, p1i, p2i, labi, maski, pri):
+        return calc_log_sample_posteriors(LLi, p1i, p2i, labi, S_max, pri,
+                                          read_mask=maski)
+    return jax.jit(jax.vmap(one))
+
+
 def batched_posteriors(loci, mesh=None):
     """One device dispatch computing posteriors for a WINDOW of loci.
 
@@ -152,11 +163,7 @@ def batched_posteriors(loci, mesh=None):
         prior[i, :A, :A] = np.maximum(genotype_log_priors(A, l["haploid"]),
                                       NEG_PAD)
 
-    def one(LLi, p1i, p2i, labi, maski, pri):
-        return calc_log_sample_posteriors(LLi, p1i, p2i, labi, S_max, pri,
-                                          read_mask=maski)
-
-    fn = jax.vmap(one)
+    fn = _batched_posterior_fn(S_max)
     if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
         ndev = mesh.devices.size
@@ -174,9 +181,9 @@ def batched_posteriors(loci, mesh=None):
         shard = lambda a: jax.device_put(
             a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
         args = tuple(map(shard, (LL, p1, p2, label, mask, prior)))
-        P_all, totals, _ = jax.jit(fn)(*args)
+        P_all, totals, _ = fn(*args)
     else:
-        P_all, totals, _ = jax.jit(fn)(LL, p1, p2, label, mask, prior)
+        P_all, totals, _ = fn(LL, p1, p2, label, mask, prior)
     P_all = np.asarray(P_all)
     totals = np.asarray(totals)
     out = []

@@ -638,7 +638,12 @@ class SeqStutterGenotyper:
         from longtr_tpu.utils import mathops
         from longtr_tpu.utils.mathops import LOG_ONE_HALF
         prior = genotype_log_priors(self.num_alleles, self.haploid)
-        LL = np.clip(self.log_aln_probs, -600.0, None)
+        # The reference clamps the LL array IN PLACE as it reads it
+        # (genotyper.cpp:57-58; SURVEY §7.5) — downstream per-read stats
+        # (strand pick, MALLREADS) must see the clamped values too, else a
+        # -700 band-abort sentinel flips their comparisons.
+        np.maximum(self.log_aln_probs, -600.0, out=self.log_aln_probs)
+        LL = self.log_aln_probs
         a = LL + self.log_p1[:, None] + LOG_ONE_HALF
         b = LL + self.log_p2[:, None] + LOG_ONE_HALF
         if mathops.ref_fidelity():

@@ -228,12 +228,12 @@ def _write_block_record(gt, sample_names, hap_block_index, region,
     num_strand_one = np.zeros(S, dtype=int)
     num_strand_two = np.zeros(S, dtype=int)
     num_flank_indels = np.zeros(S, dtype=int)
-    num_stutter = np.zeros(S, dtype=int)
     unique_hap_one = np.zeros(S, dtype=int)
     unique_hap_two = np.zeros(S, dtype=int)
     bps_per_sample = [[] for _ in range(S)]
     ml_bps_per_sample = [[] for _ in range(S)]
-    log_read_phases = [[] for _ in range(S)]
+    # (the reference also computes per-read phase posteriors here, but its
+    # only consumer is dead in the fork: PDP emits n_p1s|n_p2s)
 
     LL = gt.log_aln_probs
     seed_positions = getattr(gt, "seed_positions", None)
@@ -255,9 +255,6 @@ def _write_block_record(gt, sample_names, hap_block_index, region,
         LLb = np.asarray(LL)[idx, hap_b]
         p1 = np.asarray(gt.log_p1)[idx]
         p2 = np.asarray(gt.log_p2)[idx]
-        a_vals = LLa + p1 + LOG_ONE_HALF
-        b_vals = LLb + p2 + LOG_ONE_HALF
-        phases = a_vals - np.logaddexp(a_vals, b_vals)
         het = (hap_a != hap_b) if not gt.haploid \
             else np.zeros(len(idx), dtype=bool)
         strand = (het & ~(p1 + LLa > p2 + LLb)).astype(int)
@@ -270,11 +267,9 @@ def _write_block_record(gt, sample_names, hap_block_index, region,
         np.add.at(num_strand_two, s_arr[snp & ~(p1 > p2)], 1)
         best_hap = np.where(strand == 0, hap_a, hap_b)
         ml_vals = np.asarray(allele_bp_diffs)[np.asarray(h2a)[best_hap]]
-        phases_l = phases.tolist()
         ml_l = ml_vals.tolist()
         for k, r in enumerate(idx.tolist()):
             s = s_arr[k]
-            log_read_phases[s].append(phases_l[k])
             aln = gt.alns[r]
             if aln.deleted:
                 bps_per_sample[s].append(-len(alleles[0]))

@@ -77,3 +77,23 @@ def test_read_mask_excludes_padding():
         labels, 2, prior.astype(np.float32), read_mask=mask)
     m = want_P > -50
     np.testing.assert_allclose(np.asarray(got_P, dtype=np.float64)[m], want_P[m], atol=5e-3)
+
+
+def test_host_posteriors_clamp_ll_in_place():
+    """The reference clamps log_aln_probs IN PLACE at -600 inside the
+    posterior loop (genotyper.cpp:57-58); downstream per-read VCF stats
+    (strand pick, MALLREADS) must see the clamped array, else a -700
+    band-abort sentinel flips their comparisons (parity regression)."""
+    from longtr_tpu.pipeline.seq_genotyper import SeqStutterGenotyper
+
+    gt = object.__new__(SeqStutterGenotyper)
+    gt.num_alleles = 2
+    gt.num_samples = 1
+    gt.haploid = False
+    gt.log_aln_probs = np.array([[-700.0, -620.0], [-1.0, -2.0]])
+    gt.log_p1 = np.zeros(2)
+    gt.log_p2 = np.zeros(2)
+    gt.sample_label = np.zeros(2, dtype=np.int32)
+    gt._calc_posteriors()
+    assert gt.log_aln_probs.min() == -600.0
+    assert gt.log_aln_probs[0, 0] == -600.0 and gt.log_aln_probs[0, 1] == -600.0
