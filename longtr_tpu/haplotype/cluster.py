@@ -11,7 +11,7 @@ import numpy as np
 
 
 def edit_distance_banded(a: str, b: str, T: int) -> int:
-    """Unit-cost NW edit distance: exact when <= T, else T+1.
+    """Unit-cost NW edit distance: exact when < T, else a value >= T.
 
     Transcription of HaplotypeGenerator::needleman_wunsch
     (HaplotypeGenerator.cpp:201-234) with one conscious deviation
@@ -22,12 +22,24 @@ def edit_distance_banded(a: str, b: str, T: int) -> int:
     contract lets the native path use a true Ukkonen band (O(n*T) instead
     of O(n*m)) — unit-cost distance satisfies d[i][j] >= |i-j|, so cells
     off the 2T+1-wide diagonal band can never produce a value <= T.
-    Dispatches to the native C++ scorer when available
-    (tests/test_components.py fuzzes the two against each other).
+    Exactly at d == T the two paths may return T or T+1 (the reference's
+    displacement-augmented row abort is data-dependent there); every
+    call-site DECISION (d < T) is identical.  Dispatches to the native
+    C++ scorer when available (tests/test_components.py fuzzes the two
+    against each other).
+
+    Empty-string semantics mirror the reference asymmetry: ``b`` (the
+    centroid position, needleman_wunsch's read_seq) empty -> the row
+    abort fires unconditionally, T+1, so nothing ever joins an
+    empty-centroid cluster; ``a`` empty -> exact distance len(b).
     """
     n, m = len(a), len(b)
     if abs(n - m) > T:
         return T + 1
+    if m == 0:
+        return 0 if n == 0 else T + 1
+    if n == 0:
+        return m           # <= T here, by the length check above
     try:
         from longtr_tpu import native
         d = native.edit_distance_banded(a, b, T)

@@ -215,7 +215,11 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
         centroid candidates of the first threshold that explains >=80% of
         the sample's unexplained reads (empty if none does)."""
         not_added, tot_ignored = item
-        unique = list(not_added.keys())
+        # the reference collects the skipped sequences from a std::map, so
+        # unique[0] — the one element exempt from the (len, seq) sort — is
+        # the LEXICOGRAPHICALLY smallest, not the first-encountered read
+        # (HaplotypeGenerator.cpp:398-404)
+        unique = sorted(not_added.keys())
         if len(unique) > 1:
             unique = [unique[0]] + order_by_length_and_sequence(unique[1:])
         for t in CLUSTER_THRESHOLDS:
@@ -226,7 +230,11 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
             while not_converged:
                 updated = {}
                 new_centroids = []
-                member_lists = list(clusters.values())
+                # reference iterates the cluster std::map lexicographically
+                # (HaplotypeGenerator.cpp:425-437); new_centroids[0] — the
+                # element exempt from the (len, seq) sort — must be the
+                # consensus of the lexicographically smallest centroid
+                member_lists = [v for _, v in sorted(clusters.items())]
                 from longtr_tpu.utils.workers import in_locus_worker
                 if len(member_lists) > 1 and not in_locus_worker():
                     # independent per-cluster POA; the native DP releases
@@ -253,7 +261,7 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
                 clusters = updated
             new_seqs_added = 0
             potential = []
-            for centroid, members in clusters.items():
+            for centroid, members in sorted(clusters.items()):
                 cluster_support = sum(not_added.get(s, 0) for s in members)
                 if cluster_support > min(int(tot_ignored * 0.10), 10):
                     new_seqs_added += cluster_support
@@ -284,20 +292,26 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
     # often has one dominant VNTR locus whose wall time this splits);
     # only the innermost cluster-POA/edit-batch layers serialize there.
     # The thread-local worker flag must be re-entered in pool threads.
-    from longtr_tpu.utils.workers import (in_locus_worker,
+    from longtr_tpu.utils.workers import (available_cores, in_locus_worker,
                                           locus_worker_scope, spare_workers)
     _flag = in_locus_worker()
-
-    def _run_rescue(item):
-        if _flag:
-            with locus_worker_scope(nested=True):
-                return _rescue_sample(item)
-        return _rescue_sample(item)
 
     # size the per-sample fan-out to the cores this locus can actually
     # claim right now: a lone heavy VNTR locus gets them all, a window of
     # uniformly heavy loci stays one-thread-per-locus
-    width = min(4, len(not_added_all), spare_workers() if _flag else 4)
+    my_cores = spare_workers() if _flag else available_cores()
+    width = min(4, len(not_added_all), my_cores if _flag else 4)
+    # the sample threads' inner layers (cluster edit-distance batches,
+    # per-cluster POA) must DIVIDE this locus's cores, not each claim all
+    # of them — W sample threads x all-cores inner pools thrashes the host
+    inner_budget = max(1, my_cores // width) if width > 1 else None
+
+    def _run_rescue(item):
+        if _flag or inner_budget is not None:
+            with locus_worker_scope(nested=True, budget=inner_budget):
+                return _rescue_sample(item)
+        return _rescue_sample(item)
+
     if width > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=width) as pool:
@@ -312,12 +326,10 @@ def gen_candidate_seqs(ref_seq: str, ideal_min_length: int, alignments_by_sample
                 sequences.append((centroid, True))
                 cand_set.add(centroid)
 
-    # Sort alts by length then sequence (reference keeps ref first)
-    import functools
+    # Sort alts by length then sequence (reference keeps ref first);
+    # same total order as stringops.order_by_length_and_sequence
     head, tail = sequences[0], sequences[1:]
-    tail.sort(key=functools.cmp_to_key(
-        lambda a, b: (-1 if (len(a[0]), a[0]) < (len(b[0]), b[0]) else
-                      (0 if a[0] == b[0] else 1))))
+    tail.sort(key=lambda p: (len(p[0]), p[0]))
     sequences = [head] + tail
 
     return trim_sequences(ideal_min_length, region_start, region_end,

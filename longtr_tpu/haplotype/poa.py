@@ -170,8 +170,13 @@ class PoaGraph:
                             break
                     if target is None:
                         target = self._new_node(ch)
-                        self.aligned_to[target] = [node] + self.aligned_to[node]
-                        for other in [node] + list(self.aligned_to[node][1:]):
+                        ring = [node] + list(self.aligned_to[node])
+                        self.aligned_to[target] = ring
+                        # register the new node with EVERY ring member —
+                        # skipping one leaves it blind to this base and a
+                        # later read duplicates the node in the same
+                        # column, splitting edge weights
+                        for other in ring:
                             if target not in self.aligned_to[other]:
                                 self.aligned_to[other].append(target)
             if target is None:
@@ -182,30 +187,37 @@ class PoaGraph:
         self._order = None
 
     def consensus(self) -> str:
-        """Maximum-weight path (sum of edge weights), spoa-style."""
+        """Heaviest-bundle traversal (Lee 2003; spoa/poapy
+        GenerateConsensus semantics): each node greedily picks the single
+        heaviest in-edge (ties: higher predecessor score, then smaller
+        node id) rather than a globally maximum-weight path, then the
+        consensus backtracks from the best-scoring node (ties: latest in
+        topological order).  All tie-breaks are explicit so the native
+        C++ mirror is order-independent of container iteration."""
         if not self.char:
             return ""
         order = self.topo_order()
         score = {v: 0 for v in order}
-        nxt = {v: None for v in order}
-        for v in reversed(order):
-            best_s, best_n = 0, None
-            for w, wt in self.out_edges[v].items():
-                s = wt + score[w]
-                if s > best_s:
-                    best_s, best_n = s, w
-            score[v] = best_s
-            nxt[v] = best_n
-        # choose start: source-ish node with best (in-weight==0) total score
-        starts = [v for v in order if not self.in_edges[v]]
-        if not starts:
-            starts = order
-        v = max(starts, key=lambda x: score[x])
+        prev = {v: None for v in order}
+        for v in order:
+            best_w, best_ps, best_p = 0, -1, None
+            for p, w in self.in_edges[v].items():
+                key = (w, score[p], -p)
+                if best_p is None or key > (best_w, best_ps, -best_p):
+                    best_w, best_ps, best_p = w, score[p], p
+            if best_p is not None:
+                score[v] = best_w + score[best_p]
+                prev[v] = best_p
+        end, best = order[0], score[order[0]]
+        for v in order:
+            if score[v] >= best:
+                end, best = v, score[v]
         out = []
+        v = end
         while v is not None:
             out.append(self.char[v])
-            v = nxt[v]
-        return "".join(out)
+            v = prev[v]
+        return "".join(reversed(out))
 
 
 # Consensus is a pure function of the (ordered) member list, and the

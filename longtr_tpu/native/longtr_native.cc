@@ -719,14 +719,13 @@ struct Graph {
             if (ch[alt] == c) { target = alt; break; }
           if (target < 0) {
             target = new_node(c);
-            aligned_to[target].push_back(node);
-            for (int x : aligned_to[node]) aligned_to[target].push_back(x);
-            // mirror Python: [node] + aligned_to[node][1:]
-            std::vector<int> others;
-            others.push_back(node);
-            for (size_t k = 1; k < aligned_to[node].size(); k++)
-              others.push_back(aligned_to[node][k]);
-            for (int other : others) {
+            // ring = [node] + aligned_to[node]; register the new node
+            // with EVERY ring member (mirrors poa.py _fuse)
+            std::vector<int> ring;
+            ring.push_back(node);
+            for (int x : aligned_to[node]) ring.push_back(x);
+            aligned_to[target] = ring;
+            for (int other : ring) {
               bool has = false;
               for (int x : aligned_to[other]) if (x == target) { has = true; break; }
               if (!has) aligned_to[other].push_back(target);
@@ -741,35 +740,36 @@ struct Graph {
   }
 
   std::string consensus() const {
+    // Heaviest-bundle traversal (Lee 2003; spoa/poapy GenerateConsensus
+    // semantics), mirroring poa.py::consensus with the same explicit
+    // tie-breaks: per node, the single heaviest in-edge (ties: higher
+    // predecessor score, then smaller node id); end node = best score,
+    // ties to the latest in topological order.
     if (ch.empty()) return "";
     std::vector<int> order = topo();
     std::vector<long> score(ch.size(), 0);
-    std::vector<int> nxt(ch.size(), -1);
-    for (auto it = order.rbegin(); it != order.rend(); ++it) {
-      int v = *it;
-      long best_s = 0;
-      int best_n = -1;
-      for (auto& e : out_e[v]) {
-        long s = e.second + score[e.first];
-        if (s > best_s) { best_s = s; best_n = e.first; }
-      }
-      score[v] = best_s;
-      nxt[v] = best_n;
-    }
-    // start: first source with max score, in topo order (Python max() over
-    // the source list preserves first-max)
-    int start = -1;
-    long best = -1;
-    bool any_src = false;
+    std::vector<int> prev(ch.size(), -1);
     for (int v : order) {
-      if (in_e[v].empty()) { any_src = true; if (score[v] > best) { best = score[v]; start = v; } }
+      long best_w = 0, best_ps = -1;
+      int best_p = -1;
+      for (auto& e : in_e[v]) {
+        long w = e.second, ps = score[e.first];
+        int p = e.first;
+        bool better = best_p < 0
+            || w > best_w
+            || (w == best_w && ps > best_ps)
+            || (w == best_w && ps == best_ps && p < best_p);
+        if (better) { best_w = w; best_ps = ps; best_p = p; }
+      }
+      if (best_p >= 0) { score[v] = best_w + score[best_p]; prev[v] = best_p; }
     }
-    if (!any_src) {
-      for (int v : order) if (score[v] > best) { best = score[v]; start = v; }
-    }
+    int end = order[0];
+    long best = score[order[0]];
+    for (int v : order) if (score[v] >= best) { end = v; best = score[v]; }
     std::string out;
-    int v = start;
-    while (v >= 0) { out.push_back(ch[v]); v = nxt[v]; }
+    int v = end;
+    while (v >= 0) { out.push_back(ch[v]); v = prev[v]; }
+    std::reverse(out.begin(), out.end());
     return out;
   }
 };
@@ -824,6 +824,12 @@ extern "C" long ltr_edit_distance_banded(const char* a, long n,
                                          const char* b, long m, long T) {
   long diff = n - m;
   if (diff < 0 ? (-diff > T) : (diff > T)) return T + 1;
+  // Reference empty-string asymmetry (HaplotypeGenerator.cpp:220-231): an
+  // empty b (read_seq, the centroid in clustering) makes the per-row abort
+  // fire unconditionally -> T+1; an empty a skips the row loop entirely
+  // and returns the exact dp value m.
+  if (m == 0) return n == 0 ? 0 : T + 1;
+  if (n == 0) return m;  // <= T by the length check above
   // Ukkonen band: unit-cost edit distance satisfies d[i][j] >= |i-j|, so
   // cells with |i-j| > T can never contribute a value <= T.  Computing
   // only the 2T+1 diagonal band gives values <= T exactly and clamps

@@ -62,7 +62,12 @@ def spare_workers() -> int:
     """Cores per active locus build: middle-layer pools (per-sample
     rescue) size themselves to this so one dominant locus fans out across
     idle cores, while a window of uniformly heavy loci stays one-thread-
-    per-locus instead of oversubscribing."""
+    per-locus instead of oversubscribing.  A thread-local budget (set by
+    an outer fan-out via ``locus_worker_scope(budget=...)``) takes
+    precedence, so nested layers split — not multiply — the core count."""
+    b = getattr(_tl, "budget", None)
+    if b is not None:
+        return max(1, b)
     with _lock:
         act = max(1, _active_builds)
     return max(1, available_cores() // act)
@@ -73,15 +78,22 @@ class locus_worker_scope:
 
     ``nested=True`` re-enters the flag in a child thread without counting
     a new build (used when a build fans work to its own helper threads).
+    ``budget`` caps what :func:`spare_workers` reports inside the scope —
+    an outer fan-out of width W passes budget = spare // W so the inner
+    layers divide its cores instead of each claiming all of them.
     """
 
-    def __init__(self, nested: bool = False):
+    def __init__(self, nested: bool = False, budget: int | None = None):
         self._nested = nested
+        self._budget = budget
 
     def __enter__(self):
         global _active_builds
         self._prev = getattr(_tl, "flag", False)
+        self._prev_budget = getattr(_tl, "budget", None)
         _tl.flag = True
+        if self._budget is not None:
+            _tl.budget = self._budget
         if not self._nested:
             with _lock:
                 _active_builds += 1
@@ -90,6 +102,7 @@ class locus_worker_scope:
     def __exit__(self, *exc):
         global _active_builds
         _tl.flag = self._prev
+        _tl.budget = self._prev_budget
         if not self._nested:
             with _lock:
                 _active_builds -= 1
