@@ -68,7 +68,12 @@ class BgzfReader:
             raise IOError("gzip block lacks BGZF BC extra field")
         # block = 12-byte gzip header + xlen extra + cdata + 8-byte trailer
         cdata_len = bsize - 12 - xlen - 8
+        if cdata_len < 0:
+            raise IOError("Corrupt BGZF block at offset %d: declared size %d "
+                          "smaller than its header" % (coffset, bsize))
         cdata = self._fh.read(cdata_len)
+        if len(cdata) < cdata_len:
+            raise IOError("Truncated BGZF block at offset %d" % coffset)
         self._fh.read(8)  # crc32 + isize
         data = zlib.decompress(cdata, -15)
         return data, bsize
@@ -100,15 +105,14 @@ class BgzfReader:
             if avail == 0:
                 nxt = self._block_start + self._block_len_comp
                 data, bsize = self._read_block_at(nxt)
-                if bsize == 0 or not data and bsize == len(BGZF_EOF):
-                    if not data:
-                        break
+                if bsize == 0:
+                    break  # physical end of file
+                # Empty blocks (incl. the EOF marker) are skipped, matching
+                # htslib: readers must tolerate them anywhere in the stream.
                 self._block_start = nxt
                 self._block_data = data
                 self._block_len_comp = bsize
                 self._within = 0
-                if bsize == 0:
-                    break
                 continue
             take = min(n, avail)
             out += self._block_data[self._within: self._within + take]

@@ -341,3 +341,41 @@ def test_native_decode_byteflip_fuzz(lib):
     # truncations at every alignment of the first few records
     for cut in list(range(0, 512, 7)) + [len(body) - 3, len(body) - 1]:
         native.bam_decode(bytes(body[:cut]))
+
+
+def test_bgzf_empty_midstream_blocks_skipped(tmp_path):
+    """htslib tolerates empty BGZF blocks anywhere in a stream (writers may
+    flush zero bytes); the reader must skip them, not stop early."""
+    from longtr_tpu.io.bgzf import BGZF_EOF, BgzfWriter
+
+    path = str(tmp_path / "mid.bgzf")
+    with open(path, "wb") as fh:
+        w = BgzfWriter(fh)
+        w._flush_block(b"hello ")
+        fh.write(BGZF_EOF)          # empty block mid-stream
+        w._flush_block(b"world")
+        fh.write(BGZF_EOF)          # terminal EOF marker
+    r = BgzfReader(path)
+    assert r.read_all() == b"hello world"
+    r.close()
+
+
+def test_bgzf_corrupt_bsize_rejected(tmp_path):
+    """A block whose declared size is smaller than its own header must raise
+    a clean IOError, not read the rest of the file as compressed payload."""
+    import struct
+
+    from longtr_tpu.io.bgzf import BGZF_EOF, BgzfWriter
+
+    path = str(tmp_path / "bad.bgzf")
+    with open(path, "wb") as fh:
+        w = BgzfWriter(fh)
+        w._flush_block(b"data")
+        fh.write(BGZF_EOF)
+    raw = bytearray(open(path, "rb").read())
+    # BC bsize field of the first block lives at offset 16 (12-byte header +
+    # 4-byte subfield header); declare an impossible 5-byte total size
+    raw[16:18] = struct.pack("<H", 4)
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        BgzfReader(path).read_all()
