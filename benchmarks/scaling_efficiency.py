@@ -38,6 +38,7 @@ def run_hosts(base_argv, out_paths, core_sets, env):
     """Launch one pinned process per host, wait for all; returns wall s."""
     t0 = time.time()
     procs = []
+    errfhs = []
     for i, (out, cores) in enumerate(zip(out_paths, core_sets)):
         argv = ["taskset", "-c", cores, sys.executable, "-m",
                 "longtr_tpu.cli"] + base_argv + ["--tr-vcf", out]
@@ -47,14 +48,21 @@ def run_hosts(base_argv, out_paths, core_sets, env):
             # of the whole catalog per host: 0.52 efficiency at 10k loci)
             argv += ["--shard", f"{i}/{len(out_paths)}",
                      "--shard-mode", "block"]
+        # stderr to a temp file, NOT a pipe: with a pipe, a host spewing
+        # >64KB while an earlier host is being communicate()d would block
+        # on the full pipe and artificially serialize the "hosts"
+        errfhs.append(tempfile.TemporaryFile())
         procs.append(subprocess.Popen(argv, env=env,
                                       stdout=subprocess.DEVNULL,
-                                      stderr=subprocess.PIPE))
-    outs = [p.communicate() for p in procs]
+                                      stderr=errfhs[-1]))
+    for p in procs:
+        p.wait()
     wall = time.time() - t0
-    for p, (_, err) in zip(procs, outs):
+    for p, efh in zip(procs, errfhs):
         if p.returncode != 0:
-            sys.stderr.write(err.decode(errors="replace")[-2000:])
+            efh.seek(0)
+            sys.stderr.write(efh.read().decode(errors="replace")[-2000:])
+        efh.close()
     assert all(p.returncode == 0 for p in procs), \
         [p.returncode for p in procs]
     return wall

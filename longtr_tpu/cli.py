@@ -262,6 +262,12 @@ def _run_workers(argv, args):
             continue
         if a.startswith("--workers="):
             continue
+        # normalize the argparse-legal `--flag=value` form for rewritten
+        # output flags, else every worker would write the SAME path (and
+        # the merge step would then miss its shard files)
+        if "=" in a and a.split("=", 1)[0] in rewrite:
+            base += a.split("=", 1)
+            continue
         base.append(a)
         if a in rewrite:
             base.append(next(it))

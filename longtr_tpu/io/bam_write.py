@@ -6,6 +6,7 @@ Also provides a BAI index builder so written BAMs support region queries.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -168,37 +169,69 @@ def build_bai(bam_path: str, out_path: str | None = None):
     return out_path
 
 
+def _coord_key(rec):
+    # unmapped records (ref_id -1) sort last, matching samtools convention
+    rid = rec.ref_id if rec.ref_id >= 0 else 1 << 30
+    return (rid, rec.pos)
+
+
 def merge_sorted_bams(paths, out_path: str):
-    """K-way merge of coordinate-sorted BAMs into one sorted BAM.
+    """Merge per-shard BAMs into one coordinate-sorted BAM.
 
     Used by the ``--workers`` fan-out to combine per-shard --pass-bam /
-    --filt-bam outputs.  Ties on (ref_id, pos) break by input order, so
-    the merge is deterministic.  Unmapped records (ref_id -1) sort last,
-    matching samtools convention."""
+    --filt-bam outputs.  Shard files are only NEAR-sorted: a rescued mate
+    is written after its higher-pos partner (filters.py pairing path) and
+    padded locus windows can interleave positions, so each shard is first
+    stably sorted in memory (write order kept at equal coordinates; peak
+    RSS = one shard's records) into a temp file, then the sorted shards
+    stream through a k-way heap merge.  Ties on (ref_id, pos) break by
+    shard order, so the merge is deterministic."""
     import heapq
 
     from longtr_tpu.io.bam import BamReader
 
-    readers = [BamReader(p) for p in paths]
-    hdr = readers[0].header
-    out = BamWriter(out_path, hdr.text, hdr.ref_names, hdr.ref_lengths)
+    hdr = None
+    tmp_paths = []
+    try:
+        for p in paths:
+            r = BamReader(p)
+            if hdr is None:
+                hdr = r.header
+            recs = []
+            while (rec := r.get_next_alignment()) is not None:
+                recs.append(rec)
+            r.close()
+            recs.sort(key=_coord_key)
+            tp = p + ".sorttmp"
+            w = BamWriter(tp, hdr.text, hdr.ref_names, hdr.ref_lengths)
+            for rec in recs:
+                w.save_alignment(rec)
+            w.close()
+            tmp_paths.append(tp)
+            del recs
 
-    def key(rec, i):
-        rid = rec.ref_id if rec.ref_id >= 0 else 1 << 30
-        return (rid, rec.pos, i)
-
-    heap = []
-    for i, r in enumerate(readers):
-        rec = r.get_next_alignment()
-        if rec is not None:
-            heapq.heappush(heap, (key(rec, i), i, rec))
-    while heap:
-        (_, i, rec) = heapq.heappop(heap)
-        out.save_alignment(rec)
-        nxt = readers[i].get_next_alignment()
-        if nxt is not None:
-            heapq.heappush(heap, (key(nxt, i), i, nxt))
-    out.close()
-    for r in readers:
-        r.close()
+        readers = [BamReader(tp) for tp in tmp_paths]
+        out = BamWriter(out_path, hdr.text, hdr.ref_names, hdr.ref_lengths)
+        heap = []
+        for i, r in enumerate(readers):
+            rec = r.get_next_alignment()
+            if rec is not None:
+                # (key, i) is unique among live heap entries (one record
+                # per reader), so records themselves are never compared
+                heapq.heappush(heap, (_coord_key(rec), i, rec))
+        while heap:
+            (_, i, rec) = heapq.heappop(heap)
+            out.save_alignment(rec)
+            nxt = readers[i].get_next_alignment()
+            if nxt is not None:
+                heapq.heappush(heap, (_coord_key(nxt), i, nxt))
+        out.close()
+        for r in readers:
+            r.close()
+    finally:
+        for tp in tmp_paths:
+            try:
+                os.remove(tp)
+            except OSError:
+                pass
     return out_path

@@ -1225,19 +1225,34 @@ class CramReader:
         that slurped the rest of the file."""
         start_off = self.fh.tell()
         chunk = self.fh.read(68)
+        if not chunk:
+            return None  # clean EOF at a container boundary
         if len(chunk) < 4:
-            return None
+            raise IOError("Truncated CRAM container header at offset %d"
+                          % start_off)
         while True:
             try:
                 hdr, pos = read_container_header(chunk, 0)
                 break
             except (IndexError, struct.error):
+                # A genuine header is tens of bytes; a corrupt varint (e.g.
+                # a huge landmark count) must not degrade into quadratic
+                # re-parsing or a silent EOF that drops the rest of the
+                # file's reads.
+                if len(chunk) > (1 << 20):
+                    raise IOError("Corrupt CRAM container header at offset "
+                                  "%d (unparseable after 1MB)" % start_off)
                 more = self.fh.read(64)
                 if not more:
-                    return None
+                    raise IOError("Truncated CRAM container header at "
+                                  "offset %d" % start_off)
                 chunk += more
         self.fh.seek(start_off + pos)
         body = self.fh.read(hdr["length"])
+        if len(body) < hdr["length"]:
+            raise IOError("Truncated CRAM container body at offset %d: "
+                          "expected %d bytes, got %d"
+                          % (start_off, hdr["length"], len(body)))
         return chunk[:pos] + body
 
     def _decode_container(self, buf):

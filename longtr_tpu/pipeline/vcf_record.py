@@ -21,7 +21,7 @@ import numpy as np
 
 from longtr_tpu.models.genotyper import extract_genotypes_and_likelihoods
 from longtr_tpu.pipeline.alignment import extract_cigar
-from longtr_tpu.utils.mathops import TOLERANCE, LOG_ONE_HALF
+from longtr_tpu.utils.mathops import TOLERANCE
 from longtr_tpu.utils.stringops import (condense_read_counts,
                                         order_by_length_and_sequence)
 

@@ -226,3 +226,25 @@ def test_cram_decode_with_softmasked_fasta(tmp_path):
         assert a.seq == b.seq, a.name
         assert b.seq == b.seq.upper(), a.name
     assert c.get_next_alignment() is None
+
+
+def test_cram_truncation_raises_not_silent_eof(tmp_path):
+    """A CRAM truncated mid-container must raise a clean IOError, not
+    silently report end-of-file with the remaining reads dropped (the
+    pipeline would otherwise genotype from an incomplete read set with no
+    error anywhere)."""
+    import pytest
+
+    fx = standard_fixture(str(tmp_path))
+    cram, bam_recs = _bam_to_cram(tmp_path, fx["bams"][0], fx["fasta"])
+    with open(cram, "rb") as fh:
+        data = fh.read()
+    # cut mid-container-body and mid-EOF-container-header; both must raise
+    for cut in (len(data) // 2, len(data) - 14):
+        p = str(tmp_path / "trunc.cram")
+        with open(p, "wb") as fh:
+            fh.write(data[:cut])
+        r = CramReader(p, fx["fasta"])
+        with pytest.raises(IOError, match="[Tt]runcated|[Cc]orrupt"):
+            while r.get_next_alignment() is not None:
+                pass

@@ -379,3 +379,47 @@ def test_bgzf_corrupt_bsize_rejected(tmp_path):
     open(path, "wb").write(bytes(raw))
     with pytest.raises(IOError):
         BgzfReader(path).read_all()
+
+
+def test_merge_sorted_bams_handles_local_inversions(tmp_path):
+    """Per-shard --pass-bam files are only NEAR-sorted: the pairing path
+    writes a rescued mate after its higher-pos partner (filters.py), so the
+    worker merge must sort, not assume sorted inputs, and still emit a
+    coordinate-sorted BAM (stable at equal coordinates, temp files cleaned
+    up)."""
+    import os
+
+    from longtr_tpu.io.bam import BamReader, BamRecord
+    from longtr_tpu.io.bam_write import BamWriter, merge_sorted_bams
+
+    header = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:10000\n"
+
+    def rec(name, pos):
+        return BamRecord(name=name, flag=0, ref_id=0, pos=pos, mapq=60,
+                         cigar=[("M", 10)], mate_ref_id=-1, mate_pos=-1,
+                         tlen=0, seq="A" * 10, qual="I" * 10, tags={},
+                         ref_name="chr1")
+
+    shards = []
+    # shard 0 carries an inversion (100 before 50); shard 1 interleaves
+    for i, poses in enumerate([[100, 50, 50], [70, 55]]):
+        p = str(tmp_path / f"s{i}.bam")
+        w = BamWriter(p, header, ["chr1"], [10000])
+        for j, pos in enumerate(poses):
+            w.save_alignment(rec(f"r{i}_{j}", pos))
+        w.close()
+        shards.append(p)
+
+    out = str(tmp_path / "merged.bam")
+    merge_sorted_bams(shards, out)
+    r = BamReader(out)
+    got = []
+    while (x := r.get_next_alignment()) is not None:
+        got.append((x.pos, x.name))
+    r.close()
+    assert [p for p, _ in got] == sorted(p for p, _ in got)
+    assert len(got) == 5
+    # stable at equal coordinates: shard-0 write order kept for the two
+    # pos-50 records
+    assert [n for p, n in got if p == 50] == ["r0_1", "r0_2"]
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".sorttmp")]

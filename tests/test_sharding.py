@@ -59,7 +59,9 @@ def test_workers_mode_matches_single_run(tmp_path, monkeypatch):
     metrics = str(tmp_path / "metrics.json")
     passn = str(tmp_path / "passn.bam")
     assert cli_main(base + ["--tr-vcf", multi, "--workers", "2",
-                            "--pass-bam", passn,
+                            # `=` form: the worker fan-out must normalize
+                            # it, else every worker writes the SAME path
+                            f"--pass-bam={passn}",
                             "--metrics-out", metrics]) == 0
     assert vcf_body(multi) == vcf_body(whole)
     assert os.path.exists(multi + ".tbi")
