@@ -324,9 +324,9 @@ def _run_workers(argv, args):
             os.unlink(p)
     for bam_out in (args.pass_bam, args.filt_bam):
         if bam_out:
-            from longtr_tpu.io.bam_write import merge_sorted_bams
+            from longtr_tpu.io.bam_write import merge_bams
             parts = shards_of(bam_out)
-            merge_sorted_bams(parts, bam_out)
+            merge_bams(parts, bam_out)
             for p in parts:
                 os.unlink(p)
     # --jax-profile traces stay per-worker (FILE.shardK directories)

@@ -175,11 +175,12 @@ def _coord_key(rec):
     return (rid, rec.pos)
 
 
-def merge_sorted_bams(paths, out_path: str):
-    """Merge per-shard BAMs into one coordinate-sorted BAM.
+def merge_bams(paths, out_path: str):
+    """Merge per-shard BAMs (sorted or not) into one coordinate-sorted BAM.
 
     Used by the ``--workers`` fan-out to combine per-shard --pass-bam /
-    --filt-bam outputs.  Shard files are only NEAR-sorted: a rescued mate
+    --filt-bam outputs.  Inputs need NOT be sorted — shard files are
+    only NEAR-sorted: a rescued mate
     is written after its higher-pos partner (filters.py pairing path) and
     padded locus windows can interleave positions, so each shard is first
     stably sorted in memory (write order kept at equal coordinates; peak
@@ -190,6 +191,8 @@ def merge_sorted_bams(paths, out_path: str):
 
     from longtr_tpu.io.bam import BamReader
 
+    if not paths:
+        raise ValueError("merge_bams: no input BAM paths given")
     hdr = None
     tmp_paths = []
     try:

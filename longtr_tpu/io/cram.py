@@ -1179,6 +1179,7 @@ class CramReader:
         self._records = []
         self._rec_idx = 0
         self._eof = False
+        self._saw_eof_container = False
         self._index = self._load_index()
         self._region = None
         self.min_offset = 0
@@ -1230,23 +1231,30 @@ class CramReader:
         if len(chunk) < 4:
             raise IOError("Truncated CRAM container header at offset %d"
                           % start_off)
+        grow = 64
         while True:
             try:
                 hdr, pos = read_container_header(chunk, 0)
                 break
             except (IndexError, struct.error):
-                # A genuine header is tens of bytes; a corrupt varint (e.g.
-                # a huge landmark count) must not degrade into quadratic
-                # re-parsing or a silent EOF that drops the rest of the
-                # file's reads.
+                # A genuine header is tens of bytes (a large landmarks array
+                # at most tens of KB); a corrupt varint (e.g. a huge landmark
+                # count) must not degrade into quadratic re-parsing or a
+                # silent EOF that drops the rest of the file's reads — grow
+                # the probe exponentially so the 1MB cap is reached in ~14
+                # re-parses rather than ~16k.
                 if len(chunk) > (1 << 20):
                     raise IOError("Corrupt CRAM container header at offset "
                                   "%d (unparseable after 1MB)" % start_off)
-                more = self.fh.read(64)
+                more = self.fh.read(grow)
+                grow *= 2
                 if not more:
                     raise IOError("Truncated CRAM container header at "
                                   "offset %d" % start_off)
                 chunk += more
+        if hdr["length"] < 0 or hdr["length"] > (1 << 31):
+            raise IOError("Corrupt CRAM container header at offset %d: "
+                          "bad body length %d" % (start_off, hdr["length"]))
         self.fh.seek(start_off + pos)
         body = self.fh.read(hdr["length"])
         if len(body) < hdr["length"]:
@@ -1299,10 +1307,20 @@ class CramReader:
                 return None
             buf = self._read_container_bytes()
             if buf is None:
+                # Clean byte-level EOF. In whole-file streaming the spec
+                # requires a trailing EOF container (htslib: "EOF marker is
+                # absent"); a killed writer truncating exactly at a container
+                # boundary must not read as a complete file. Region queries
+                # legitimately stop early (index seek / overshoot), so only
+                # enforce when streaming.
+                if self._region is None and not self._saw_eof_container:
+                    raise IOError("Truncated CRAM: EOF marker is absent "
+                                  "in %s" % self.path)
                 self._eof = True
                 return None
             recs = self._decode_container(buf)
             if recs is None:
+                self._saw_eof_container = True
                 self._eof = True
                 return None
             if self._region is not None:

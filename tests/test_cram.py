@@ -248,3 +248,40 @@ def test_cram_truncation_raises_not_silent_eof(tmp_path):
         with pytest.raises(IOError, match="[Tt]runcated|[Cc]orrupt"):
             while r.get_next_alignment() is not None:
                 pass
+
+
+def test_cram_missing_eof_container_raises(tmp_path):
+    """Truncation exactly at a container boundary (the trailing EOF
+    container missing — the common mode for a killed writer) must raise
+    like htslib's "EOF marker is absent", not read as a complete file."""
+    import pytest
+
+    fx = standard_fixture(str(tmp_path))
+    cram, bam_recs = _bam_to_cram(tmp_path, fx["bams"][0], fx["fasta"])
+    # locate the last container boundary (= start of the EOF container)
+    probe = CramReader(cram, fx["fasta"])
+    boundaries = []
+    while True:
+        off = probe.fh.tell()
+        if probe._read_container_bytes() is None:
+            break
+        boundaries.append(off)
+    probe.close()
+    assert len(boundaries) >= 2  # data container(s) + EOF container
+    p = str(tmp_path / "noeof.cram")
+    with open(cram, "rb") as fh:
+        data = fh.read()
+    with open(p, "wb") as fh:
+        fh.write(data[:boundaries[-1]])
+    r = CramReader(p, fx["fasta"])
+    with pytest.raises(IOError, match="EOF marker is absent"):
+        while r.get_next_alignment() is not None:
+            pass
+    r.close()
+    # the intact file still streams cleanly to EOF
+    r = CramReader(cram, fx["fasta"])
+    n = 0
+    while r.get_next_alignment() is not None:
+        n += 1
+    assert n == len(bam_recs)
+    r.close()

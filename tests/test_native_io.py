@@ -390,7 +390,7 @@ def test_merge_sorted_bams_handles_local_inversions(tmp_path):
     import os
 
     from longtr_tpu.io.bam import BamReader, BamRecord
-    from longtr_tpu.io.bam_write import BamWriter, merge_sorted_bams
+    from longtr_tpu.io.bam_write import BamWriter, merge_bams
 
     header = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:10000\n"
 
@@ -411,7 +411,7 @@ def test_merge_sorted_bams_handles_local_inversions(tmp_path):
         shards.append(p)
 
     out = str(tmp_path / "merged.bam")
-    merge_sorted_bams(shards, out)
+    merge_bams(shards, out)
     r = BamReader(out)
     got = []
     while (x := r.get_next_alignment()) is not None:
