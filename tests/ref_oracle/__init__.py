@@ -21,6 +21,11 @@ _REF_SRC = "/root/reference/src"
 _LIB_PATH = os.path.join(_DIR, "libref_oracle.so")
 
 _REF_SOURCES = [
+    "seq_stutter_genotyper.cpp",
+    "em_stutter_genotyper.cpp",
+    "extract_indels.cpp",
+    "snp_phasing_quality.cpp",
+    "read_pooler.cpp",
     "mathops.cpp",
     "genotyper.cpp",
     "stutter_model.cpp",
@@ -50,6 +55,7 @@ def _build():
         # neutralize the htslib-backed headers (see stub_*.h)
         "-include", os.path.join(_DIR, "stub_bam_io.h"),
         "-include", os.path.join(_DIR, "stub_fasta_reader.h"),
+        "-include", os.path.join(_DIR, "stub_vcf_layer.h"),
         "-I", _REF_SRC,
         "-I", _DIR,   # provides the spoa/ stub header
         # the reference Makefile builds with default FP behavior; keep it
@@ -148,6 +154,29 @@ def get_lib():
     lib.ro_stutter_align.restype = d
     lib.ro_stutter_align.argtypes = [s, i, d, d, d, d, d, d, s, dp, dp,
                                      i, i, i, ip]
+
+    lib.ro_extract_cigar.restype = i
+    lib.ro_extract_cigar.argtypes = [s, i32p, i, i, i, i, ip]
+
+    lib.ro_snp_phasing.restype = i
+    lib.ro_snp_phasing.argtypes = [i, s, i32p, s, i32p, i32p, i32p, s, i32p,
+                                   i, i32p, s, s, dp, dp, i32p]
+
+    lib.ro_em_train.restype = i
+    lib.ro_em_train.argtypes = [i, s, i, i32p, i32p, dp, dp, i, i, d, d,
+                                dp, dp, ip, dp, i32p]
+
+    lib.ro_set_genotyper_flags.restype = None
+    lib.ro_set_genotyper_flags.argtypes = [i, i, i, i, i, i, i, f]
+
+    lib.ro_genotype_locus.restype = i
+    lib.ro_genotype_locus.argtypes = [
+        s, s, ctypes.c_int32, ctypes.c_int32, s, i, i, s, i32p, i32p,
+        s, i32p, s, i32p, s, i32p, s, i32p, i32p, i32p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        s, i32p, dp, dp, i32p, i32p,
+        d, d, d, d, d, d,
+        i, i, i, i, fp, i, i, i, d, s, ctypes.c_long]
 
     _lib = lib
     return _lib
@@ -485,3 +514,180 @@ def hapgen_blocks(chrom_seq, region_start, region_end, motif, reads_by_sample,
         inexact = [s.endswith("*") for s in headseqs[1:]]
         blocks.append((b_start, b_end, seqs, inexact))
     return blocks
+
+
+def extract_cigar(cigar, cigar_start, region_start, region_end):
+    """Reference ExtractCigar (extract_indels.cpp:18-91).
+
+    cigar = [(op_char, length), ...].  Returns (ok, bp_diff)."""
+    lib = get_lib()
+    types = "".join(op for op, _ in cigar).encode()
+    nums, nums_p = _i32arr([n for _, n in cigar])
+    diff = ctypes.c_int(0)
+    rc = lib.ro_extract_cigar(types, nums_p, len(cigar), cigar_start,
+                              region_start, region_end, ctypes.byref(diff))
+    assert rc >= 0, "ro_extract_cigar failed"
+    return bool(rc), diff.value
+
+
+def snp_phasing(reads, snps):
+    """Reference calc_het_snp_factors (snp_phasing_quality.cpp:4-120).
+
+    reads: list of (bases, quals, position, end_position, cigar_text) where
+    end_position is the non-inclusive reference end and cigar_text is
+    '10=2D5='-style.  snps: list of (pos, base_one, base_two).
+    Returns (log_p1s, log_p2s, match_count, mismatch_count)."""
+    lib = get_lib()
+    n = len(reads)
+    bases_cat = "".join(r[0] for r in reads).encode()
+    base_lens, base_lens_p = _i32arr([len(r[0]) for r in reads])
+    quals_cat = "".join(r[1] for r in reads).encode()
+    qual_lens, qual_lens_p = _i32arr([len(r[1]) for r in reads])
+    pos_arr, pos_p = _i32arr([r[2] for r in reads])
+    end_arr, end_p = _i32arr([r[3] for r in reads])
+    cig_cat = "".join(r[4] for r in reads).encode()
+    cig_lens, cig_lens_p = _i32arr([len(r[4]) for r in reads])
+    snp_pos, snp_pos_p = _i32arr([x[0] for x in snps])
+    b1 = "".join(x[1] for x in snps).encode()
+    b2 = "".join(x[2] for x in snps).encode()
+    p1 = np.zeros(n)
+    p2 = np.zeros(n)
+    counts = np.zeros(2, dtype=np.int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.ro_snp_phasing(
+        n, bases_cat, base_lens_p, quals_cat, qual_lens_p, pos_p, end_p,
+        cig_cat, cig_lens_p, len(snps), snp_pos_p, b1, b2,
+        p1.ctypes.data_as(dp), p2.ctypes.data_as(dp),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    assert rc == n, f"ro_snp_phasing failed: {rc}"
+    return p1, p2, int(counts[0]), int(counts[1])
+
+
+def em_train(haploid, motif, num_bps, log_p1s, log_p2s, ref_allele,
+             max_iter=100, min_ll_abs_change=0.01, min_ll_frac_change=0.001,
+             want_posteriors=False):
+    """Reference EMStutterGenotyper::train (em_stutter_genotyper.cpp:170-226).
+
+    num_bps/log_p1s/log_p2s: per-sample lists of per-read values.
+    Returns dict with converged, n_iter, ll_traj (bit-exact per-iteration
+    E-step LLs), params (in_geom,in_up,in_down,out_geom,out_up,out_down),
+    num_alleles, and optionally log posteriors (S,A,A)."""
+    lib = get_lib()
+    counts, counts_p = _i32arr([len(x) for x in num_bps])
+    bps, bps_p = _i32arr([v for s in num_bps for v in s])
+    p1 = np.ascontiguousarray([v for s in log_p1s for v in s], dtype=np.float64)
+    p2 = np.ascontiguousarray([v for s in log_p2s for v in s], dtype=np.float64)
+    traj = np.zeros(max_iter + 1)
+    params = np.zeros(6)
+    S = len(num_bps)
+    max_alleles = len(set(v for s in num_bps for v in s)) + 1
+    posts = np.zeros(S * max_alleles * max_alleles) if want_posteriors else None
+    converged = ctypes.c_int(0)
+    num_alleles = ctypes.c_int32(0)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.ro_em_train(
+        int(haploid), motif.encode(), S, counts_p, bps_p,
+        p1.ctypes.data_as(dp), p2.ctypes.data_as(dp), ref_allele,
+        max_iter, min_ll_abs_change, min_ll_frac_change,
+        traj.ctypes.data_as(dp), params.ctypes.data_as(dp),
+        ctypes.byref(converged),
+        posts.ctypes.data_as(dp) if posts is not None else None,
+        ctypes.byref(num_alleles))
+    assert rc >= 0, f"ro_em_train failed: {rc}"
+    out = {"converged": bool(converged.value), "n_iter": rc,
+           "ll_traj": traj[:rc].copy(), "params": params,
+           "num_alleles": num_alleles.value}
+    if want_posteriors and converged.value:
+        A = num_alleles.value
+        out["log_posteriors"] = posts[:S * A * A].reshape(S, A, A).copy()
+    return out
+
+
+def set_genotyper_flags(gls=0, pls=0, phased_gls=0, allreads=0, mallreads=0,
+                        filters=0, hap_data=0, max_flank_indel_frac=0.15):
+    get_lib().ro_set_genotyper_flags(gls, pls, phased_gls, allreads,
+                                     mallreads, filters, hap_data,
+                                     ctypes.c_float(max_flank_indel_frac))
+
+
+def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
+                   reads_by_sample, sample_names, stutter_params,
+                   haploid=False, n_p1s=None, n_p2s=None, skip_assembly=True,
+                   reassemble_flanks=False, indel_flank_len=5,
+                   switch_old_align_len=0, aln_params=None,
+                   max_total_haplotypes=1000, max_flank_haplotypes=4,
+                   min_flank_freq=0.01):
+    """Full reference genotyping + VCF emission
+    (seq_stutter_genotyper.cpp ctor -> genotype() -> write_vcf_record).
+
+    reads_by_sample: per sample, list of read dicts with keys
+    seq, quals, aln (alignment string with '-'), name, start, stop,
+    cigar ('10=2D5=' text), rev (bool), use_for_haps (bool, default True),
+    log_p1, log_p2 (default 0.0).
+    Returns (records, logger_text) where records is a list of
+    (pos, record_text); records is empty if genotyping failed."""
+    lib = get_lib()
+    S = len(reads_by_sample)
+    assert S == len(sample_names)
+    flat = [r for sample in reads_by_sample for r in sample]
+    counts, counts_p = _i32arr([len(s) for s in reads_by_sample])
+    name_cat = "".join(s for s in sample_names).encode()
+    name_lens, name_lens_p = _i32arr([len(s) for s in sample_names])
+
+    def cat_lens(key):
+        c = "".join(r[key] for r in flat).encode()
+        lens, lens_p = _i32arr([len(r[key]) for r in flat])
+        return c, lens, lens_p
+
+    seq_cat, _sl, seq_lens_p = cat_lens("seq")
+    qual_cat, _ql, qual_lens_p = cat_lens("quals")
+    aln_cat, _al, aln_lens_p = cat_lens("aln")
+    rname_cat, _rl, rname_lens_p = cat_lens("name")
+    cig_cat, _cl, cig_lens_p = cat_lens("cigar")
+    starts, starts_p = _i32arr([r["start"] for r in flat])
+    stops, stops_p = _i32arr([r["stop"] for r in flat])
+    rev = np.ascontiguousarray([1 if r.get("rev") else 0 for r in flat],
+                               dtype=np.uint8)
+    ufh = np.ascontiguousarray(
+        [1 if r.get("use_for_haps", True) else 0 for r in flat],
+        dtype=np.uint8)
+    p1 = np.ascontiguousarray([r.get("log_p1", 0.0) for r in flat],
+                              dtype=np.float64)
+    p2 = np.ascontiguousarray([r.get("log_p2", 0.0) for r in flat],
+                              dtype=np.float64)
+    np1, np1_p = _i32arr(n_p1s if n_p1s is not None else [0] * S)
+    np2, np2_p = _i32arr(n_p2s if n_p2s is not None else [0] * S)
+    if aln_params is not None:
+        ap = np.ascontiguousarray(aln_params, dtype=np.float32)
+        ap_ptr = ap.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        n_ap = len(aln_params)
+    else:
+        ap_ptr, n_ap = None, 0
+    cap = 1 << 22
+    out = ctypes.create_string_buffer(cap)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.ro_genotype_locus(
+        chrom_seq.encode(), chrom_name.encode(), region_start, region_end,
+        motif.encode(), int(haploid), S, name_cat, name_lens_p, counts_p,
+        seq_cat, seq_lens_p, qual_cat, qual_lens_p, aln_cat, aln_lens_p,
+        rname_cat, rname_lens_p, starts_p, stops_p,
+        rev.ctypes.data_as(u8p), ufh.ctypes.data_as(u8p),
+        cig_cat, cig_lens_p, p1.ctypes.data_as(dp), p2.ctypes.data_as(dp),
+        np1_p, np2_p, *[float(x) for x in stutter_params],
+        int(skip_assembly), int(reassemble_flanks), indel_flank_len,
+        switch_old_align_len, ap_ptr, n_ap, max_total_haplotypes,
+        max_flank_haplotypes, min_flank_freq, out, cap)
+    raw = out.raw
+    end = raw.index(b"\x00")
+    logger_text = raw[:end].decode()
+    assert rc >= 0, f"ro_genotype_locus failed ({rc}): {logger_text[:2000]}"
+    records = []
+    off = end + 1
+    for _ in range(rc):
+        end = raw.index(b"\x00", off)
+        rec = raw[off:end].decode()
+        off = end + 1
+        pos_s, text = rec.split("\t", 1)
+        records.append((int(pos_s), text))
+    return records, logger_text

@@ -1,0 +1,65 @@
+// Interop shim #2 for the reference-source oracle build (tests only).
+//
+// Round 3 compiles the reference's full genotyping + VCF-emission chain
+// (seq_stutter_genotyper.cpp, em_stutter_genotyper.cpp) into the oracle.
+// Those translation units include headers that are htslib-backed and cannot
+// compile here: vcf_reader.h, vcf_writer.h, bam_processor.h,
+// haplotype_tracker.h.  Force-including this header predefines their include
+// guards so their bodies are skipped, and supplies the minimal declarations
+// the compiled sources actually touch:
+//
+//  - VCF::VCFReader / VCF::Variant: opaque; seq_stutter_genotyper only holds
+//    a VCFReader* (oracle always passes NULL) and vcf_input.h's inline GL
+//    constructors call Variant::has_format_field
+//    (/root/reference/src/vcf_input.h:55-91).
+//  - VCFWriter: the real one heap-buffers record text and bgzf-compresses it
+//    (/root/reference/src/vcf_writer.h:25-88).  write_vcf_record's only
+//    interaction is add_vcf_record(chrom, pos, text)
+//    (/root/reference/src/seq_stutter_genotyper.cpp:1396) — the stub captures
+//    the uncompressed record text so parity tests can diff it byte-for-byte.
+//  - HaplotypeTracker: forward-declared; only appears as a pointer parameter
+//    in snp_tree.h's create_snp_trees declaration.
+//  - bam_processor.h: included by seq_stutter_genotyper.cpp but no symbol
+//    from it is referenced; skipped entirely.
+#ifndef REF_ORACLE_STUB_VCF_LAYER_H_
+#define REF_ORACLE_STUB_VCF_LAYER_H_
+
+#define VCF_READER_H_
+#define VCF_WRITER_H_
+#define BAM_PROCESSOR_H_
+#define HAPLOTYPE_TRACKER_H_
+
+#include <cstdint>
+#include <string>
+#include <vector>
+
+namespace VCF {
+
+class Variant {
+ public:
+  bool has_format_field(const std::string&) const { return false; }
+};
+
+class VCFReader {};
+
+}  // namespace VCF
+
+class HaplotypeTracker;
+
+// Capturing stand-in for the reference VCFWriter: stores (pos, text) pairs
+// in the order add_vcf_record was called.
+class VCFWriter {
+ public:
+  std::vector<int32_t> positions_;
+  std::vector<std::string> chroms_;
+  std::vector<std::string> records_;
+
+  void add_vcf_record(const std::string& chrom, int32_t record_pos,
+                      const std::string& record_text) {
+    chroms_.push_back(chrom);
+    positions_.push_back(record_pos);
+    records_.push_back(record_text);
+  }
+};
+
+#endif

@@ -11,8 +11,10 @@
 // mis-driven oracle call fails the test, not the pytest process (the
 // reference's error.cpp is deliberately not compiled in).
 
+#include <cfloat>
 #include <cstdint>
 #include <cstring>
+#include <sstream>
 #include <stdexcept>
 #include <string>
 #include <vector>
@@ -39,9 +41,36 @@ void printErrorAndDie(std::string message) {
 #include "SeqAlignment/HapAligner.h"
 #undef private
 #include "SeqAlignment/StutterAlignerClass.h"
+// Test-only: genotyper.h's calc_log_sample_posteriors is protected; the EM
+// trajectory driver below calls it step-by-step on an EMStutterGenotyper, so
+// promote access in this TU (GCC does not reorder members by access, and all
+// member functions are defined in TUs compiled with the real specifiers).
+#define protected public
 #include "genotyper.h"
+#undef protected
 #include "SeqAlignment/NeedlemanWunsch.h"
 #include "SeqAlignment/HaplotypeGenerator.h"
+#include "read_pooler.h"
+#include "extract_indels.h"
+#include "snp_tree.h"
+#include "snp_phasing_quality.h"
+// Round 3: the full reference genotyping + VCF emission chain.  Private
+// members are promoted so the oracle can (a) record the EM LL trajectory
+// iteration by iteration and (b) introspect emission state on parity
+// failures; the production entry points used for parity are the public
+// genotype()/train()/write_vcf_record().
+#define private public
+#include "em_stutter_genotyper.h"
+#include "seq_stutter_genotyper.h"
+#undef private
+
+// vcf_input.cpp is htslib-backed and not compiled into the oracle; the
+// ref-VCF path is never exercised (ro_genotype_locus always passes a NULL
+// VCF::VCFReader*), so its externs resolve to aborting stubs here.
+bool read_vcf_alleles(VCF::VCFReader* ref_vcf, const Region& region,
+                      std::vector<std::string>& alleles, int32_t& pos) {
+  throw std::runtime_error("ref_oracle: read_vcf_alleles stub called");
+}
 
 extern "C" {
 
@@ -680,6 +709,335 @@ double ro_stutter_align(const char* block_seq, int period,
     return p;
   } catch (const std::exception&) {
     return 1e30;  // error marker (valid LLs can be tiny positives)
+  }
+}
+
+// ---------------------------------------------------------------------------
+// extract_indels.cpp — ExtractCigar bp-diff extraction (extract_indels.cpp:18-91)
+// ---------------------------------------------------------------------------
+
+int ro_extract_cigar(const char* cigar_types, const int32_t* cigar_nums,
+                     int n_cigar, int cigar_start, int region_start,
+                     int region_end, int* bp_diff) {
+  try {
+    std::vector<CigarOp> ops;
+    for (int i = 0; i < n_cigar; i++)
+      ops.push_back(CigarOp(cigar_types[i], cigar_nums[i]));
+    int diff = 0;
+    bool ok = ExtractCigar(ops, cigar_start, region_start, region_end, diff);
+    *bp_diff = diff;
+    return ok ? 1 : 0;
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// snp_phasing_quality.cpp — het-SNP phasing factors (snp_phasing_quality.cpp:4-120)
+// ---------------------------------------------------------------------------
+
+int ro_snp_phasing(int n_reads, const char* bases_concat,
+                   const int32_t* base_lens, const char* quals_concat,
+                   const int32_t* qual_lens, const int32_t* positions,
+                   const int32_t* end_positions, const char* cigar_concat,
+                   const int32_t* cigar_lens, int n_snps,
+                   const int32_t* snp_pos, const char* snp_b1,
+                   const char* snp_b2, double* out_p1, double* out_p2,
+                   int32_t* out_counts) {
+  try {
+    std::vector<BamAlignment> reads(n_reads);
+    const char* bp = bases_concat;
+    const char* qp = quals_concat;
+    const char* cp = cigar_concat;
+    for (int i = 0; i < n_reads; i++) {
+      reads[i].pos_ = positions[i];
+      reads[i].end_pos_ = end_positions[i];
+      reads[i].bases_.assign(bp, bp + base_lens[i]);
+      bp += base_lens[i];
+      reads[i].qualities_.assign(qp, qp + qual_lens[i]);
+      qp += qual_lens[i];
+      std::string cig(cp, cp + cigar_lens[i]);
+      cp += cigar_lens[i];
+      size_t pos = 0;
+      while (pos < cig.size()) {
+        size_t p2 = pos;
+        while (p2 < cig.size() && isdigit(cig[p2])) p2++;
+        reads[i].cigar_ops_.push_back(
+            CigarOp(cig[p2], atoi(cig.substr(pos, p2 - pos).c_str())));
+        pos = p2 + 1;
+      }
+    }
+    std::vector<SNP> snps;
+    for (int i = 0; i < n_snps; i++)
+      snps.push_back(SNP(snp_pos[i], snp_b1[i], snp_b2[i]));
+    SNPTree tree(snps);
+    BaseQuality bq;
+    std::vector<double> p1s, p2s;
+    int32_t match = 0, mismatch = 0;
+    calc_het_snp_factors(reads, bq, &tree, p1s, p2s, match, mismatch);
+    for (int i = 0; i < n_reads; i++) {
+      out_p1[i] = p1s[i];
+      out_p2[i] = p2s[i];
+    }
+    out_counts[0] = match;
+    out_counts[1] = mismatch;
+    return (int)p1s.size();
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// em_stutter_genotyper.cpp — EM stutter training (em_stutter_genotyper.cpp:170-226)
+//
+// Two instances are built from identical inputs: instance A runs the real
+// train(); instance B replays the loop step by step (same statements as
+// train(), em_stutter_genotyper.cpp:170-226) to record the bit-exact LL
+// after each E-step.  The wrapper asserts A and B converge to bit-identical
+// stutter parameters, so the replay cannot silently diverge from the real
+// control flow.  Returns the iteration count (number of recorded LLs), or
+// 0 if train() returned false (non-convergence), negated on mismatch/error.
+// ---------------------------------------------------------------------------
+
+static void ro_em_params(const StutterModel* m, double* out6) {
+  out6[0] = m->get_parameter(true, 'P');
+  out6[1] = m->get_parameter(true, 'U');
+  out6[2] = m->get_parameter(true, 'D');
+  out6[3] = m->get_parameter(false, 'P');
+  out6[4] = m->get_parameter(false, 'U');
+  out6[5] = m->get_parameter(false, 'D');
+}
+
+int ro_em_train(int haploid, const char* motif, int n_samples,
+                const int32_t* reads_per_sample, const int32_t* num_bps_flat,
+                const double* log_p1_flat, const double* log_p2_flat,
+                int ref_allele, int max_iter, double min_ll_abs_change,
+                double min_ll_frac_change, double* out_traj,
+                double* out_params, int* out_converged,
+                double* out_posteriors /* S*A*A or NULL */,
+                int32_t* out_num_alleles) {
+  try {
+    std::vector<std::string> names;
+    std::vector<std::vector<int> > num_bps(n_samples);
+    std::vector<std::vector<double> > p1(n_samples), p2(n_samples);
+    int idx = 0;
+    for (int s = 0; s < n_samples; s++) {
+      names.push_back("S" + std::to_string(s));
+      for (int r = 0; r < reads_per_sample[s]; r++, idx++) {
+        num_bps[s].push_back(num_bps_flat[idx]);
+        p1[s].push_back(log_p1_flat[idx]);
+        p2[s].push_back(log_p2_flat[idx]);
+      }
+    }
+    std::ostringstream log_a;
+    EMStutterGenotyper em_a(haploid != 0, std::string(motif), num_bps, p1, p2,
+                            names, ref_allele);
+    bool ok = em_a.train(max_iter, min_ll_abs_change, min_ll_frac_change,
+                         false, log_a);
+    *out_converged = ok ? 1 : 0;
+    double params_a[6];
+    if (ok) ro_em_params(em_a.stutter_model_, params_a);
+
+    // Replay (instance B): statements mirror train() so each E-step LL can
+    // be recorded (em_stutter_genotyper.cpp:170-226).
+    EMStutterGenotyper em(haploid != 0, std::string(motif), num_bps, p1, p2,
+                          names, ref_allele);
+    double max_param_diff = 0.0001;
+    em.init_log_gt_priors();
+    em.init_stutter_model();
+    int num_iter = 1, n_traj = 0;
+    double LL = -DBL_MAX;
+    em.use_pop_freqs_ = true;
+    bool ok_b = false;
+    while (num_iter <= max_iter) {
+      em.calc_hap_aln_probs(em.log_aln_probs_);
+      double new_LL = em.calc_log_sample_posteriors();
+      em.recalc_log_read_phase_posteriors();
+      out_traj[n_traj++] = new_LL;
+      if (new_LL < LL + TOLERANCE) {
+        ok_b = true;
+        break;
+      }
+      em.recalc_log_gt_priors();
+      StutterModel* prev_model = em.stutter_model_;
+      em.recalc_stutter_model();
+      double abs_change = new_LL - LL;
+      double frac_change = -(new_LL - LL) / LL;
+      bool converged = false;
+      if (abs_change < min_ll_abs_change && frac_change < min_ll_frac_change)
+        converged = true;
+      else if (em.stutter_model_->parameters_within_threshold(*prev_model,
+                                                              max_param_diff))
+        converged = true;
+      delete prev_model;
+      if (converged) {
+        ok_b = true;
+        break;
+      }
+      LL = new_LL;
+      num_iter++;
+    }
+    if (ok != ok_b) return -2;  // replay diverged from real train()
+    if (ok) {
+      ro_em_params(em.stutter_model_, out_params);
+      if (memcmp(params_a, out_params, sizeof params_a) != 0)
+        return -3;  // replay converged to different parameters
+      *out_num_alleles = em.num_alleles_;
+      if (out_posteriors != NULL) {
+        long n = (long)em.num_samples_ * em.num_alleles_ * em.num_alleles_;
+        memcpy(out_posteriors, em.log_sample_posteriors_, n * sizeof(double));
+      }
+    }
+    return n_traj;
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// seq_stutter_genotyper.cpp — the full reference genotyping + VCF emission
+// chain: constructor/init (:484-506) -> genotype() (:598-665) ->
+// write_vcf_record (:883-1402), with records captured by the stub VCFWriter.
+// ---------------------------------------------------------------------------
+
+void ro_set_genotyper_flags(int gls, int pls, int phased_gls, int allreads,
+                            int mallreads, int filters, int hap_data,
+                            float max_flank_indel_frac) {
+  Genotyper::OUTPUT_GLS = gls;
+  Genotyper::OUTPUT_PLS = pls;
+  Genotyper::OUTPUT_PHASED_GLS = phased_gls;
+  Genotyper::OUTPUT_ALLREADS = allreads;
+  Genotyper::OUTPUT_MALLREADS = mallreads;
+  Genotyper::OUTPUT_FILTERS = filters;
+  Genotyper::OUTPUT_HAPLOTYPE_DATA = hap_data;
+  Genotyper::MAX_FLANK_INDEL_FRAC = max_flank_indel_frac;
+}
+
+// Output encoding (NUL-separated entries in `out`):
+//   entry 0:            logger text
+//   entries 1..n:       "<pos>\t<record_text>" per captured record
+// Returns the number of captured records; 0 => genotype() returned false or
+// initialization failed (logger text explains); negative => exception (entry
+// 0 carries the message).
+int ro_genotype_locus(
+    const char* chrom_seq, const char* chrom_name, int32_t region_start,
+    int32_t region_end, const char* motif, int haploid, int n_samples,
+    const char* sample_names_concat, const int32_t* sample_name_lens,
+    const int32_t* reads_per_sample,
+    // per-read (flattened, grouped by sample)
+    const char* seq_concat, const int32_t* seq_lens, const char* qual_concat,
+    const int32_t* qual_lens, const char* alnstr_concat,
+    const int32_t* alnstr_lens, const char* name_concat,
+    const int32_t* name_lens, const int32_t* starts, const int32_t* stops,
+    const uint8_t* rev_strand, const uint8_t* use_for_haps,
+    const char* cigar_concat, const int32_t* cigar_lens,
+    const double* log_p1_flat, const double* log_p2_flat,
+    const int32_t* n_p1s, const int32_t* n_p2s,
+    // stutter model
+    double in_geom, double in_up, double in_down, double out_geom,
+    double out_up, double out_down,
+    // config
+    int skip_assembly, int reassemble_flanks, int indel_flank_len,
+    int switch_old_align_len, const float* aln_params, int n_aln_params,
+    int max_total_haplotypes, int max_flank_haplotypes, double min_flank_freq,
+    char* out, long cap) {
+  std::ostringstream logger;
+  long off = 0;
+  try {
+    ensure_logs();
+    StutterModel model(in_geom, in_up, in_down, out_geom, out_up, out_down,
+                       std::string(motif));
+    std::vector<StutterModel*> stutter_models(1, &model);
+    Region region(std::string(chrom_name), region_start, region_end,
+                  std::string(motif));
+    RegionGroup group(region);
+
+    std::vector<std::string> sample_names;
+    const char* snp2 = sample_names_concat;
+    for (int s = 0; s < n_samples; s++) {
+      sample_names.push_back(std::string(snp2, snp2 + sample_name_lens[s]));
+      snp2 += sample_name_lens[s];
+    }
+
+    std::vector<Alignment> alns;
+    std::vector<std::vector<double> > p1(n_samples), p2(n_samples);
+    std::vector<int> np1(n_p1s, n_p1s + n_samples),
+        np2(n_p2s, n_p2s + n_samples);
+    const char* sp = seq_concat;
+    const char* qp = qual_concat;
+    const char* ap2 = alnstr_concat;
+    const char* np = name_concat;
+    const char* cp = cigar_concat;
+    int idx = 0;
+    for (int s = 0; s < n_samples; s++) {
+      for (int k = 0; k < reads_per_sample[s]; k++, idx++) {
+        std::string seq(sp, sp + seq_lens[idx]);
+        sp += seq_lens[idx];
+        std::string quals(qp, qp + qual_lens[idx]);
+        qp += qual_lens[idx];
+        std::string alnstr(ap2, ap2 + alnstr_lens[idx]);
+        ap2 += alnstr_lens[idx];
+        std::string name(np, np + name_lens[idx]);
+        np += name_lens[idx];
+        std::string cig(cp, cp + cigar_lens[idx]);
+        cp += cigar_lens[idx];
+        Alignment a(starts[idx], stops[idx], rev_strand[idx] != 0, false,
+                    name, quals, seq, alnstr);
+        std::vector<CigarElement> cl;
+        size_t pos = 0;
+        while (pos < cig.size()) {
+          size_t pe = pos;
+          while (pe < cig.size() && isdigit(cig[pe])) pe++;
+          cl.push_back(
+              CigarElement(cig[pe], atoi(cig.substr(pos, pe - pos).c_str())));
+          pos = pe + 1;
+        }
+        a.set_cigar_list(cl);
+        a.set_hap_gen_info(std::vector<bool>(1, use_for_haps[idx] != 0));
+        alns.push_back(a);
+        p1[s].push_back(log_p1_flat[idx]);
+        p2[s].push_back(log_p2_flat[idx]);
+      }
+    }
+
+    std::vector<float> params;
+    for (int i = 0; i < n_aln_params; i++) params.push_back(aln_params[i]);
+
+    SeqStutterGenotyper gt(group, haploid != 0, reassemble_flanks != 0, alns,
+                           p1, p2, np1, np2, sample_names,
+                           std::string(chrom_seq), stutter_models, NULL,
+                           logger, skip_assembly != 0, indel_flank_len,
+                           switch_old_align_len, params);
+
+    int n_records = 0;
+    if (gt.genotype(max_total_haplotypes, max_flank_haplotypes,
+                    min_flank_freq, logger)) {
+      VCFWriter writer;
+      std::ostringstream html;
+      gt.write_vcf_record(sample_names, std::string(chrom_seq), false, false,
+                          html, &writer, logger);
+      std::string log_text = logger.str();
+      if ((long)log_text.size() + 1 > cap) return -4;
+      memcpy(out, log_text.c_str(), log_text.size() + 1);
+      off = (long)log_text.size() + 1;
+      for (size_t r = 0; r < writer.records_.size(); r++) {
+        std::string rec = std::to_string(writer.positions_[r]) + "\t" +
+                          writer.records_[r];
+        if (off + (long)rec.size() + 1 > cap) return -4;
+        memcpy(out + off, rec.c_str(), rec.size() + 1);
+        off += (long)rec.size() + 1;
+      }
+      n_records = (int)writer.records_.size();
+    } else {
+      std::string log_text = logger.str();
+      if ((long)log_text.size() + 1 > cap) return -4;
+      memcpy(out, log_text.c_str(), log_text.size() + 1);
+    }
+    return n_records;
+  } catch (const std::exception& e) {
+    std::string msg = std::string("EXC:") + e.what() + "\n" + logger.str();
+    if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
+    return -1;
   }
 }
 
