@@ -176,7 +176,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         s, i32p, dp, dp, i32p, i32p,
         d, d, d, d, d, d,
-        i, i, i, i, fp, i, i, i, d, s, ctypes.c_long]
+        i, i, i, i, fp, i, i, i, d, i, s, i32p, s, ctypes.c_long]
 
     _lib = lib
     return _lib
@@ -616,7 +616,7 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
                    reassemble_flanks=False, indel_flank_len=5,
                    switch_old_align_len=0, aln_params=None,
                    max_total_haplotypes=1000, max_flank_haplotypes=4,
-                   min_flank_freq=0.01):
+                   min_flank_freq=0.01, vcf_sample_names=None):
     """Full reference genotyping + VCF emission
     (seq_stutter_genotyper.cpp ctor -> genotype() -> write_vcf_record).
 
@@ -631,6 +631,12 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
     assert S == len(sample_names)
     flat = [r for sample in reads_by_sample for r in sample]
     counts, counts_p = _i32arr([len(s) for s in reads_by_sample])
+    if vcf_sample_names is None:
+        n_vcf, vname_cat, vname_lens_p = 0, b"", None
+    else:
+        n_vcf = len(vcf_sample_names)
+        vname_cat = "".join(vcf_sample_names).encode()
+        _vl, vname_lens_p = _i32arr([len(s) for s in vcf_sample_names])
     name_cat = "".join(s for s in sample_names).encode()
     name_lens, name_lens_p = _i32arr([len(s) for s in sample_names])
 
@@ -677,7 +683,8 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
         np1_p, np2_p, *[float(x) for x in stutter_params],
         int(skip_assembly), int(reassemble_flanks), indel_flank_len,
         switch_old_align_len, ap_ptr, n_ap, max_total_haplotypes,
-        max_flank_haplotypes, min_flank_freq, out, cap)
+        max_flank_haplotypes, min_flank_freq, n_vcf, vname_cat,
+        vname_lens_p, out, cap)
     raw = out.raw
     end = raw.index(b"\x00")
     logger_text = raw[:end].decode()

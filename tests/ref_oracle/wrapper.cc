@@ -940,7 +940,10 @@ int ro_genotype_locus(
     int skip_assembly, int reassemble_flanks, int indel_flank_len,
     int switch_old_align_len, const float* aln_params, int n_aln_params,
     int max_total_haplotypes, int max_flank_haplotypes, double min_flank_freq,
-    char* out, long cap) {
+    // sample columns for the emitted record (may be a superset of the
+    // cohort; 0 => use the cohort names)
+    int n_vcf_samples, const char* vcf_names_concat,
+    const int32_t* vcf_name_lens, char* out, long cap) {
   std::ostringstream logger;
   long off = 0;
   try {
@@ -1009,12 +1012,23 @@ int ro_genotype_locus(
                            logger, skip_assembly != 0, indel_flank_len,
                            switch_old_align_len, params);
 
+    std::vector<std::string> vcf_samples;
+    if (n_vcf_samples == 0) {
+      vcf_samples = sample_names;
+    } else {
+      const char* vp = vcf_names_concat;
+      for (int s = 0; s < n_vcf_samples; s++) {
+        vcf_samples.push_back(std::string(vp, vp + vcf_name_lens[s]));
+        vp += vcf_name_lens[s];
+      }
+    }
+
     int n_records = 0;
     if (gt.genotype(max_total_haplotypes, max_flank_haplotypes,
                     min_flank_freq, logger)) {
       VCFWriter writer;
       std::ostringstream html;
-      gt.write_vcf_record(sample_names, std::string(chrom_seq), false, false,
+      gt.write_vcf_record(vcf_samples, std::string(chrom_seq), false, false,
                           html, &writer, logger);
       std::string log_text = logger.str();
       if ((long)log_text.size() + 1 > cap) return -4;
