@@ -14,13 +14,34 @@ with no behavioural effect beyond float noise.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from longtr_tpu.models.stutter import StutterModel, _c_div
+from longtr_tpu.utils import mathops
 from longtr_tpu.utils.mathops import LOG_ONE_HALF, fast_log_sum_exp, \
-    fast_log_sum_exp2, fast_log_sum_exp2_arr
+    fast_log_sum_exp2, fast_log_sum_exp2_arr, int_log, \
+    streaming_lse_finish, streaming_lse_update
 
 TOLERANCE = 1e-10
+
+# Haploid heterozygote prior in the reference's EM initialization
+# (em_stutter_genotyper.cpp:142: -DBL_MAX/2)
+_NEG_HALF_DBL_MAX = -np.finfo(np.float64).max / 2
+
+
+def _lse_seq(vals) -> float:
+    """Exact LSE with the reference's strict-sequential accumulation order
+    (mathops.cpp:44-49); numpy's pairwise np.sum can differ in the last ulp
+    for longer vectors, which matters in fidelity mode."""
+    m = float(np.max(vals))
+    if not np.isfinite(m):
+        return m
+    total = 0.0
+    for v in np.asarray(vals, dtype=np.float64).ravel():
+        total += math.exp(v - m)
+    return m + math.log(total)
 
 
 def _lse(arr, axis=None):
@@ -65,7 +86,15 @@ class EMStutterGenotyper:
         counts = np.ones(self.num_alleles)
         np.add.at(counts, self.allele_index,
                   1.0 / self.reads_per_sample[self.sample_label])
-        self.log_gt_priors = np.log(counts) - np.log(counts.sum())
+        if mathops.ref_fidelity():
+            total = 0.0
+            for c in counts:            # reference `sum` is sequential
+                total += float(c)
+            log_total = math.log(total)
+            self.log_gt_priors = np.array(
+                [math.log(float(c)) - log_total for c in counts])
+        else:
+            self.log_gt_priors = np.log(counts) - np.log(counts.sum())
 
     # -- E step -------------------------------------------------------------
     def _pmf_matrix(self):
@@ -184,6 +213,141 @@ class EMStutterGenotyper:
         self.stutter_model = StutterModel(in_pgeom, in_pup, in_pdown,
                                           out_pgeom, out_pup, out_pdown, self.motif)
 
+    # -- reference-fidelity step variants ----------------------------------
+    # Bit-exact mirrors of the reference's floating-point operation ORDER,
+    # active under mathops.set_ref_fidelity(True); asserted bit-identical to
+    # the compiled em_stutter_genotyper.cpp by tests/test_record_parity.py's
+    # sibling EM suite.  The default (vectorized-exact) paths above remain
+    # the production math.
+
+    def _calc_posteriors_fid(self, LL):
+        """calc_log_sample_posteriors with reference accumulation order
+        (genotyper.cpp:45-83): raw log(exp+exp) per read accumulated in read
+        order, per-sample exact LSE, sequential total."""
+        A, S = self.num_alleles, self.num_samples
+        if self.haploid:
+            prior = np.full((A, A), _NEG_HALF_DBL_MAX)
+            np.fill_diagonal(prior, self.log_gt_priors)
+        else:
+            prior = self.log_gt_priors[:, None] + self.log_gt_priors[None, :]
+        LLc = np.clip(LL, -600.0, None)
+        a = LLc + self.log_p1[:, None] + LOG_ONE_HALF
+        b = LLc + self.log_p2[:, None] + LOG_ONE_HALF
+        # scalar libm exp/log: numpy's SIMD array ufuncs can differ from the
+        # reference's libm calls in the last ulp
+        ea = np.array([[math.exp(v) for v in row] for row in a])
+        eb = np.array([[math.exp(v) for v in row] for row in b])
+        Tsum = ea[:, :, None] + eb[:, None, :]
+        T = np.array([[[math.log(v) for v in row] for row in mat]
+                      for mat in Tsum])
+        P = np.tile(prior[None], (S, 1, 1))
+        np.add.at(P, self.sample_label, T)
+        totals = np.array([_lse_seq(P[s]) for s in range(S)])
+        P -= totals[:, None, None]
+        self.posteriors = P
+        self.sample_total_lls = totals
+        total = 0.0
+        for t in totals:          # reference `sum` is strictly sequential
+            total += float(t)
+        return total
+
+    def _recalc_log_gt_priors_fid(self):
+        """Streaming-LSE prior recount in reference order
+        (em_stutter_genotyper.cpp:21-56)."""
+        A, S = self.num_alleles, self.num_samples
+        P = self.posteriors
+        maxv = np.full(A, _NEG_HALF_DBL_MAX)
+        tot = np.zeros(A)
+        for s in range(S):
+            for i1 in range(A):
+                maxv[i1], tot[i1] = streaming_lse_update(
+                    _lse_seq(P[s, i1, :]), maxv[i1], tot[i1])
+        for s in range(S):
+            flat = P[s].ravel()
+            k = 0
+            for _i1 in range(A):
+                for i2 in range(A):
+                    maxv[i2], tot[i2] = streaming_lse_update(
+                        float(flat[k]), maxv[i2], tot[i2])
+                    k += 1
+        pri = np.array([streaming_lse_finish(maxv[i], tot[i])
+                        for i in range(A)])
+        self.log_gt_priors = pri - _lse_seq(pri)
+
+    def _recalc_stutter_model_fid(self, phase_post):
+        """M-step with the reference's category-list push order and exact/
+        fast LSE split (em_stutter_genotyper.cpp:63-127)."""
+        R, A = self.num_reads, self.num_alleles
+        P = self.posteriors[self.sample_label]          # (R, A, A)
+        factor = P[..., None] + phase_post              # (R, A, A, 2)
+        d1 = (self.bps_per_allele[self.allele_index][:, None]
+              - self.bps_per_allele[None, :])           # (R, A)
+        D = np.empty((R, A, A, 2), dtype=np.int64)
+        D[..., 0] = d1[:, :, None]
+        D[..., 1] = d1[:, None, :]
+        flat_f = factor.ravel()                         # reference push order
+        flat_d = D.ravel()
+
+        p = self.motif_len
+        in_frame = (flat_d % p) == 0
+        rep = _c_div(flat_d, p)
+        eff = flat_d - rep
+
+        log11 = math.log(1.1)
+        in_up = [0.0]
+        in_down = [0.0]
+        in_eq = [0.0]
+        in_diffs = [0.0, log11]
+        out_up = [0.0]
+        out_down = [0.0]
+        out_diffs = [0.0, log11]
+        # int_log lookups over the few distinct magnitudes
+        mag_log = {}
+
+        def ilog(v):
+            v = int(v)
+            if v not in mag_log:
+                mag_log[v] = int_log(v)
+            return mag_log[v]
+
+        m = flat_d == 0
+        in_eq.extend(flat_f[m].tolist())
+        m_inf = in_frame & (flat_d != 0)
+        for f, r, d in zip(flat_f[m_inf].tolist(), rep[m_inf].tolist(),
+                           flat_d[m_inf].tolist()):
+            in_diffs.append(f + ilog(abs(r)))
+            if d > 0:
+                in_up.append(f)
+            else:
+                in_down.append(f)
+        m_out = ~in_frame
+        for f, e, d in zip(flat_f[m_out].tolist(), eff[m_out].tolist(),
+                           flat_d[m_out].tolist()):
+            out_diffs.append(f + ilog(abs(e)))
+            if d > 0:
+                out_up.append(f)
+            else:
+                out_down.append(f)
+
+        in_tot_up = fast_log_sum_exp(in_up)
+        in_tot_down = fast_log_sum_exp(in_down)
+        in_tot_eq = fast_log_sum_exp(in_eq)
+        in_tot_diffs = fast_log_sum_exp(in_diffs)
+        out_tot_up = fast_log_sum_exp(out_up)
+        out_tot_down = fast_log_sum_exp(out_down)
+        out_tot_diffs = fast_log_sum_exp(out_diffs)
+        out_tot = fast_log_sum_exp2(out_tot_up, out_tot_down)
+        in_pgeom = min(0.999, math.exp(
+            mathops.log_sum_exp2(in_tot_up, in_tot_down) - in_tot_diffs))
+        out_pgeom = min(0.999, math.exp(out_tot - out_tot_diffs))
+        log_total = mathops.log_sum_exp2(
+            mathops.log_sum_exp3(in_tot_up, in_tot_down, in_tot_eq), out_tot)
+        self.stutter_model = StutterModel(
+            in_pgeom, math.exp(in_tot_up - log_total),
+            math.exp(in_tot_down - log_total), out_pgeom,
+            math.exp(out_tot_up - log_total),
+            math.exp(out_tot_down - log_total), self.motif)
+
     # -- device (mesh) E-step ----------------------------------------------
     def _estep_category_tables(self):
         """(cat, w_in, w_out) (R, A) arrays for the device E-step: category
@@ -255,6 +419,7 @@ class EMStutterGenotyper:
         the closed-form M step stays host-side.
         """
         max_param_diff = 0.0001
+        fid = mathops.ref_fidelity() and mesh is None
         self._init_log_gt_priors()
         self.stutter_model = StutterModel(0.9, 0.1, 0.1, 0.8, 0.01, 0.01, self.motif)
         LL = -np.inf
@@ -265,6 +430,9 @@ class EMStutterGenotyper:
             aln_LL = self._pmf_matrix()
             if mesh is not None:
                 new_LL = self._estep_mesh(mesh, aln_LL, cat, w_in, w_out)
+            elif fid:
+                new_LL = self._calc_posteriors_fid(aln_LL)
+                phase_post = self._calc_read_phase_posteriors(aln_LL)
             else:
                 new_LL = self._calc_posteriors(aln_LL)
                 phase_post = self._calc_read_phase_posteriors(aln_LL)
@@ -273,10 +441,15 @@ class EMStutterGenotyper:
             assert new_LL <= TOLERANCE
             if new_LL < LL + TOLERANCE:
                 return True  # non-monotonic due to pseudocounts: accept
-            self._recalc_log_gt_priors()
+            if fid:
+                self._recalc_log_gt_priors_fid()
+            else:
+                self._recalc_log_gt_priors()
             prev = self.stutter_model
             if mesh is not None:
                 self._recalc_stutter_model_from_stats(self._mesh_stats)
+            elif fid:
+                self._recalc_stutter_model_fid(phase_post)
             else:
                 self._recalc_stutter_model(phase_post)
             abs_change = new_LL - LL

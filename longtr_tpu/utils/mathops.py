@@ -57,6 +57,13 @@ def log_sum_exp2(a: float, b: float) -> float:
     return b + math.log(1.0 + math.exp(a - b))
 
 
+def log_sum_exp3(a: float, b: float, c: float) -> float:
+    """Three-argument exact LSE with the reference's exact float expression
+    (mathops.cpp:59-62)."""
+    m = max(max(a, b), c)
+    return m + math.log(math.exp(a - m) + math.exp(b - m) + math.exp(c - m))
+
+
 _ref_fidelity = os.environ.get("LONGTR_REF_FIDELITY", "") == "1"
 
 

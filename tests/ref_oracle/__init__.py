@@ -164,7 +164,7 @@ def get_lib():
 
     lib.ro_em_train.restype = i
     lib.ro_em_train.argtypes = [i, s, i, i32p, i32p, dp, dp, i, i, d, d,
-                                dp, dp, ip, dp, i32p]
+                                dp, dp, ip, dp, i32p, dp]
 
     lib.ro_set_genotyper_flags.restype = None
     lib.ro_set_genotyper_flags.argtypes = [i, i, i, i, i, i, i, f]
@@ -581,10 +581,14 @@ def em_train(haploid, motif, num_bps, log_p1s, log_p2s, ref_allele,
     params = np.zeros(6)
     S = len(num_bps)
     max_alleles = len(set(v for s in num_bps for v in s)) + 1
-    posts = np.zeros(S * max_alleles * max_alleles) if want_posteriors else None
+    posts = (np.zeros(S * max_alleles * max_alleles + max_alleles + 6)
+             if want_posteriors else None)
     converged = ctypes.c_int(0)
     num_alleles = ctypes.c_int32(0)
     dp = ctypes.POINTER(ctypes.c_double)
+    R = int(counts.sum())
+    phase = (np.zeros(R * max_alleles * max_alleles * 2)
+             if want_posteriors else None)
     rc = lib.ro_em_train(
         int(haploid), motif.encode(), S, counts_p, bps_p,
         p1.ctypes.data_as(dp), p2.ctypes.data_as(dp), ref_allele,
@@ -592,7 +596,8 @@ def em_train(haploid, motif, num_bps, log_p1s, log_p2s, ref_allele,
         traj.ctypes.data_as(dp), params.ctypes.data_as(dp),
         ctypes.byref(converged),
         posts.ctypes.data_as(dp) if posts is not None else None,
-        ctypes.byref(num_alleles))
+        ctypes.byref(num_alleles),
+        phase.ctypes.data_as(dp) if phase is not None else None)
     assert rc >= 0, f"ro_em_train failed: {rc}"
     out = {"converged": bool(converged.value), "n_iter": rc,
            "ll_traj": traj[:rc].copy(), "params": params,
@@ -600,6 +605,10 @@ def em_train(haploid, motif, num_bps, log_p1s, log_p2s, ref_allele,
     if want_posteriors and converged.value:
         A = num_alleles.value
         out["log_posteriors"] = posts[:S * A * A].reshape(S, A, A).copy()
+        n = S * A * A
+        out["iter1_priors"] = posts[n:n + A].copy()
+        out["iter1_params"] = posts[n + A:n + A + 6].copy()
+        out["iter1_phase"] = phase[:R * A * A * 2].reshape(R, A, A, 2).copy()
     return out
 
 

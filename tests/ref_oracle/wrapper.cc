@@ -815,8 +815,10 @@ int ro_em_train(int haploid, const char* motif, int n_samples,
                 double min_ll_frac_change, double* out_traj,
                 double* out_params, int* out_converged,
                 double* out_posteriors /* S*A*A or NULL */,
-                int32_t* out_num_alleles) {
+                int32_t* out_num_alleles,
+                double* out_iter1_phase /* R*A*A*2 or NULL */) {
   try {
+    ensure_logs();  // hipstr_main calls precompute_integer_logs at startup
     std::vector<std::string> names;
     std::vector<std::vector<int> > num_bps(n_samples);
     std::vector<std::vector<double> > p1(n_samples), p2(n_samples);
@@ -853,14 +855,30 @@ int ro_em_train(int haploid, const char* motif, int n_samples,
       em.calc_hap_aln_probs(em.log_aln_probs_);
       double new_LL = em.calc_log_sample_posteriors();
       em.recalc_log_read_phase_posteriors();
+      if (num_iter == 1 && out_iter1_phase != NULL) {
+        long n = (long)em.num_reads_ * em.num_alleles_ * em.num_alleles_ * 2;
+        memcpy(out_iter1_phase, em.log_read_phase_posteriors_,
+               n * sizeof(double));
+      }
       out_traj[n_traj++] = new_LL;
       if (new_LL < LL + TOLERANCE) {
         ok_b = true;
         break;
       }
       em.recalc_log_gt_priors();
+      if (num_iter == 1 && out_posteriors != NULL) {
+        // debug tap: first-iteration recounted priors land after the
+        // posterior block so parity failures can be localized
+        long n = (long)em.num_samples_ * em.num_alleles_ * em.num_alleles_;
+        memcpy(out_posteriors + n, em.log_gt_priors_,
+               em.num_alleles_ * sizeof(double));
+      }
       StutterModel* prev_model = em.stutter_model_;
       em.recalc_stutter_model();
+      if (num_iter == 1 && out_posteriors != NULL) {
+        long n = (long)em.num_samples_ * em.num_alleles_ * em.num_alleles_;
+        ro_em_params(em.stutter_model_, out_posteriors + n + em.num_alleles_);
+      }
       double abs_change = new_LL - LL;
       double frac_change = -(new_LL - LL) / LL;
       bool converged = false;
