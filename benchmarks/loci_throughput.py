@@ -14,8 +14,13 @@ error on short motifs at 20x — candidate generation cannot separate
 (default vs raised-gap vs EM-learned stutter all land within 0.5%);
 the run's purpose is robustness (all loci must still call cleanly).
 
+--em drops the default stutter model so every locus trains one by EM
+(--no-def-stutter-model --stutter-out); under a mesh/TPU backend the whole
+train loop runs device-side in one dispatch per locus
+(parallel/mesh.em_train_sharded).
+
 Usage: python benchmarks/loci_throughput.py [n_loci] [--cpu] [--vntr]
-       [--ont] [--workers N] [--repeat N]
+       [--ont] [--em] [--workers N] [--repeat N]
 """
 
 import os
@@ -95,6 +100,7 @@ def main():
     # --ont: BASELINE config 5 — high-error reads (2% subs + 2% indels)
     # with the raised-gap-open alignment params from the reference README
     ont = "--ont" in sys.argv
+    em = "--em" in sys.argv
     workers = 1
     if "--workers" in sys.argv:
         workers = int(sys.argv[sys.argv.index("--workers") + 1])
@@ -132,6 +138,9 @@ def main():
                       + (["--alignment-params=-1.5,-0.3,-1.5,-0.3,"
                           "-0.0001,-8.0,-8.0", "--max-tr-len", "1000"]
                          if ont and not vntr else [])
+                      + (["--no-def-stutter-model", "--stutter-out",
+                          os.path.join(tmpdir, f"stutter{r}.txt")]
+                         if em else [])
                       + (["--workers", str(workers)] if workers > 1 else []))
         dt_r = time.time() - t0
         assert rc == 0
