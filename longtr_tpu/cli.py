@@ -145,6 +145,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "chunks — keeps each host's BAM-window/FASTA IO "
                         "proportional to its share; use for whole-genome "
                         "multi-host runs")
+    p.add_argument("--distributed", action="store_true",
+                   help="Multi-process run over jax.distributed: each "
+                        "process handles the jax.process_index()-th block "
+                        "shard; process 0 merges after a barrier. Pass "
+                        "--coordinator/--num-processes/--process-id or rely "
+                        "on cluster auto-detection")
+    p.add_argument("--coordinator", default="",
+                   help="jax.distributed coordinator address (host:port)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Total process count for --distributed")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="This process's index for --distributed")
     p.add_argument("--workers", type=int, default=1,
                    help="Run N shard worker processes on this host and merge "
                         "their outputs into the requested files (the "
@@ -241,6 +253,95 @@ def main(argv=None):
         raise
 
 
+def _shard_path(path, i):
+    # Keep the .gz suffix last so CLI validation and bgzf detection
+    # (both keyed on endswith(".gz")) still hold for shard files.
+    if path.endswith(".gz"):
+        return path[:-3] + f".shard{i}.gz"
+    return path + f".shard{i}"
+
+
+# output flags rewritten to per-shard paths in --workers / --distributed runs
+_SHARDED_OUTPUT_FLAGS = {"--tr-vcf", "--metrics-out", "--checkpoint", "--log",
+                         "--viz-out", "--stutter-out", "--pass-bam",
+                         "--filt-bam", "--jax-profile"}
+
+
+def _run_distributed(argv, args):
+    """Multi-process run over jax.distributed (SURVEY §2.10).
+
+    Each process initializes the JAX distributed runtime, processes the
+    ``jax.process_index()``-th block shard of the catalog through the normal
+    in-process pipeline (its own chips/devices), then all processes join a
+    coordination-service barrier and process 0 heap-merges the per-shard
+    outputs — the same shard + merge primitives the --workers fan-out uses,
+    so merged output is byte-identical to a single-process run (test
+    enforced, tests/test_distributed.py)."""
+    import os
+
+    platform = os.environ.get("LONGTR_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+    import jax
+    kw = {}
+    if args.coordinator:
+        kw = dict(coordinator_address=args.coordinator,
+                  num_processes=args.num_processes,
+                  process_id=args.process_id)
+    jax.distributed.initialize(**kw)
+    pidx, n = jax.process_index(), jax.process_count()
+
+    # Rewrite argv: strip the distributed flags, point outputs at this
+    # process's shard paths, pin the catalog shard (block mode keeps each
+    # host's IO proportional to its share; see multihost.shard_regions).
+    drop_with_value = {"--coordinator", "--num-processes", "--process-id"}
+    base = []
+    it = iter(argv)
+    for a in it:
+        if a == "--distributed":
+            continue
+        key = a.split("=", 1)[0]
+        if key in drop_with_value:
+            if "=" not in a:
+                next(it, None)
+            continue
+        if "=" in a and key in _SHARDED_OUTPUT_FLAGS:
+            base += a.split("=", 1)
+            continue
+        base.append(a)
+        if a in _SHARDED_OUTPUT_FLAGS:
+            base.append(next(it))
+    wargv = []
+    j = 0
+    while j < len(base):
+        a = base[j]
+        if a in _SHARDED_OUTPUT_FLAGS:
+            wargv += [a, _shard_path(base[j + 1], pidx)]
+            j += 2
+            continue
+        wargv.append(a)
+        j += 1
+    wargv += ["--shard", f"{pidx}/{n}", "--shard-mode", "block"]
+
+    rc = _main(wargv)
+    if rc:
+        return rc
+
+    # Coordination-service barrier: every process must have written its
+    # shard before rank 0 merges.
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(
+        "longtr_shard_outputs_done", 600_000)
+    if pidx != 0:
+        return 0
+
+    def shards_of(path):
+        return [_shard_path(path, i) for i in range(n)]
+
+    return _merge_shard_outputs(args, shards_of)
+
+
 def _run_workers(argv, args):
     """Fork N single-shard CLI subprocesses and merge their outputs.
 
@@ -251,9 +352,7 @@ def _run_workers(argv, args):
     import os
     import subprocess
     n = args.workers
-    rewrite = {"--tr-vcf", "--metrics-out", "--checkpoint", "--log",
-               "--viz-out", "--stutter-out", "--pass-bam", "--filt-bam",
-               "--jax-profile"}
+    rewrite = _SHARDED_OUTPUT_FLAGS
     base = []
     it = iter(argv)
     for a in it:
@@ -271,13 +370,7 @@ def _run_workers(argv, args):
         base.append(a)
         if a in rewrite:
             base.append(next(it))
-    def shard_path(path, i):
-        # Keep the .gz suffix last so CLI validation and bgzf detection
-        # (both keyed on endswith(".gz")) still hold for shard files.
-        if path.endswith(".gz"):
-            return path[:-3] + f".shard{i}.gz"
-        return path + f".shard{i}"
-
+    shard_path = _shard_path
     procs = []
     for i in range(n):
         wargv = []
@@ -297,12 +390,20 @@ def _run_workers(argv, args):
     if failed:
         sys.exit(f"ERROR: worker shard(s) {failed} failed")
 
+    def shards_of(path):
+        return [shard_path(path, i) for i in range(n)]
+
+    return _merge_shard_outputs(args, shards_of)
+
+
+def _merge_shard_outputs(args, shards_of):
+    """Merge per-shard outputs into the final paths (rank-0 side of both
+    --workers fan-out and --distributed multi-process runs)."""
+    import os
+
     from longtr_tpu.io.tabix import build_tbi
     from longtr_tpu.parallel.multihost import (merge_sorted_vcfs,
                                                merge_text_blocks)
-
-    def shards_of(path):
-        return [shard_path(path, i) for i in range(n)]
 
     if args.tr_vcf and not args.skip_genotyping:
         parts = shards_of(args.tr_vcf)
@@ -359,6 +460,8 @@ def _main(argv=None):
         argv = sys.argv[1:]
     args = build_parser().parse_args(argv)
     import os
+    if args.distributed:
+        return _run_distributed(argv, args)
     if args.workers > 1 and not args.shard:
         return _run_workers(argv, args)
     if args.ref_fidelity:
