@@ -186,9 +186,13 @@ def main():
           f"({100 * rate:.1f}%)", flush=True)
     # Threshold: de novo TR mutation rates are ~1e-4/locus; residual
     # discordance here reflects genotyping errors (plus the majority-vote
-    # reference estimate).  Fail the smoke below 80%.
+    # reference estimate).  The 3 known-inconsistent loci on the bundled
+    # trio are each explained (README "Mendelian validation": one
+    # GLDIFF=0.00 tie-broken low-depth VNTR call, two reference-faithful
+    # homopolymer stutter het-overcalls), setting the explained rate at
+    # 34/37 = 0.919; the gate fails below 0.9.
     assert n_full >= min(5, n_rec), "too few fully-called trio loci"
-    assert rate >= 0.8, f"Mendelian consistency {rate:.2f} below threshold"
+    assert rate >= 0.9, f"Mendelian consistency {rate:.2f} below threshold"
     return 0
 
 
