@@ -116,7 +116,106 @@ else:
         run()
     dt = (time.time() - t0) / iters
 cells = float((hap_lens.astype(np.int64) * read_lens).sum())
-print(json.dumps({"cells_per_s": cells / dt}))
+out = {"cells_per_s": cells / dt}
+
+# --- j-chunked streaming kernel at VNTR scale (8kb x 8kb pairs) -----------
+# The resident number above covers short-STR shapes; product value on
+# VNTR catalogs rides the chunked kernel (VERDICT r2 weak 4).
+from longtr_tpu.ops.pairhmm_pallas import JCHUNK, _pallas_call_chunked_u8, chunked_fits
+NC = MC = 8192
+BC = 128
+if chunked_fits(NC, MC):
+    rng2 = np.random.default_rng(1)
+    hapc = rng2.integers(0, 4, size=(BC, NC), dtype=np.uint8)
+    readc = np.array(hapc[:, :MC])
+    mut = rng2.random(readc.shape) < 0.01
+    readc[mut] = (readc[mut] + 1 + rng2.integers(0, 3, mut.sum())) % 4
+    hlc = np.full(BC, NC, np.int32)
+    rlc = np.full(BC, MC, np.int32)
+    flc = hlc + 60
+    if jax.default_backend() in ("tpu", "axon"):
+        import jax.numpy as jnp
+        hap_d = jax.device_put(hapc)
+        read_d = jax.device_put(readc)
+        hl2 = jax.device_put(hlc[None, :]); rl2 = jax.device_put(rlc[None, :])
+        fl2 = jax.device_put(flc[None, :])
+        tr2 = jax.device_put(jnp.asarray(params.as_array()))
+
+        @jax.jit
+        def _cchain(t, prevv):
+            return _pallas_call_chunked_u8(hap_d, hl2, read_d, rl2, fl2,
+                                           t + prevv[0] * 0.0)
+
+        pc = _pallas_call_chunked_u8(hap_d, hl2, read_d, rl2, fl2, tr2)
+        np.asarray(_cchain(tr2, pc))  # compile
+
+        def cchain(n):
+            t0 = time.time()
+            p = pc
+            for _ in range(n):
+                p = _cchain(tr2, p)
+            np.asarray(p)
+            return time.time() - t0
+
+        cchain(1)
+        deltas = sorted(max(cchain(4) - cchain(1), 1e-9) for _ in range(3))
+        dtc = deltas[1] / 3
+    else:
+        def crun():
+            np.asarray(_pallas_call_chunked_u8(
+                hapc, hlc[None, :], readc, rlc[None, :], flc[None, :],
+                params.as_array(), interpret=True))
+        # interpret-mode CPU chunked run is too slow to time honestly; skip
+        dtc = None
+    if dtc:
+        out["chunked_cells_per_s"] = float(BC) * NC * MC / dtc
+
+# --- mode-B device path (legacy stutter alignment, period-1) --------------
+from longtr_tpu.haplotype.blocks import HapBlock, Haplotype, RepeatBlock
+from longtr_tpu.models.stutter import StutterModel
+from longtr_tpu.pipeline.mode_b import ModeBAligner, calc_seed_base
+from longtr_tpu.pipeline.alignment import Alignment
+rng3 = np.random.default_rng(2)
+basesl = list("ACGT")
+lf = "".join(rng3.choice(basesl, 35).tolist())
+rf = "".join(rng3.choice(basesl, 35).tolist())
+rep = "A" * 18
+model = StutterModel(0.9, 0.05, 0.05, 0.9, 0.01, 0.01, "A")
+rs_ = 1000 + len(lf)
+blocks = [HapBlock(1000, rs_, lf)]
+rb = RepeatBlock(rs_, rs_ + len(rep), rep, 1, model)
+for d in (-2, -1, 1):
+    rb.add_alternate("A" * (18 + d))
+blocks.append(rb)
+blocks.append(HapBlock(rs_ + len(rep), rs_ + len(rep) + len(rf), rf))
+hap_b = Haplotype(blocks)
+aligner = ModeBAligner(hap_b)
+hap_start, hap_end = 1000, rs_ + len(rep) + len(rf)
+pools = []
+for k in range(512):
+    allele = "A" * (18 + int(rng3.integers(-2, 2)))
+    seq = lf + allele + rf
+    pools.append(Alignment(1000, 1000 + len(lf) + len(rep) + len(rf) - 1,
+                           False, False, f"p{k}", "I" * len(seq), seq,
+                           alignment=seq, cigar=[("=", len(seq))]))
+seeds = [calc_seed_base(a, aligner.repeat_starts, aligner.repeat_ends,
+                        hap_start, hap_end) for a in pools]
+valid = [i for i, s in enumerate(seeds) if s >= 0]
+alns_v = [pools[i] for i in valid]
+seeds_v = [int(seeds[i]) for i in valid]
+
+def mb_run():
+    prep = aligner.score_reads_batch_prepare(alns_v, seeds_v)
+    return np.asarray(aligner.score_reads_batch_finish(prep))
+
+mb_run()  # compile
+t0 = time.time()
+reps = 3
+for _ in range(reps):
+    mb_run()
+dtb = (time.time() - t0) / reps
+out["mode_b_pairs_per_s"] = len(alns_v) * hap_b.num_combs() / dtb
+print(json.dumps(out))
 """
 
 
@@ -135,26 +234,27 @@ def measure_device(force_cpu=False, timeout=None):
                              capture_output=True, text=True, env=env)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
-                return json.loads(line)["cells_per_s"]
+                return json.loads(line)
     except subprocess.TimeoutExpired:
         return None
     return None
 
 
 def main():
-    device_cells = None
+    measured = None
     for _ in range(2):
-        device_cells = measure_device()
-        if device_cells is not None:
+        measured = measure_device()
+        if measured is not None:
             break
         time.sleep(30)
-    if device_cells is None:
+    if measured is None:
         # tunnel wedged: fall back to the CPU-backend kernel measurement
-        device_cells = measure_device(force_cpu=True, timeout=600)
-    if device_cells is None:
+        measured = measure_device(force_cpu=True, timeout=600)
+    if measured is None:
         print(json.dumps({"metric": "pairhmm_dp_cells_per_s", "value": 0,
                           "unit": "cells/s", "vs_baseline": 0}))
         return 1
+    device_cells = measured["cells_per_s"]
 
     # Baseline 1: single-THREADED native C++ batch scorer on this host
     # (LONGTR_NATIVE_THREADS=1) over the same workload shape.
@@ -209,8 +309,88 @@ def main():
             round(cpp1_cells_per_s, 1) if cpp1_cells_per_s else None,
         "vs_python_oracle": round(device_cells / py_cells_per_s, 2),
     }
+
+    # --- secondary driver-visible kernels (VERDICT r2 weak 4) -------------
+    # j-chunked streaming kernel at an 8kb x 8kb VNTR shape, vs the same
+    # single-threaded native C++ scorer on that shape.
+    chunked = measured.get("chunked_cells_per_s")
+    if chunked:
+        NC = MC = 8192
+        BV = 4
+        rngv = np.random.default_rng(3)
+        vh = rngv.integers(0, 4, size=(BV, NC), dtype=np.uint8)
+        vr = np.array(vh[:, :MC], dtype=np.uint8)
+        vhl = np.full(BV, NC, np.int32)
+        vrl = np.full(BV, MC, np.int32)
+        vfl = vhl + 60
+        cppv = None
+        os.environ["LONGTR_NATIVE_THREADS"] = "1"
+        try:
+            t0 = time.time()
+            outv = pairhmm_batch_native(vh, vhl, vr, vrl, vfl, trans)
+            if outv is not None:
+                cppv = float(BV) * NC * MC / (time.time() - t0)
+        finally:
+            del os.environ["LONGTR_NATIVE_THREADS"]
+        result["chunked_8k_cells_per_s"] = round(chunked, 1)
+        result["chunked_vs_baseline"] = (round(chunked / cppv, 2)
+                                         if cppv else 0)
+
+    # mode-B device path (legacy period-1 stutter alignment): pool-score
+    # throughput of the batched device scorer vs the single-core host f64
+    # scorer on the same locus.
+    mode_b = measured.get("mode_b_pairs_per_s")
+    if mode_b:
+        result["mode_b_pairs_per_s"] = round(mode_b, 1)
+        try:
+            host_pps = _mode_b_host_baseline()
+            result["mode_b_vs_host_f64"] = round(mode_b / host_pps, 2)
+        except Exception:
+            result["mode_b_vs_host_f64"] = None
+
     print(json.dumps(result))
     return 0
+
+
+def _mode_b_host_baseline():
+    """Single-core host f64 mode-B scorer pairs/s on the bench locus."""
+    from longtr_tpu.haplotype.blocks import HapBlock, Haplotype, RepeatBlock
+    from longtr_tpu.models.stutter import StutterModel
+    from longtr_tpu.pipeline.alignment import Alignment
+    from longtr_tpu.pipeline.mode_b import ModeBAligner, calc_seed_base
+
+    rng = np.random.default_rng(2)
+    basesl = list("ACGT")
+    lf = "".join(rng.choice(basesl, 35).tolist())
+    rf = "".join(rng.choice(basesl, 35).tolist())
+    rep = "A" * 18
+    model = StutterModel(0.9, 0.05, 0.05, 0.9, 0.01, 0.01, "A")
+    rs_ = 1000 + len(lf)
+    blocks = [HapBlock(1000, rs_, lf)]
+    rb = RepeatBlock(rs_, rs_ + len(rep), rep, 1, model)
+    for d in (-2, -1, 1):
+        rb.add_alternate("A" * (18 + d))
+    blocks.append(rb)
+    blocks.append(HapBlock(rs_ + len(rep), rs_ + len(rep) + len(rf), rf))
+    hap = Haplotype(blocks)
+    aligner = ModeBAligner(hap)
+    pools = []
+    for k in range(16):
+        allele = "A" * (18 + int(rng.integers(-2, 2)))
+        seq = lf + allele + rf
+        pools.append(Alignment(1000, 1000 + len(lf) + len(rep) + len(rf) - 1,
+                               False, False, f"p{k}", "I" * len(seq), seq,
+                               alignment=seq, cigar=[("=", len(seq))]))
+    seeds = [calc_seed_base(a, aligner.repeat_starts, aligner.repeat_ends,
+                            1000, rs_ + len(rep) + len(rf)) for a in pools]
+    pairs = 0
+    t0 = time.time()
+    for a, s in zip(pools, seeds):
+        if s < 0:
+            continue
+        aligner.score_read(a, int(s))
+        pairs += hap.num_combs()
+    return pairs / (time.time() - t0)
 
 
 if __name__ == "__main__":
