@@ -355,6 +355,55 @@ def test_record_parity_missing_samples():
                 flags_kw=dict(filters=1))
 
 
+def _sp_n_bases(reads, ctx):
+    """A read carrying 'N' bases (marked X against the reference)."""
+    import re as _re
+    c = ctx
+    r = ctx["make_read"](c["chrom"], c["rs"], c["re_"], c["rep"], c["flank"],
+                         "nn", c["rng"])
+    for col in (5, 30):
+        r["seq"] = r["seq"][:col] + "N" + r["seq"][col + 1:]
+        r["aln"] = r["aln"][:col] + "N" + r["aln"][col + 1:]
+    ops = []
+    for num, op in _re.findall(r"(\d+)([=XIDSH])", r["cigar"]):
+        ops += [op] * int(num)
+    qi, out = 0, []
+    for op in ops:
+        if op == "D":
+            out.append(op)
+            continue
+        out.append("X" if (qi in (5, 30) and op in "=X") else op)
+        qi += 1
+    comp = []
+    for op in out:
+        if comp and comp[-1][0] == op:
+            comp[-1][1] += 1
+        else:
+            comp.append([op, 1])
+    r["cigar"] = "".join(f"{n}{op}" for op, n in comp)
+    reads[0].append(r)
+
+
+def _sp_qual_extremes(reads, ctx):
+    """Reads at the phred extremes (q=0 '!', q=93 '~', q=2 '#')."""
+    c = ctx
+    for k, q in enumerate(["!", "~", "#"]):
+        r = ctx["make_read"](c["chrom"], c["rs"], c["re_"], c["rep"],
+                             c["flank"], f"q{k}", c["rng"])
+        r["quals"] = q * len(r["seq"])
+        reads[1].append(r)
+
+
+def test_record_parity_adversarial_bases_and_quals():
+    assert_case(seed=70, special=_sp_n_bases)
+    assert_case(seed=71, special=_sp_qual_extremes)
+
+
+def test_record_parity_sample_counts():
+    assert_case(seed=72, n_samples=1)
+    assert_case(seed=73, n_samples=8, reads_per_allele=2)
+
+
 # ---------------------------------------------------------------------------
 # Randomized sweep
 # ---------------------------------------------------------------------------
