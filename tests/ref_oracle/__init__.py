@@ -169,11 +169,12 @@ def get_lib():
     lib.ro_set_genotyper_flags.restype = None
     lib.ro_set_genotyper_flags.argtypes = [i, i, i, i, i, i, i, f]
 
+    u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.ro_genotype_locus.restype = i
     lib.ro_genotype_locus.argtypes = [
-        s, s, ctypes.c_int32, ctypes.c_int32, s, i, i, s, i32p, i32p,
+        s, s, s, ctypes.c_int32, ctypes.c_int32, s, i, i, s, i32p, i32p,
         s, i32p, s, i32p, s, i32p, s, i32p, i32p, i32p,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        u8p, u8p, u8p,
         s, i32p, dp, dp, i32p, i32p,
         d, d, d, d, d, d,
         i, i, i, i, fp, i, i, i, d, i, s, i32p, s, ctypes.c_long]
@@ -625,7 +626,8 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
                    reassemble_flanks=False, indel_flank_len=5,
                    switch_old_align_len=0, aln_params=None,
                    max_total_haplotypes=1000, max_flank_haplotypes=4,
-                   min_flank_freq=0.01, vcf_sample_names=None):
+                   min_flank_freq=0.01, vcf_sample_names=None,
+                   region_name=""):
     """Full reference genotyping + VCF emission
     (seq_stutter_genotyper.cpp ctor -> genotype() -> write_vcf_record).
 
@@ -663,6 +665,8 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
     stops, stops_p = _i32arr([r["stop"] for r in flat])
     rev = np.ascontiguousarray([1 if r.get("rev") else 0 for r in flat],
                                dtype=np.uint8)
+    dele = np.ascontiguousarray([1 if r.get("deleted") else 0 for r in flat],
+                                dtype=np.uint8)
     ufh = np.ascontiguousarray(
         [1 if r.get("use_for_haps", True) else 0 for r in flat],
         dtype=np.uint8)
@@ -683,11 +687,13 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
     u8p = ctypes.POINTER(ctypes.c_uint8)
     dp = ctypes.POINTER(ctypes.c_double)
     rc = lib.ro_genotype_locus(
-        chrom_seq.encode(), chrom_name.encode(), region_start, region_end,
+        chrom_seq.encode(), chrom_name.encode(), region_name.encode(),
+        region_start, region_end,
         motif.encode(), int(haploid), S, name_cat, name_lens_p, counts_p,
         seq_cat, seq_lens_p, qual_cat, qual_lens_p, aln_cat, aln_lens_p,
         rname_cat, rname_lens_p, starts_p, stops_p,
-        rev.ctypes.data_as(u8p), ufh.ctypes.data_as(u8p),
+        rev.ctypes.data_as(u8p), dele.ctypes.data_as(u8p),
+        ufh.ctypes.data_as(u8p),
         cig_cat, cig_lens_p, p1.ctypes.data_as(dp), p2.ctypes.data_as(dp),
         np1_p, np2_p, *[float(x) for x in stutter_params],
         int(skip_assembly), int(reassemble_flanks), indel_flank_len,

@@ -938,7 +938,8 @@ void ro_set_genotyper_flags(int gls, int pls, int phased_gls, int allreads,
 // initialization failed (logger text explains); negative => exception (entry
 // 0 carries the message).
 int ro_genotype_locus(
-    const char* chrom_seq, const char* chrom_name, int32_t region_start,
+    const char* chrom_seq, const char* chrom_name, const char* region_name,
+    int32_t region_start,
     int32_t region_end, const char* motif, int haploid, int n_samples,
     const char* sample_names_concat, const int32_t* sample_name_lens,
     const int32_t* reads_per_sample,
@@ -947,7 +948,8 @@ int ro_genotype_locus(
     const int32_t* qual_lens, const char* alnstr_concat,
     const int32_t* alnstr_lens, const char* name_concat,
     const int32_t* name_lens, const int32_t* starts, const int32_t* stops,
-    const uint8_t* rev_strand, const uint8_t* use_for_haps,
+    const uint8_t* rev_strand, const uint8_t* deleted,
+    const uint8_t* use_for_haps,
     const char* cigar_concat, const int32_t* cigar_lens,
     const double* log_p1_flat, const double* log_p2_flat,
     const int32_t* n_p1s, const int32_t* n_p2s,
@@ -970,7 +972,7 @@ int ro_genotype_locus(
                        std::string(motif));
     std::vector<StutterModel*> stutter_models(1, &model);
     Region region(std::string(chrom_name), region_start, region_end,
-                  std::string(motif));
+                  std::string(motif), std::string(region_name));
     RegionGroup group(region);
 
     std::vector<std::string> sample_names;
@@ -1002,8 +1004,8 @@ int ro_genotype_locus(
         np += name_lens[idx];
         std::string cig(cp, cp + cigar_lens[idx]);
         cp += cigar_lens[idx];
-        Alignment a(starts[idx], stops[idx], rev_strand[idx] != 0, false,
-                    name, quals, seq, alnstr);
+        Alignment a(starts[idx], stops[idx], rev_strand[idx] != 0,
+                    deleted[idx] != 0, name, quals, seq, alnstr);
         std::vector<CigarElement> cl;
         size_t pos = 0;
         while (pos < cig.size()) {
