@@ -74,6 +74,11 @@ class ReadPooler:
             if not quals or not quals[0]:
                 rep.base_qualities = ""
                 continue
+            if len(quals) == 1:
+                # the common case (unique read sequence): the upper median
+                # of one string is itself
+                rep.base_qualities = quals[0]
+                continue
             arr = np.array([np.frombuffer(q.encode(), dtype=np.uint8)
                             for q in quals])
             arr = np.sort(arr, axis=0)
