@@ -21,6 +21,8 @@ _REF_SRC = "/root/reference/src"
 _LIB_PATH = os.path.join(_DIR, "libref_oracle.so")
 
 _REF_SOURCES = [
+    "bam_processor.cpp",
+    "pcr_duplicates.cpp",
     "seq_stutter_genotyper.cpp",
     "em_stutter_genotyper.cpp",
     "extract_indels.cpp",
@@ -170,6 +172,14 @@ def get_lib():
     lib.ro_set_genotyper_flags.argtypes = [i, i, i, i, i, i, i, f]
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ro_filter_reads.restype = i
+    lib.ro_filter_reads.argtypes = [
+        i, s, i32p, s, i32p, s, i32p, s, i32p, i32p, i32p, i32p, i32p,
+        u8p, i32p, s, i32p, s, i32p, s, i32p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, s, i, i, d, d, i, i, i,
+        i, s, i32p, s, i32p, s, ctypes.c_long]
+
     lib.ro_genotype_locus.restype = i
     lib.ro_genotype_locus.argtypes = [
         s, s, s, ctypes.c_int32, ctypes.c_int32, s, i, i, s, i32p, i32p,
@@ -713,3 +723,91 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
         pos_s, text = rec.split("\t", 1)
         records.append((int(pos_s), text))
     return records, logger_text
+
+
+_I64_ABSENT = -(2 ** 62)
+
+
+def filter_reads(reads, region_start, region_end, motif, rg_to_sample,
+                 require_spanning=1, require_paired=0, min_mapq=20.0,
+                 min_sum_qual=30.0, min_flank=5, max_total_reads=1_000_000,
+                 use_bam_rgs=True):
+    """Reference read_and_filter_reads (bam_processor.cpp:188-487).
+
+    reads: list of dicts with keys seq, qual, name, cigar ('10=..' text),
+    pos, end_pos (exclusive), mate_pos, mapq, paired, mapped, first_mate,
+    file (int index -> filename 'F<i>'), and optional rg, xa, sa (strings),
+    as_score, xs_score (ints).  rg_to_sample: {key: sample} where key is
+    'F<i>' + rg (use_bam_rgs) or 'F<i>'.
+
+    Returns (groups, too_many) where groups is a list of
+    (rg_name, paired [(read_idx, mate_idx, pf)], unpaired [(read_idx, pf)]).
+    """
+    lib = get_lib()
+    n = len(reads)
+
+    def cat(key, default=""):
+        c = "".join(r.get(key, default) for r in reads).encode()
+        lens, lens_p = _i32arr([len(r.get(key, default)) for r in reads])
+        return c, lens, lens_p
+
+    seq_c, _a, seq_p = cat("seq")
+    qual_c, _b, qual_p = cat("qual")
+    name_c, _c, name_p = cat("name")
+    cig_c, _d, cig_p = cat("cigar")
+    rg_c, _e, rg_p = cat("rg")
+    xa_c, _f, xa_p = cat("xa")
+    sa_c, _g, sa_p = cat("sa")
+    pos, pos_p = _i32arr([r["pos"] for r in reads])
+    endp, endp_p = _i32arr([r["end_pos"] for r in reads])
+    matep, matep_p = _i32arr([r.get("mate_pos", 0) for r in reads])
+    mapq, mapq_p = _i32arr([r.get("mapq", 60) for r in reads])
+    filei, filei_p = _i32arr([r.get("file", 0) for r in reads])
+    fl = np.ascontiguousarray(
+        [(1 if r.get("paired") else 0) | (2 if r.get("mapped", True) else 0)
+         | (4 if r.get("first_mate", True) else 0) for r in reads],
+        dtype=np.uint8)
+    asx = np.ascontiguousarray(
+        [r.get("as_score", _I64_ABSENT) for r in reads], dtype=np.int64)
+    xsx = np.ascontiguousarray(
+        [r.get("xs_score", _I64_ABSENT) for r in reads], dtype=np.int64)
+
+    keys = list(rg_to_sample)
+    key_c = "".join(keys).encode()
+    _k, key_p = _i32arr([len(k) for k in keys])
+    val_c = "".join(rg_to_sample[k] for k in keys).encode()
+    _v, val_p = _i32arr([len(rg_to_sample[k]) for k in keys])
+
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.ro_filter_reads(
+        n, seq_c, seq_p, qual_c, qual_p, name_c, name_p, cig_c, cig_p,
+        pos_p, endp_p, matep_p, mapq_p, fl.ctypes.data_as(u8p), filei_p,
+        rg_c, rg_p, xa_c, xa_p, sa_c, sa_p,
+        asx.ctypes.data_as(i64p), xsx.ctypes.data_as(i64p), _I64_ABSENT,
+        region_start, region_end, motif.encode(), require_spanning,
+        require_paired, float(min_mapq), float(min_sum_qual), min_flank,
+        max_total_reads, int(use_bam_rgs), len(keys), key_c, key_p, val_c,
+        val_p, out, cap)
+    raw = out.raw
+    text = raw[:raw.index(b"\x00")].decode()
+    assert rc >= 0, f"ro_filter_reads failed ({rc}): {text[:1000]}"
+    lines = text.split("\n")
+    too_many = lines[-1] == "TOO_MANY=1"
+    groups = []
+    for ln in lines[:-1]:
+        if not ln:
+            continue
+        name, p_part, u_part = ln.split("\t")
+        paired = []
+        for ent in p_part.split(" ")[1:]:
+            idx, midx, pf = ent.split(":")
+            paired.append((int(idx), int(midx), pf))
+        unpaired = []
+        for ent in u_part.split(" ")[1:]:
+            idx, pf = ent.split(":")
+            unpaired.append((int(idx), pf))
+        groups.append((name, paired, unpaired))
+    return groups, too_many

@@ -12,6 +12,11 @@ class FastaReader {
  public:
   explicit FastaReader(const std::string&) {}
   void write_all_contigs_to_vcf(std::ostream&) {}
+  // bam_processor.cpp's verify_chromosomes / process_regions surface
+  // (never invoked by the oracle wrappers, which drive
+  // read_and_filter_reads directly)
+  long get_sequence_length(const std::string&) { return 1; }
+  void get_sequence(const std::string&, std::string& out) { out = "N"; }
 };
 
 #endif

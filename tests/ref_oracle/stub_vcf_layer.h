@@ -19,14 +19,14 @@
 //    the uncompressed record text so parity tests can diff it byte-for-byte.
 //  - HaplotypeTracker: forward-declared; only appears as a pointer parameter
 //    in snp_tree.h's create_snp_trees declaration.
-//  - bam_processor.h: included by seq_stutter_genotyper.cpp but no symbol
-//    from it is referenced; skipped entirely.
+//  - bam_processor.h compiles for real since round 3 (the stub BamAlignment/
+//    BamWriter/BamCramMultiReader in stub_bam_io.h carry its data needs), so
+//    the compiled read_and_filter_reads chain is drivable from tests.
 #ifndef REF_ORACLE_STUB_VCF_LAYER_H_
 #define REF_ORACLE_STUB_VCF_LAYER_H_
 
 #define VCF_READER_H_
 #define VCF_WRITER_H_
-#define BAM_PROCESSOR_H_
 #define HAPLOTYPE_TRACKER_H_
 
 #include <cstdint>

@@ -72,6 +72,39 @@ bool read_vcf_alleles(VCF::VCFReader* ref_vcf, const Region& region,
   throw std::runtime_error("ref_oracle: read_vcf_alleles stub called");
 }
 
+// Test-only: read_and_filter_reads is private; promote access in this TU so
+// the oracle can drive it directly (same pattern as the EM/emission taps).
+#define private public
+#include "bam_processor.h"
+#undef private
+
+// Concrete BamProcessor for driving the compiled read_and_filter_reads
+// chain (the pure virtuals are VCF-output hooks the filter path never
+// touches).
+class OracleBamProcessor : public BamProcessor {
+ public:
+  OracleBamProcessor(bool use_bam_rgs) : BamProcessor(use_bam_rgs, false) {
+    suppress_all_logging();
+  }
+  void verify_vcf_chromosomes(const std::vector<std::string>&) override {}
+  void init_output_vcf(const std::string&, const std::vector<std::string>&,
+                       const std::string&) override {}
+  void process_reads(std::vector<BamAlnList>&, std::vector<BamAlnList>&,
+                     std::vector<BamAlnList>&,
+                     const std::vector<std::string>&, const RegionGroup&,
+                     const std::string&) override {}
+  void set_knobs(int require_spanning, int require_paired, int min_mapq,
+                 double min_sum_qual, int min_flank, int max_total_reads) {
+    REQUIRE_SPANNING = require_spanning;
+    REQUIRE_PAIRED_READS = require_paired;
+    MIN_MAPQ = min_mapq;
+    MIN_SUM_QUAL_LOG_PROB = min_sum_qual;
+    MIN_FLANK = min_flank;
+    MAX_TOTAL_READS = max_total_reads;
+  }
+  bool too_many() const { return TOO_MANY_READS; }
+};
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -908,6 +941,138 @@ int ro_em_train(int haploid, const char* motif, int n_samples,
     }
     return n_traj;
   } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// bam_processor.cpp — the read filter + mate-pairing chain
+// (read_and_filter_reads, :188-487), driven through a queue-fed stub reader.
+// Each input read carries a hidden "XI" int tag so outputs map back to
+// input indices; "PF" (passes-filters per region) is returned per kept read.
+// ---------------------------------------------------------------------------
+
+int ro_filter_reads(
+    int n_reads, const char* seq_concat, const int32_t* seq_lens,
+    const char* qual_concat, const int32_t* qual_lens,
+    const char* name_concat, const int32_t* name_lens,
+    const char* cigar_concat, const int32_t* cigar_lens, const int32_t* pos,
+    const int32_t* end_pos, const int32_t* mate_pos, const int32_t* mapq,
+    const uint8_t* flags /* bit0 paired, bit1 mapped, bit2 first mate */,
+    const int32_t* file_idx, const char* rg_concat, const int32_t* rg_lens,
+    const char* xa_concat, const int32_t* xa_lens, const char* sa_concat,
+    const int32_t* sa_lens, const int64_t* as_score, const int64_t* xs_score,
+    int64_t absent_sentinel, int32_t region_start, int32_t region_end,
+    const char* motif, int require_spanning, int require_paired,
+    double min_mapq, double min_sum_qual, int min_flank, int max_total_reads,
+    int use_bam_rgs, int n_rg_map, const char* rgkey_concat,
+    const int32_t* rgkey_lens, const char* rgval_concat,
+    const int32_t* rgval_lens, char* out, long cap) {
+  try {
+    ensure_logs();
+    BamCramMultiReader reader;
+    const char* sp = seq_concat;
+    const char* qp = qual_concat;
+    const char* np = name_concat;
+    const char* cp = cigar_concat;
+    const char* rp = rg_concat;
+    const char* xp = xa_concat;
+    const char* sap = sa_concat;
+    for (int i = 0; i < n_reads; i++) {
+      BamAlignment a;
+      a.bases_.assign(sp, sp + seq_lens[i]);
+      sp += seq_lens[i];
+      a.qualities_.assign(qp, qp + qual_lens[i]);
+      qp += qual_lens[i];
+      a.name_.assign(np, np + name_lens[i]);
+      np += name_lens[i];
+      std::string cig(cp, cp + cigar_lens[i]);
+      cp += cigar_lens[i];
+      size_t k = 0;
+      while (k < cig.size()) {
+        size_t k2 = k;
+        while (k2 < cig.size() && isdigit(cig[k2])) k2++;
+        a.cigar_ops_.push_back(
+            CigarOp(cig[k2], atoi(cig.substr(k, k2 - k).c_str())));
+        k = k2 + 1;
+      }
+      a.pos_ = pos[i];
+      a.end_pos_ = end_pos[i];
+      a.mate_pos_ = mate_pos[i];
+      a.mapq_ = mapq[i];
+      a.is_paired_ = (flags[i] & 1) != 0;
+      a.is_mapped_ = (flags[i] & 2) != 0;
+      a.is_first_mate_ = (flags[i] & 4) != 0;
+      a.filename_ = "F" + std::to_string(file_idx[i]);
+      std::string rg(rp, rp + rg_lens[i]);
+      rp += rg_lens[i];
+      if (!rg.empty()) a.str_tags_["RG"] = rg;
+      std::string xa(xp, xp + xa_lens[i]);
+      xp += xa_lens[i];
+      if (!xa.empty()) a.str_tags_["XA"] = xa;
+      std::string sa(sap, sap + sa_lens[i]);
+      sap += sa_lens[i];
+      if (!sa.empty()) a.str_tags_["SA"] = sa;
+      if (as_score[i] != absent_sentinel) a.int_tags_["AS"] = as_score[i];
+      if (xs_score[i] != absent_sentinel) a.int_tags_["XS"] = xs_score[i];
+      a.int_tags_["XI"] = i;
+      reader.queue_.push_back(a);
+    }
+
+    std::map<std::string, std::string> rg_to_sample;
+    const char* kp = rgkey_concat;
+    const char* vp = rgval_concat;
+    for (int i = 0; i < n_rg_map; i++) {
+      std::string kk(kp, kp + rgkey_lens[i]);
+      kp += rgkey_lens[i];
+      std::string vv(vp, vp + rgval_lens[i]);
+      vp += rgval_lens[i];
+      rg_to_sample[kk] = vv;
+    }
+
+    Region region(std::string("ref"), region_start, region_end,
+                  std::string(motif));
+    RegionGroup group(region);
+
+    OracleBamProcessor bp(use_bam_rgs != 0);
+    bp.set_knobs(require_spanning, require_paired, (int)min_mapq,
+                 min_sum_qual, min_flank, max_total_reads);
+    bp.MIN_MAPQ = min_mapq;
+
+    std::vector<std::string> rg_names;
+    std::vector<std::vector<BamAlignment> > paired, mates, unpaired;
+    bp.read_and_filter_reads(reader, std::string(""), group, rg_to_sample,
+                             rg_names, paired, mates, unpaired, NULL, NULL);
+
+    std::ostringstream enc;
+    for (size_t g = 0; g < rg_names.size(); g++) {
+      if (g) enc << "\n";
+      enc << rg_names[g] << "\tP";
+      for (size_t j = 0; j < paired[g].size(); j++) {
+        int64_t idx = -1, midx = -1;
+        std::string pf;
+        paired[g][j].GetIntTag("XI", idx);
+        mates[g][j].GetIntTag("XI", midx);
+        paired[g][j].GetStringTag("PF", pf);
+        enc << " " << idx << ":" << midx << ":" << pf;
+      }
+      enc << "\tU";
+      for (size_t j = 0; j < unpaired[g].size(); j++) {
+        int64_t idx = -1;
+        std::string pf;
+        unpaired[g][j].GetIntTag("XI", idx);
+        unpaired[g][j].GetStringTag("PF", pf);
+        enc << " " << idx << ":" << pf;
+      }
+    }
+    enc << "\nTOO_MANY=" << (bp.too_many() ? 1 : 0);
+    std::string text = enc.str();
+    if ((long)text.size() + 1 > cap) return -4;
+    memcpy(out, text.c_str(), text.size() + 1);
+    return (int)rg_names.size();
+  } catch (const std::exception& e) {
+    std::string msg = std::string("EXC:") + e.what();
+    if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
     return -1;
   }
 }
