@@ -811,3 +811,99 @@ def filter_reads(reads, region_start, region_end, motif, rg_to_sample,
             unpaired.append((int(idx), pf))
         groups.append((name, paired, unpaired))
     return groups, too_many
+
+
+# ---------------------------------------------------------------------------
+# Trim oracle: a SEPARATE shared library compiling the reference's bam_io.cpp
+# against stub htslib headers (stub_htslib/), built with hidden visibility so
+# its real BamAlignment cannot cross-bind with the main oracle's stub.
+# ---------------------------------------------------------------------------
+
+_TRIM_LIB_PATH = os.path.join(_DIR, "libref_trim.so")
+_trim_lib = None
+_trim_failed = False
+
+
+def _build_trim():
+    cmd = [
+        "g++", "-std=c++11", "-O2", "-fPIC", "-shared",
+        "-fvisibility=hidden", "-fvisibility-inlines-hidden",
+        "-I", os.path.join(_DIR, "stub_htslib"),
+        "-I", _REF_SRC,
+        "-o", _TRIM_LIB_PATH,
+        os.path.join(_DIR, "wrapper_trim.cc"),
+        os.path.join(_REF_SRC, "bam_io.cpp"),
+        os.path.join(_REF_SRC, "stringops.cpp"),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_trim_lib():
+    """The trim oracle, or None if unavailable."""
+    global _trim_lib, _trim_failed
+    if _trim_lib is not None:
+        return _trim_lib
+    if _trim_failed:
+        return None
+    if not os.path.isdir(_REF_SRC):
+        _trim_failed = True
+        return None
+    wrapper = os.path.join(_DIR, "wrapper_trim.cc")
+    srcs = [wrapper, os.path.join(_REF_SRC, "bam_io.cpp"),
+            os.path.join(_REF_SRC, "bam_io.h")]
+    newest = max(os.path.getmtime(p) for p in srcs)
+    if (not os.path.exists(_TRIM_LIB_PATH)
+            or os.path.getmtime(_TRIM_LIB_PATH) < newest):
+        try:
+            _build_trim()
+        except Exception:
+            if not os.path.exists(_TRIM_LIB_PATH):
+                _trim_failed = True
+                return None
+    try:
+        lib = ctypes.CDLL(_TRIM_LIB_PATH)
+    except OSError:
+        _trim_failed = True
+        return None
+    i32 = ctypes.c_int32
+    lib.rt_trim_alignment.restype = ctypes.c_int
+    lib.rt_trim_alignment.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, i32, i32, i32,
+        i32, ctypes.POINTER(i32), ctypes.POINTER(i32), ctypes.POINTER(i32),
+        ctypes.POINTER(i32), ctypes.c_char_p, ctypes.c_long]
+    _trim_lib = lib
+    return _trim_lib
+
+
+def trim_alignment(seq, quals, cigar, pos, end_pos, min_read_start,
+                   max_read_stop):
+    """Reference BamAlignment::TrimAlignment (bam_io.cpp:267-372).
+
+    cigar = [(op, n), ...].  Returns dict(pos, end_pos, length, deleted,
+    seq, quals, cigar) with cigar as [(op, n), ...]."""
+    lib = get_trim_lib()
+    cig_text = "".join(f"{n}{op}" for op, n in cigar).encode()
+    i32 = ctypes.c_int32
+    out_pos, out_end, out_len, out_del = i32(0), i32(0), i32(0), i32(0)
+    cap = 4 * (len(seq) + len(cigar) * 8) + 64
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.rt_trim_alignment(
+        seq.encode(), quals.encode(), cig_text, pos, end_pos,
+        min_read_start, max_read_stop, ctypes.byref(out_pos),
+        ctypes.byref(out_end), ctypes.byref(out_len), ctypes.byref(out_del),
+        out, cap)
+    raw = out.raw
+    if rc < 0:
+        raise AssertionError(
+            f"rt_trim_alignment failed ({rc}): "
+            f"{raw[:raw.index(b'__')] if b'__' in raw else raw[:200]}")
+    e1 = raw.index(b"\x00")
+    e2 = raw.index(b"\x00", e1 + 1)
+    e3 = raw.index(b"\x00", e2 + 1)
+    import re as _re
+    cig_out = [(op, int(n)) for n, op in
+               _re.findall(r"(\d+)([=XIDSHM])", raw[e2 + 1:e3].decode())]
+    return dict(pos=out_pos.value, end_pos=out_end.value,
+                length=out_len.value, deleted=bool(out_del.value),
+                seq=raw[:e1].decode(), quals=raw[e1 + 1:e2].decode(),
+                cigar=cig_out)
