@@ -907,3 +907,46 @@ def trim_alignment(seq, quals, cigar, pos, end_pos, min_read_start,
                 length=out_len.value, deleted=bool(out_del.value),
                 seq=raw[:e1].decode(), quals=raw[e1 + 1:e2].decode(),
                 cigar=cig_out)
+
+
+def remove_pcr_dups(paired, unpaired):
+    """Reference remove_pcr_duplicates (pcr_duplicates.cpp:18-96), one RG.
+
+    paired: list of dicts(name, pos1, pos2, qual1, qual2, library);
+    unpaired: list of dicts(name, pos, qual, library).
+    Returns (paired_out [(a_id, b_id)], unpaired_out [ids]) where ids index
+    the virtual flat list: paired aln-one = i, its mate = n_paired + i,
+    unpaired = 2*n_paired + i."""
+    lib = get_lib()
+    lib.ro_remove_pcr_dups.restype = ctypes.c_int
+    n_p, n_u = len(paired), len(unpaired)
+
+    def cat(items, key):
+        c = "".join(x[key] for x in items).encode()
+        lens, lens_p = _i32arr([len(x[key]) for x in items])
+        return c, lens, lens_p
+
+    pn_c, _1, pn_p = cat(paired, "name")
+    q1_c, _2, q1_p = cat(paired, "qual1")
+    q2_c, _3, q2_p = cat(paired, "qual2")
+    un_c, _4, un_p = cat(unpaired, "name")
+    uq_c, _5, uq_p = cat(unpaired, "qual")
+    pos1, pos1_p = _i32arr([x["pos1"] for x in paired])
+    pos2, pos2_p = _i32arr([x["pos2"] for x in paired])
+    upos, upos_p = _i32arr([x["pos"] for x in unpaired])
+    libs = [x["library"] for x in paired] + [x["library"] for x in unpaired]
+    lib_c = "".join(libs).encode()
+    _6, lib_p = _i32arr([len(x) for x in libs])
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.ro_remove_pcr_dups(
+        n_p, pn_c, pn_p, pos1_p, pos2_p, q1_c, q1_p, q2_c, q2_p,
+        n_u, un_c, un_p, upos_p, uq_c, uq_p, lib_c, lib_p, out, cap)
+    raw = out.raw
+    text = raw[:raw.index(b"\x00")].decode()
+    assert rc == 0, f"ro_remove_pcr_dups failed ({rc}): {text[:500]}"
+    p_line, u_line = text.split("\n")
+    paired_out = [tuple(int(v) for v in ent.split(":"))
+                  for ent in p_line.split(" ")[1:]]
+    unpaired_out = [int(v) for v in u_line.split(" ")[1:]]
+    return paired_out, unpaired_out

@@ -77,6 +77,7 @@ bool read_vcf_alleles(VCF::VCFReader* ref_vcf, const Region& region,
 #define private public
 #include "bam_processor.h"
 #undef private
+#include "pcr_duplicates.h"
 
 // Concrete BamProcessor for driving the compiled read_and_filter_reads
 // chain (the pure virtuals are VCF-output hooks the filter path never
@@ -1070,6 +1071,97 @@ int ro_filter_reads(
     if ((long)text.size() + 1 > cap) return -4;
     memcpy(out, text.c_str(), text.size() + 1);
     return (int)rg_names.size();
+  } catch (const std::exception& e) {
+    std::string msg = std::string("EXC:") + e.what();
+    if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
+    return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// pcr_duplicates.cpp — duplicate-pair removal (pcr_duplicates.cpp:18-96)
+// One read group; paired reads arrive as (aln, mate) couples, unpaired as
+// singletons; libraries per entry.  Survivors return as XI index lists.
+// ---------------------------------------------------------------------------
+
+int ro_remove_pcr_dups(
+    int n_paired, const char* p_names, const int32_t* p_name_lens,
+    const int32_t* p_pos1, const int32_t* p_pos2, const char* p_quals1,
+    const int32_t* p_qual1_lens, const char* p_quals2,
+    const int32_t* p_qual2_lens, int n_unpaired, const char* u_names,
+    const int32_t* u_name_lens, const int32_t* u_pos, const char* u_quals,
+    const int32_t* u_qual_lens, const char* lib_concat,
+    const int32_t* lib_lens /* n_paired + n_unpaired entries */,
+    char* out, long cap) {
+  try {
+    std::vector<std::vector<BamAlignment> > paired(1), mates(1), unpaired(1);
+    std::map<std::string, std::string> rg_to_library;
+    const char* lp = lib_concat;
+    const char* np = p_names;
+    const char* q1 = p_quals1;
+    const char* q2 = p_quals2;
+    int li = 0;
+    for (int i = 0; i < n_paired; i++, li++) {
+      BamAlignment a, m;
+      a.name_.assign(np, np + p_name_lens[i]);
+      m.name_ = a.name_;
+      np += p_name_lens[i];
+      a.pos_ = p_pos1[i];
+      m.pos_ = p_pos2[i];
+      a.qualities_.assign(q1, q1 + p_qual1_lens[i]);
+      q1 += p_qual1_lens[i];
+      m.qualities_.assign(q2, q2 + p_qual2_lens[i]);
+      q2 += p_qual2_lens[i];
+      std::string lib(lp, lp + lib_lens[li]);
+      lp += lib_lens[li];
+      a.str_tags_["RG"] = lib;  // use_bam_rgs path maps F+RG -> library
+      m.str_tags_["RG"] = lib;
+      a.int_tags_["XI"] = i;
+      m.int_tags_["XI"] = n_paired + i;
+      rg_to_library[a.filename_ + lib] = lib;
+      paired[0].push_back(a);
+      mates[0].push_back(m);
+    }
+    np = u_names;
+    const char* uq = u_quals;
+    for (int i = 0; i < n_unpaired; i++, li++) {
+      BamAlignment a;
+      a.name_.assign(np, np + u_name_lens[i]);
+      np += u_name_lens[i];
+      a.pos_ = u_pos[i];
+      a.qualities_.assign(uq, uq + u_qual_lens[i]);
+      uq += u_qual_lens[i];
+      std::string lib(lp, lp + lib_lens[li]);
+      lp += lib_lens[li];
+      a.str_tags_["RG"] = lib;
+      a.int_tags_["XI"] = 2 * n_paired + i;
+      rg_to_library[a.filename_ + lib] = lib;
+      unpaired[0].push_back(a);
+    }
+
+    BaseQuality bq;
+    std::ostringstream log;
+    remove_pcr_duplicates(bq, true, rg_to_library, paired, mates, unpaired,
+                          log);
+
+    std::ostringstream enc;
+    enc << "P";
+    for (size_t j = 0; j < paired[0].size(); j++) {
+      int64_t a = -1, b = -1;
+      paired[0][j].GetIntTag("XI", a);
+      mates[0][j].GetIntTag("XI", b);
+      enc << " " << a << ":" << b;
+    }
+    enc << "\nU";
+    for (size_t j = 0; j < unpaired[0].size(); j++) {
+      int64_t a = -1;
+      unpaired[0][j].GetIntTag("XI", a);
+      enc << " " << a;
+    }
+    std::string text = enc.str();
+    if ((long)text.size() + 1 > cap) return -4;
+    memcpy(out, text.c_str(), text.size() + 1);
+    return 0;
   } catch (const std::exception& e) {
     std::string msg = std::string("EXC:") + e.what();
     if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
