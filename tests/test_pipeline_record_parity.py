@@ -140,6 +140,19 @@ def test_production_pipeline_records_match_compiled_reference(tmp_path,
                      fx["bed"])
 
 
+def test_production_pipeline_haploid_chrom_matches_reference(tmp_path,
+                                                             monkeypatch):
+    """--haploid-chrs routes the haploid genotyper/emission path."""
+    fx = standard_fixture(str(tmp_path))
+    chroms = set()
+    with open(fx["bed"]) as fh:
+        for ln in fh:
+            chroms.add(ln.split()[0])
+    _run_and_compare(tmp_path, monkeypatch, fx["bams"], fx["fasta"],
+                     fx["bed"],
+                     extra_args=["--haploid-chrs", ",".join(sorted(chroms))])
+
+
 def test_production_pipeline_mixed_catalog_matches_reference(tmp_path,
                                                              monkeypatch):
     """30-locus mixed-motif catalog (periods 1-5, 3 samples) through the
