@@ -234,12 +234,13 @@ class EMStutterGenotyper:
         a = LLc + self.log_p1[:, None] + LOG_ONE_HALF
         b = LLc + self.log_p2[:, None] + LOG_ONE_HALF
         # scalar libm exp/log: numpy's SIMD array ufuncs can differ from the
-        # reference's libm calls in the last ulp
+        # reference's libm calls in the last ulp.  log(0) must yield -inf
+        # (C libm semantics) rather than raise, for double-underflow reads.
         ea = np.array([[math.exp(v) for v in row] for row in a])
         eb = np.array([[math.exp(v) for v in row] for row in b])
         Tsum = ea[:, :, None] + eb[:, None, :]
-        T = np.array([[[math.log(v) for v in row] for row in mat]
-                      for mat in Tsum])
+        T = np.array([[[math.log(v) if v > 0.0 else -math.inf for v in row]
+                       for row in mat] for mat in Tsum])
         P = np.tile(prior[None], (S, 1, 1))
         np.add.at(P, self.sample_label, T)
         totals = np.array([_lse_seq(P[s]) for s in range(S)])

@@ -120,3 +120,25 @@ def test_em_mesh_recovers_stutter_params():
     assert m.in_geom == pytest.approx(truth.in_geom, abs=0.1)
     assert m.out_up == pytest.approx(truth.out_up, abs=0.03)
     assert m.out_down == pytest.approx(truth.out_down, abs=0.03)
+
+
+def test_em_mesh_haploid_matches_host():
+    """Haploid mesh EM (diagonal prior with -inf off-diagonals in the
+    device loop) agrees with the host path."""
+    from longtr_tpu.parallel.mesh import make_mesh
+
+    truth = StutterModel(0.9, 0.08, 0.10, 0.85, 0.015, 0.015, "NN")
+    alleles = [(0, 0), (4, 4), (-4, -4), (8, 8)]
+    pairs = alleles * 10
+    num_bps = simulate_reads(truth, pairs, 25)
+    zeros = [[0.0] * len(s) for s in num_bps]
+    names = [f"S{i}" for i in range(len(pairs))]
+
+    host = EMStutterGenotyper(True, "NN", num_bps, zeros, zeros, names)
+    assert host.train()
+    mesh_em = EMStutterGenotyper(True, "NN", num_bps, zeros, zeros, names)
+    assert mesh_em.train(mesh=make_mesh(8))
+    h, m = host.stutter_model, mesh_em.stutter_model
+    for attr in ("in_geom", "in_up", "in_down",
+                 "out_geom", "out_up", "out_down"):
+        assert getattr(m, attr) == pytest.approx(getattr(h, attr), abs=5e-3)
