@@ -165,3 +165,38 @@ def test_production_pipeline_mixed_catalog_matches_reference(tmp_path,
     fasta, bed, bams, loci, _truth = build_catalog(str(tmp_path), 30)
     n = _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed)
     assert n >= 25  # most of the catalog must have produced records
+
+
+def test_production_pipeline_vntr_matches_reference(tmp_path, monkeypatch):
+    """Long-repeat (300-700bp VNTR) loci: the multi-hundred-bp allele
+    emission (REF/ALT strings, BPDIFFS, GB) must match byte for byte."""
+    import numpy as np
+
+    from longtr_tpu.io.fasta import write_fasta
+    from synth import Locus, make_genome, write_bed, write_sample_bam
+
+    rng = np.random.default_rng(12)
+    motifs = ["ACGGTCATGG", "ACGGTCATGGACGGTCA"]
+    loci = []
+    offset = 1000
+    for i in range(4):
+        m = motifs[i % 2]
+        copies = int(rng.integers(300 // len(m), 700 // len(m)))
+        loci.append(Locus("chr1", offset, m, copies, f"V{i}"))
+        offset = loci[-1].stop + 800
+    genome = make_genome(rng, loci, chrom_len=offset + 1200)
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, genome)
+    bed = str(tmp_path / "r.bed")
+    write_bed(bed, loci)
+    bams = []
+    for s in range(2):
+        gts = {l.name: (l.ref_copies,
+                        max(l.ref_copies + int(rng.integers(-2, 3)), 2))
+               for l in loci}
+        p = str(tmp_path / f"S{s}.bam")
+        write_sample_bam(p, genome, loci, gts, f"S{s}", rng, coverage=15)
+        bams.append(p)
+    n = _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed,
+                         extra_args=["--max-tr-len", "10000"])
+    assert n == 4
