@@ -167,6 +167,17 @@ def test_production_pipeline_mixed_catalog_matches_reference(tmp_path,
     assert n >= 25  # most of the catalog must have produced records
 
 
+def test_production_pipeline_custom_alignment_params(tmp_path, monkeypatch):
+    """--alignment-params (the README's ONT config) flows through both
+    sides' HapAligner construction; records must still match byte for
+    byte."""
+    fx = standard_fixture(str(tmp_path))
+    _run_and_compare(
+        tmp_path, monkeypatch, fx["bams"], fx["fasta"], fx["bed"],
+        extra_args=["--alignment-params=-1.5,-0.3,-1.5,-0.3,"
+                    "-0.0001,-8.0,-8.0"])
+
+
 def test_production_pipeline_vntr_matches_reference(tmp_path, monkeypatch):
     """Long-repeat (300-700bp VNTR) loci: the multi-hundred-bp allele
     emission (REF/ALT strings, BPDIFFS, GB) must match byte for byte."""
