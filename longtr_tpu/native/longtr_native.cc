@@ -1377,37 +1377,30 @@ extern "C" int64_t ltr_trim_expand_batch(
     for (int64_t k = base; k < ce && !bad; k++) {
       uint8_t op = t_ops[k];
       int64_t n = t_lens[k];
+      // Reference parity: the reference appends one CigarElement per
+      // source element and only coalesces =/X runs WITHIN one M/=/X
+      // element (genotyper_bam_processor.cpp:80-130) — never across
+      // source elements and never for S/I/D.
+      const int64_t elem_start = cig_w;
       if (op == 'H') continue;
       if (op == 'S') {
-        if (cig_w > cig_start && out_ops[cig_w - 1] == 'S')
-          out_lens[cig_w - 1] += (int32_t)n;
-        else {
-          if (cig_w >= out_cig_cap) return -1;
-          out_ops[cig_w] = 'S';
-          out_lens[cig_w++] = (int32_t)n;
-        }
+        if (cig_w >= out_cig_cap) return -1;
+        out_ops[cig_w] = 'S';
+        out_lens[cig_w++] = (int32_t)n;
         seq_index += n;
         soft = true;
       } else if (op == 'I') {
-        if (cig_w > cig_start && out_ops[cig_w - 1] == 'I')
-          out_lens[cig_w - 1] += (int32_t)n;
-        else {
-          if (cig_w >= out_cig_cap) return -1;
-          out_ops[cig_w] = 'I';
-          out_lens[cig_w++] = (int32_t)n;
-        }
+        if (cig_w >= out_cig_cap) return -1;
+        out_ops[cig_w] = 'I';
+        out_lens[cig_w++] = (int32_t)n;
         if (aln_w + n > out_aln_cap) return -1;
         for (int64_t t = 0; t < n; t++)
           out_aln[aln_w++] = (char)toupper((unsigned char)seq[seq_index + t]);
         seq_index += n;
       } else if (op == 'D') {
-        if (cig_w > cig_start && out_ops[cig_w - 1] == 'D')
-          out_lens[cig_w - 1] += (int32_t)n;
-        else {
-          if (cig_w >= out_cig_cap) return -1;
-          out_ops[cig_w] = 'D';
-          out_lens[cig_w++] = (int32_t)n;
-        }
+        if (cig_w >= out_cig_cap) return -1;
+        out_ops[cig_w] = 'D';
+        out_lens[cig_w++] = (int32_t)n;
         if (aln_w + n > out_aln_cap) return -1;
         for (int64_t t = 0; t < n; t++) out_aln[aln_w++] = '-';
         ref_index += n;
@@ -1421,7 +1414,7 @@ extern "C" int64_t ltr_trim_expand_batch(
           uint8_t eq = rb == fb ? '=' : 'X';
           out_aln[aln_w] = rb;
           aln_w++;
-          if (cig_w > cig_start && out_ops[cig_w - 1] == eq)
+          if (cig_w > elem_start && out_ops[cig_w - 1] == eq)
             out_lens[cig_w - 1]++;
           else {
             if (cig_w >= out_cig_cap) return -1;

@@ -61,12 +61,13 @@ def expand_cigar_vs_ref(rec, chrom_seq: str):
     aln_chunks = []
 
     def push(op, num):
+        # NO cross-element merging: the reference appends a fresh
+        # CigarElement per source element and only coalesces =/X runs
+        # WITHIN one M/=/X element (genotyper_bam_processor.cpp:80-130),
+        # so adjacent same-type source elements stay separate.
         if num == 0:
             return
-        if out_cigar and out_cigar[-1][0] == op:
-            out_cigar[-1][1] += num
-        else:
-            out_cigar.append([op, num])
+        out_cigar.append([op, num])
 
     for op, num in rec.cigar:
         if op == "H":

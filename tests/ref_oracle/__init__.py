@@ -824,16 +824,48 @@ _trim_lib = None
 _trim_failed = False
 
 
+_TRIM_SOURCES = [
+    "bam_io.cpp",
+    "bam_processor.cpp",
+    "snp_bam_processor.cpp",
+    "genotyper_bam_processor.cpp",
+    "pcr_duplicates.cpp",
+    "snp_phasing_quality.cpp",
+    "seq_stutter_genotyper.cpp",
+    "em_stutter_genotyper.cpp",
+    "extract_indels.cpp",
+    "read_pooler.cpp",
+    "mathops.cpp",
+    "genotyper.cpp",
+    "stutter_model.cpp",
+    "region.cpp",
+    "stringops.cpp",
+    "zalgorithm.cpp",
+    "debruijn_graph.cpp",
+    "directed_graph.cpp",
+    "base_quality.cpp",
+    "SeqAlignment/HapAligner.cpp",
+    "SeqAlignment/Haplotype.cpp",
+    "SeqAlignment/HapBlock.cpp",
+    "SeqAlignment/NeedlemanWunsch.cpp",
+    "SeqAlignment/StutterAlignerClass.cpp",
+    "SeqAlignment/AlignmentTraceback.cpp",
+    "SeqAlignment/HaplotypeGenerator.cpp",
+]
+
+
 def _build_trim():
     cmd = [
         "g++", "-std=c++11", "-O2", "-fPIC", "-shared",
         "-fvisibility=hidden", "-fvisibility-inlines-hidden",
+        "-include", os.path.join(_DIR, "stub_fasta_reader.h"),
+        "-include", os.path.join(_DIR, "stub_vcf_layer.h"),
         "-I", os.path.join(_DIR, "stub_htslib"),
         "-I", _REF_SRC,
+        "-I", _DIR,
         "-o", _TRIM_LIB_PATH,
         os.path.join(_DIR, "wrapper_trim.cc"),
-        os.path.join(_REF_SRC, "bam_io.cpp"),
-        os.path.join(_REF_SRC, "stringops.cpp"),
+        *[os.path.join(_REF_SRC, s) for s in _TRIM_SOURCES],
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -950,3 +982,83 @@ def remove_pcr_dups(paired, unpaired):
                   for ent in p_line.split(" ")[1:]]
     unpaired_out = [int(v) for v in u_line.split(" ")[1:]]
     return paired_out, unpaired_out
+
+
+def left_align(chrom_seq, region_chrom, region_start, region_end, motif,
+               reads_by_sample):
+    """Reference GenotyperBamProcessor::left_align_reads
+    (genotyper_bam_processor.cpp:38-168) via the trim oracle.
+
+    reads_by_sample: per sample, list of dicts with keys seq, qual, name,
+    cigar ('10=..' text), pos, end_pos (exclusive), rev (bool),
+    hp (int, 0=absent), pf ('10'-style per-region string),
+    log_p1/log_p2 (floats).
+    Returns (left_alns, filt_p1_pairs, n_p1s, n_p2s) where left_alns is a
+    list of dicts(start, stop, rev, deleted, name, seq, quals, aln, cigar,
+    use_for_haps) and filt_p1_pairs is [(sample_idx, log_p1), ...] in
+    retained order."""
+    lib = get_trim_lib()
+    i32 = ctypes.c_int32
+    lib.rt_left_align.restype = ctypes.c_int
+    flat = [r for s in reads_by_sample for r in s]
+    counts, counts_p = _i32arr([len(s) for s in reads_by_sample])
+
+    def cat(key):
+        c = "".join(r[key] for r in flat).encode()
+        lens, lens_p = _i32arr([len(r[key]) for r in flat])
+        return c, lens, lens_p
+
+    seq_c, _1, seq_p = cat("seq")
+    qual_c, _2, qual_p = cat("qual")
+    name_c, _3, name_p = cat("name")
+    cig_c, _4, cig_p = cat("cigar")
+    pf_c, _5, pf_p = cat("pf")
+    pos, pos_p = _i32arr([r["pos"] for r in flat])
+    endp, endp_p = _i32arr([r["end_pos"] for r in flat])
+    rev = np.ascontiguousarray([1 if r.get("rev") else 0 for r in flat],
+                               dtype=np.uint8)
+    hp, hp_p = _i32arr([r.get("hp", 0) for r in flat])
+    p1 = np.ascontiguousarray([r.get("log_p1", 0.0) for r in flat],
+                              dtype=np.float64)
+    p2 = np.ascontiguousarray([r.get("log_p2", 0.0) for r in flat],
+                              dtype=np.float64)
+    cap = 1 << 22
+    out = ctypes.create_string_buffer(cap)
+    dp = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.rt_left_align(
+        chrom_seq.encode(), region_chrom.encode(), region_start, region_end,
+        motif.encode(), len(reads_by_sample), counts_p, seq_c, seq_p,
+        qual_c, qual_p, name_c, name_p, cig_c, cig_p, pos_p, endp_p,
+        rev.ctypes.data_as(u8p), hp_p, pf_c, pf_p,
+        p1.ctypes.data_as(dp), p2.ctypes.data_as(dp), out, cap)
+    raw = out.raw
+    end = raw.index(b"\x00")
+    header = raw[:end].decode()
+    assert rc >= 0, f"rt_left_align failed ({rc}): {header[:1000]}"
+    toks = header.split(" ")
+    assert int(toks[0]) == rc
+    i = toks.index("f1")
+    j = toks.index("np1")
+    k = toks.index("np2")
+    filt_p1 = [(int(t.split(":")[0]), float(t.split(":")[1]))
+               for t in toks[i + 1:j]]
+    n_p1s = [int(t) for t in toks[j + 1:k]]
+    n_p2s = [int(t) for t in toks[k + 1:]]
+    import re as _re
+    alns = []
+    off = end + 1
+    for _ in range(rc):
+        end = raw.index(b"\x00", off)
+        rec = raw[off:end].decode()
+        off = end + 1
+        head, seq, quals, alnstr, cig, ufh = rec.split("|")
+        start_s, stop_s, rev_s, del_s, name = head.split(",", 4)
+        alns.append(dict(
+            start=int(start_s), stop=int(stop_s), rev=bool(int(rev_s)),
+            deleted=bool(int(del_s)), name=name, seq=seq, quals=quals,
+            aln=alnstr,
+            cigar=[(op, int(n)) for n, op in
+                   _re.findall(r"(\d+)([=XIDSHM])", cig)],
+            use_for_haps=[c == "1" for c in ufh]))
+    return alns, filt_p1, n_p1s, n_p2s

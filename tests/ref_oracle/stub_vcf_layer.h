@@ -30,6 +30,8 @@
 #define HAPLOTYPE_TRACKER_H_
 
 #include <cstdint>
+#include <cstdlib>
+#include <set>
 #include <string>
 #include <vector>
 
@@ -38,21 +40,50 @@ namespace VCF {
 class Variant {
  public:
   bool has_format_field(const std::string&) const { return false; }
+  bool sample_call_missing(int) const { abort(); }
+  void get_genotype(int, int&, int&) const { abort(); }
 };
 
-class VCFReader {};
+class VCFReader {
+ public:
+  VCFReader() {}
+  explicit VCFReader(const std::string&) { abort(); }
+  bool has_chromosome(const std::string&) const { return false; }
+  bool has_sample(const std::string&) const { return false; }
+  int get_sample_index(const std::string&) const { return -1; }
+  const std::vector<std::string>& get_samples() const { return samples_; }
+
+ private:
+  std::vector<std::string> samples_;
+};
 
 }  // namespace VCF
 
-class HaplotypeTracker;
+// Minimal stand-in: only ever NULL in oracle-driven paths; the members are
+// declared because snp/genotyper processors reference them behind NULL
+// checks (the templated ctor avoids naming NuclearFamily, which the real
+// pedigree.h defines later in the include order).
+class HaplotypeTracker {
+ public:
+  HaplotypeTracker() {}
+  template <class Families>
+  HaplotypeTracker(const Families&, const std::string&, int32_t) {
+    abort();
+  }
+  void advance(const std::string&, int32_t, const std::set<std::string>&) {
+    abort();
+  }
+};
 
 // Capturing stand-in for the reference VCFWriter: stores (pos, text) pairs
-// in the order add_vcf_record was called.
+// in the order add_vcf_record was called.  The open/header surface is
+// no-op (oracle drivers read records_ directly, never a file).
 class VCFWriter {
  public:
   std::vector<int32_t> positions_;
   std::vector<std::string> chroms_;
   std::vector<std::string> records_;
+  bool open_ = false;
 
   void add_vcf_record(const std::string& chrom, int32_t record_pos,
                       const std::string& record_text) {
@@ -60,6 +91,15 @@ class VCFWriter {
     positions_.push_back(record_pos);
     records_.push_back(record_text);
   }
+  bool is_open() const { return open_; }
+  void open(const std::string&) { open_ = true; }
+  void write_header(const std::string&) {}
+  void close() { open_ = false; }
 };
+
+// The real pedigree.h compiles against the VCF stubs above and provides
+// NuclearFamily for snp_bam_processor.h (whose own include chain gets it
+// via the guard-stubbed haplotype_tracker.h).
+#include "pedigree.h"
 
 #endif
