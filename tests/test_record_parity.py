@@ -15,6 +15,14 @@ combining), stutter-artifact reads, empty samples, extra VCF sample columns,
 FILTERS/GL/PL/HQ flag permutations, custom alignment-model parameters, the
 too-many-haplotypes abort, and a randomized fuzz sweep.
 
+The oracle drives the genotyper with ``reassemble_flanks=false`` even
+though the reference production call site hardcodes 1
+(genotyper_bam_processor.cpp:294): driving the compiled chain with the
+hardcoded value SEGFAULTS (assemble_flanks indexes an empty traced_alns
+vector — verified by execution, see PARITY.md), so entry-at-genotyper
+with the reassembly no-op is the deepest level at which the reference
+itself can run.
+
 Mode B (``--stutter-align-len`` != 0) is deliberately excluded: the
 reference's emission-side retrace is structurally broken upstream —
 ``trace_optimal_aln`` hardcodes the short path for every period
