@@ -418,7 +418,7 @@ def test_record_parity_sample_counts():
 
 def test_record_parity_fuzz():
     rng = np.random.default_rng(777)
-    for trial in range(12):
+    for trial in range(24):
         kw = dict(
             seed=int(rng.integers(10_000, 1_000_000)),
             period=int(rng.integers(1, 7)),
