@@ -10,7 +10,8 @@ rides sublanes, i.e. state tiles are (M, TILE_B) f32.  This makes
 * the per-row haplotype character a supported dynamic *sublane* slice
   ``hap_t_ref[pl.ds(i, 1), :]`` broadcast against the whole (M, B) tile,
 * the within-row deletion recurrence (a decayed running max) a
-  Hillis–Steele scan of sublane rolls,
+  static-slice Hillis–Steele prefix max over sublanes (no wraparound, so
+  no per-step masking),
 * per-pair reductions (corner pick, band max) lane-preserving
   ``max(axis=0)`` ops.
 
@@ -64,9 +65,40 @@ def pallas_fits(N, M, budget=VMEM_BUDGET):
     return _vmem_bytes(N, M) <= budget
 
 
+def _prefix_max(cm, Mdim):
+    """Exact prefix max along axis 0 via static-slice Hillis–Steele steps.
+
+    ``max`` is associative and exact in f32, so any evaluation order is
+    bit-identical to the sequential running max.  Static slices (instead of
+    rolls) sidestep wraparound, so no per-step iota mask is needed — the
+    positions j < s are simply carried through the concat unchanged,
+    exactly what the masked-roll formulation computed for them.
+    """
+    s = 1
+    steps = max(1, (Mdim - 1).bit_length())
+    for _k in range(steps):
+        tail = jnp.maximum(jax.lax.slice_in_dim(cm, s, Mdim, axis=0),
+                           jax.lax.slice_in_dim(cm, 0, Mdim - s, axis=0))
+        cm = jnp.concatenate(
+            [jax.lax.slice_in_dim(cm, 0, s, axis=0), tail], axis=0)
+        s *= 2
+    return cm
+
+
 def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
             out_ref, mrow, irow, drow, acc):
-    """One batch tile, transposed layout: hap (N, B), read (M, B)."""
+    """One batch tile, transposed layout: hap (N, B), read (M, B).
+
+    Dead-value elision (outputs proven bit-identical to the jnp scan by
+    tests/test_pairhmm_pallas.py): state rows are NOT frozen at i == n-1
+    and padded columns j >= m are NOT masked to NEG.  The DP dataflow is
+    strictly rightward in j (pred/cm rolls move j -> j+1; the j = 0 wrap
+    landing is overwritten by the column-0 closed forms), every output is
+    captured through masks that ignore those cells (corner_mask picks
+    j == m-1 at i == n-1 exactly; the band fail term is masked per row by
+    row_active and band_mask), and all values stay finite, so the garbage
+    cells never reach an output.
+    """
     Mdim, B = read_ref.shape
     N = hap_ref.shape[0]
     NEG = jnp.float32(IMPOSSIBLE)
@@ -84,7 +116,6 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (Mdim, B), 0)
     n = hl_ref[:]                                       # (1, B)
     m = rl_ref[:]                                       # (1, B)
-    valid_j = j_idx < m
 
     r0 = read[0:1, :]                                   # (1, B)
     # Row-0 emission quirk: hap[j] vs read[0] (HapAligner.cpp:268)
@@ -100,8 +131,7 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
     h0 = hap_ref[0:1, :]
     M0 = jnp.where(j_idx == 0, jnp.where(h0 == r0, MA, MI),
                    Dk_shift + d2m + emit_row0)
-    M0 = jnp.where(valid_j, M0, NEG)
-    D0 = jnp.where(valid_j, Dk, NEG)
+    D0 = Dk
     I0 = jnp.full_like(M0, NEG)
 
     mrow[:] = M0
@@ -112,13 +142,22 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
     col0_emit = jnp.where(h0 == col0_read, MA, MI)             # (1, B)
 
     corner_mask = j_idx == (m - 1)
-    best0 = jnp.maximum(jnp.maximum(M0, I0), D0)
+    best0 = jnp.maximum(M0, D0)        # I0 == NEG everywhere: elided
     corner0 = jnp.max(jnp.where(corner_mask, best0, NEG), axis=0,
                       keepdims=True)                           # (1, B)
     acc[0:1, :] = jnp.where(n == 1, corner0, NEG)
     acc[1:2, :] = jnp.zeros((1, B), jnp.float32)
 
-    log2_steps = max(1, (Mdim - 1).bit_length())
+    # Loop-invariant ramps, kept (M, 1) so they add no (M, B)-sized VMEM
+    # pressure at the envelope edge (lane-broadcast in use).  c keeps the
+    # reference op order (Mn + m2d) - ((jf + 1) * d2d); the band term
+    # |(n-m) - (i-j)| = |j + ((m-n) - i)| is computed in f32 on
+    # integer-valued operands < 2^24, so it is exact and bit-equal to the
+    # int32-then-cast form.
+    jf1 = jax.lax.broadcasted_iota(jnp.int32, (Mdim, 1), 0).astype(jnp.float32)
+    c_ramp = (jf1 + 1.0) * d2d                         # (M, 1)
+    d_ramp = jf1 * d2d                                 # (M, 1)
+    nm_f = (n - m).astype(jnp.float32)                 # (1, B)
 
     def row_body(i, _):
         Mp = mrow[:]
@@ -128,33 +167,23 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
         emit = jnp.where(hrow == read, MA, MI)
 
         # roll commutes with elementwise max/add: one roll of the fused
-        # predecessor instead of three per-matrix rolls
+        # predecessor instead of three per-matrix rolls (the j=0 wrap
+        # landing is discarded by the column-0 closed form below)
         pred = jnp.maximum(jnp.maximum(Mp + m2m, Dp + d2m), Ip + i2m)
         pred = pltpu.roll(pred, 1, axis=0)
-        Mn = emit + jnp.where(j_idx == 0, NEG, pred)
-        In = MA + jnp.maximum(Mp + m2i, Ip + i2i)
         M_col0 = Ip[0:1, :] + i2m + col0_emit
         I_col0 = MA + m2i + (i.astype(jnp.float32) - 1.0) * i2i
-        Mn = jnp.where(j_idx == 0, M_col0, Mn)
-        In = jnp.where(j_idx == 0, I_col0, In)
+        Mn = jnp.where(j_idx == 0, M_col0, emit + pred)
+        In = jnp.where(j_idx == 0, I_col0,
+                       MA + jnp.maximum(Mp + m2i, Ip + i2i))
 
         # D row via decayed running max over sublanes
-        c = Mn + m2d - (jf + 1.0) * d2d
-        cm = c
-        s = 1
-        for _k in range(log2_steps):
-            shifted = pltpu.roll(cm, s, axis=0)
-            cm = jnp.maximum(cm, jnp.where(j_idx < s, NEG, shifted))
-            s *= 2
+        cm = _prefix_max((Mn + m2d) - c_ramp, Mdim)
         cm1 = pltpu.roll(cm, 1, axis=0)
-        Dn = jnp.where(j_idx == 0, NEG, jf * d2d + cm1)
-
-        Mn = jnp.where(valid_j, Mn, NEG)
-        In = jnp.where(valid_j, In, NEG)
-        Dn = jnp.where(valid_j, Dn, NEG)
+        Dn = jnp.where(j_idx == 0, NEG, d_ramp + cm1)
 
         best = jnp.maximum(jnp.maximum(Mn, In), Dn)
-        band = jnp.abs((n - m) - (i - j_idx)).astype(jnp.float32) * d2d
+        band = jnp.abs(jf1 + (nm_f - i.astype(jnp.float32))) * d2d
         band_mask = (j_idx >= 1) & (j_idx <= m - 1)
         row_best = jnp.max(jnp.where(band_mask, best + band, NEG), axis=0,
                            keepdims=True)
@@ -166,9 +195,9 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
                          keepdims=True)
         acc[0:1, :] = jnp.where(i == n - 1, corner, acc[0:1, :])
 
-        mrow[:] = jnp.where(row_active, Mn, Mp)
-        irow[:] = jnp.where(row_active, In, Ip)
-        drow[:] = jnp.where(row_active, Dn, Dp)
+        mrow[:] = Mn
+        irow[:] = In
+        drow[:] = Dn
         return 0
 
     jax.lax.fori_loop(1, N, row_body, 0)

@@ -87,6 +87,54 @@ def test_pallas_long_shapes():
     assert np.array_equal(pal, ref)
 
 
+def test_band_with_large_length_skew():
+    """Lanes whose true alignment rides a far-off diagonal (|n-m| of
+    several hundred bp, e.g. a read spanning a large repeat contraction).
+
+    The band term |(n-m) - (i-j)| is what keeps such alignments alive:
+    it zeroes out exactly on the shifted diagonal j = i - (n-m).  A sign
+    slip ((m-n) instead of (n-m)) penalizes the true diagonal by 2|n-m|
+    and flips these scores to the -700 band-fail — while staying
+    invisible at |n-m| ~ a few bp, which is all the other tests (and the
+    original 192bp hardware check) exercise.  Regression for exactly that
+    bug, caught on hardware at N=M=2560 during the round-3 kernel rework."""
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+    N = 1024
+    haps, reads = [], []
+    for k in range(8):
+        hap = "".join(rng.choice(bases, size=N - int(rng.integers(0, 40))))
+        skew = int(rng.integers(250, 550)) * (1 if k % 2 else -1)
+        if skew > 0:    # read deletes `skew` bases mid-hap (n - m = skew)
+            cut = len(hap) // 2
+            read = hap[:cut] + hap[cut + skew:]
+        else:           # read inserts |skew| bases (n - m = skew < 0)
+            cut = len(hap) // 2
+            read = hap[:cut] + "".join(rng.choice(bases, -skew)) + hap[cut:]
+        # sprinkle mismatches so scores sit mid-range, not at 0
+        rd = list(read)
+        for p in rng.integers(0, len(rd), size=len(rd) // 50):
+            rd[p] = str(rng.choice(bases))
+        haps.append(hap)
+        reads.append("".join(rd))
+    Nmax = max(len(h) for h in haps)
+    Mmax = max(len(r) for r in reads)
+    H = np.stack([encode_seq(h, Nmax) for h in haps])
+    R = np.stack([encode_seq(r, Mmax) for r in reads])
+    hl = np.array([len(h) for h in haps], np.int32)
+    rl = np.array([len(r) for r in reads], np.int32)
+    fl = hl + 60
+    want = np.asarray(pairhmm_batch(H, hl, R, rl, fl))
+    # the skewed-but-alignable lanes must not be band-fails in the oracle
+    assert (want > -700.0).any()
+    got = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True,
+                                          tile_b=8))
+    assert np.array_equal(got, want)
+    gotc = np.asarray(pairhmm_batch_pallas(H, hl, R, rl, fl, interpret=True,
+                                           tile_b=8, jc=256))
+    assert np.array_equal(gotc, want)
+
+
 def test_chunked_matches_scan_multi_chunk():
     """J-chunked kernel across 3+ chunks must be bit-identical to the scan
     (cross-chunk pred/cummax/band carries exercised)."""
