@@ -314,9 +314,16 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
     j_idx = jl_idx + cs                                  # global j
     n = hl_ref[:]                                        # (1, B)
     m = rl_ref[:]                                        # (1, B)
-    valid_j = j_idx < m
     jf = j_idx.astype(jnp.float32)
     in_chunk = (m - 1 >= cs) & (m - 1 < cs + Jc)         # (1, B)
+    # Loop-invariant ramps in global j, kept (Jc, 1)/(1, B) (see the
+    # resident kernel): exact-integer f32 arithmetic keeps every value
+    # bit-equal to the int32-then-cast forms.
+    jl1 = jax.lax.broadcasted_iota(jnp.int32, (Jc, 1), 0).astype(jnp.float32)
+    cs_f = cs.astype(jnp.float32)
+    c_ramp = ((jl1 + cs_f) + 1.0) * d2d                  # (Jc, 1)
+    d_ramp = (jl1 + cs_f) * d2d                          # (Jc, 1)
+    nm_cs_f = (n - m).astype(jnp.float32) + cs_f         # (1, B)
 
     @pl.when(first)
     def _init():
@@ -340,8 +347,7 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
     Dk_shift = jnp.where(j_idx >= 2, m2d + (jf - 2.0) * d2d, NEG)
     M0 = jnp.where(j_idx == 0, jnp.where(h0 == r0, MA, MI),
                    Dk_shift + d2m + emit_row0)
-    M0 = jnp.where(valid_j, M0, NEG)
-    D0 = jnp.where(valid_j, Dk, NEG)
+    D0 = Dk
     I0 = jnp.full((Jc, B), NEG)
     mrow[:] = M0
     irow[:] = I0
@@ -350,12 +356,11 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
     epred[0:1, :] = fused0[Jc - 1: Jc, :]
 
     corner_mask = j_idx == (m - 1)
-    best0 = jnp.maximum(jnp.maximum(M0, I0), D0)
+    best0 = jnp.maximum(M0, D0)        # I0 == NEG everywhere: elided
     corner0 = jnp.max(jnp.where(corner_mask, best0, NEG), axis=0,
                       keepdims=True)
     acc[0:1, :] = jnp.where((n == 1) & in_chunk, corner0, acc[0:1, :])
 
-    log2_steps = max(1, (Jc - 1).bit_length())
     thresh = jnp.float32(BAND_THRESH)
 
     def row_body(i, carry_pred):
@@ -377,34 +382,22 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
         # fused edge at row i-1 (garbage wrap at chunk 0 is discarded by
         # the j==0 where, exactly as in the resident kernel)
         pred = jnp.where(jl_idx == 0, carry_pred, pred)
-        Mn = emit + jnp.where(j_idx == 0, NEG, pred)
-        In = MA + jnp.maximum(Mp + m2i, Ip + i2i)
         M_col0 = Ip[0:1, :] + i2m + col0_emit
         I_col0 = MA + m2i + (i.astype(jnp.float32) - 1.0) * i2i
-        Mn = jnp.where(j_idx == 0, M_col0, Mn)
-        In = jnp.where(j_idx == 0, I_col0, In)
+        Mn = jnp.where(j_idx == 0, M_col0, emit + pred)
+        In = jnp.where(j_idx == 0, I_col0,
+                       MA + jnp.maximum(Mp + m2i, Ip + i2i))
 
         # deletion recurrence: decayed running max, seeded by the previous
         # chunk's carry for this row
-        c = Mn + m2d - (jf + 1.0) * d2d
-        cm = c
-        s = 1
-        for _k in range(log2_steps):
-            shifted = pltpu.roll(cm, s, axis=0)
-            cm = jnp.maximum(cm, jnp.where(jl_idx < s, NEG, shifted))
-            s *= 2
-        cm = jnp.maximum(cm, old_cm_i)
+        cm = jnp.maximum(_prefix_max((Mn + m2d) - c_ramp, Jc), old_cm_i)
         ecm[pl.ds(i, 1), :] = cm[Jc - 1: Jc, :]
         cm1 = pltpu.roll(cm, 1, axis=0)
         cm1 = jnp.where(jl_idx == 0, old_cm_i, cm1)
-        Dn = jnp.where(j_idx == 0, NEG, jf * d2d + cm1)
-
-        Mn = jnp.where(valid_j, Mn, NEG)
-        In = jnp.where(valid_j, In, NEG)
-        Dn = jnp.where(valid_j, Dn, NEG)
+        Dn = jnp.where(j_idx == 0, NEG, d_ramp + cm1)
 
         best = jnp.maximum(jnp.maximum(Mn, In), Dn)
-        band = jnp.abs((n - m) - (i - j_idx)).astype(jnp.float32) * d2d
+        band = jnp.abs(jl1 + (nm_cs_f - i.astype(jnp.float32))) * d2d
         band_mask = (j_idx >= 1) & (j_idx <= m - 1)
         row_best = jnp.max(jnp.where(band_mask, best + band, NEG), axis=0,
                            keepdims=True)
@@ -422,14 +415,10 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
         acc[0:1, :] = jnp.where((i == n - 1) & in_chunk, corner,
                                 acc[0:1, :])
 
-        m_new = jnp.where(row_active, Mn, Mp)
-        i_new = jnp.where(row_active, In, Ip)
-        d_new = jnp.where(row_active, Dn, Dp)
-        mrow[:] = m_new
-        irow[:] = i_new
-        drow[:] = d_new
-        fused = jnp.maximum(jnp.maximum(m_new + m2m, d_new + d2m),
-                            i_new + i2m)
+        mrow[:] = Mn
+        irow[:] = In
+        drow[:] = Dn
+        fused = jnp.maximum(jnp.maximum(Mn + m2m, Dn + d2m), In + i2m)
         epred[pl.ds(i, 1), :] = fused[Jc - 1: Jc, :]
         return old_pred_i
 
