@@ -594,6 +594,7 @@ struct Graph {
   // reallocate + fault ~100MB of DP per aligned read)
   std::vector<int32_t> dp_, bt_node_;
   std::vector<signed char> bt_type_;
+  std::vector<int32_t> row_pred_, pmax_;
 
   void align(const char* seq, int m, std::vector<int>& aln) {
     std::vector<int> order = topo();
@@ -605,18 +606,76 @@ struct Graph {
     std::vector<int32_t>& dp = dp_;
     std::vector<int32_t>& bt_node = bt_node_;
     std::vector<signed char>& bt_type = bt_type_;
-    // grow-only: every row i>=1 cell is written before it is read (rows
-    // fill in topo order), and traceback never reads bt at row 0, so a
-    // full NEG/-1 fill would be ~80MB of pure memset per aligned read
+    // Live-row slot pool: traceback reads bt_type/bt_node only (never dp),
+    // and a dp row is dead once its last successor row is filled, so only
+    // the live rows are kept (a handful on the near-linear graphs POA
+    // builds: a ~n*W dp matrix would stream ~100MB/read through DRAM,
+    // and this DP is DRAM-bound).  endcol keeps each row's dp[i][m] for
+    // the sink scan.  bt_node is only WRITTEN on multi-predecessor rows
+    // (row_pred_ holds the row-constant predecessor otherwise).
     size_t need = (size_t)(n + 1) * W;
-    if (dp.size() < need) {
-      dp.resize(need);
+    if (bt_node.size() < need) {
       bt_node.resize(need);
       bt_type.resize(need);
     }
-    for (int j = 0; j <= m; j++) dp[j] = (int32_t)(j * GAP);
+    if (row_pred_.size() < (size_t)(n + 1)) row_pred_.resize(n + 1);
+    if (pmax_.size() < W) pmax_.resize(W);
+    // last_use[r]: last topo row that reads dp row r (itself if none).
+    std::vector<int> last_use(n + 1);
+    for (int r = 0; r <= n; r++) last_use[r] = r;
+    for (int i = 1; i <= n; i++) {
+      int v = order[i - 1];
+      if (in_e[v].empty()) {
+        last_use[0] = i;
+      } else {
+        for (auto& e : in_e[v]) {
+          int p = pos_in_order[e.first] + 1;
+          if (last_use[p] < i) last_use[p] = i;
+        }
+      }
+    }
+    // rows whose slot frees after step i (linked lists over rows)
+    std::vector<int> end_head(n + 1, -1), end_next(n + 1, -1);
+    int max_live = 0;
+    {
+      int live = 0;
+      std::vector<int> ends(n + 2, 0);
+      for (int r = 0; r <= n; r++) ends[last_use[r] + 1]++;
+      for (int r = 0; r <= n; r++) {
+        live += 1 - ends[r];            // alloc row r; free rows ending at r-1
+        if (live > max_live) max_live = live;
+      }
+      for (int r = n; r >= 0; r--) {    // head-insert keeps ascending order
+        end_next[r] = end_head[last_use[r]];
+        end_head[last_use[r]] = r;
+      }
+    }
+    if (dp.size() < (size_t)max_live * W) dp.resize((size_t)max_live * W);
+    std::vector<int> slot_of(n + 1, -1), free_slots;
+    int n_slots = 0;
+    auto alloc_slot = [&]() {
+      if (!free_slots.empty()) {
+        int s = free_slots.back();
+        free_slots.pop_back();
+        return s;
+      }
+      return n_slots++;
+    };
+    auto free_after = [&](int i) {
+      for (int r = end_head[i]; r >= 0; r = end_next[r])
+        free_slots.push_back(slot_of[r]);
+    };
+    slot_of[0] = alloc_slot();
+    {
+      int32_t* r0 = &dp[(size_t)slot_of[0] * W];
+      for (int j = 0; j <= m; j++) r0[j] = (int32_t)(j * GAP);
+    }
+    std::vector<int32_t> endcol(n + 1);
+    endcol[0] = (int32_t)(m * GAP);
+    free_after(0);
     std::vector<int32_t> best_up(W);
     std::vector<int32_t> best_up_p(W);
+    int32_t* __restrict__ pmax = pmax_.data();
     for (int i = 1; i <= n; i++) {
       int v = order[i - 1];
       // predecessor rows (insertion order; first strict improvement wins).
@@ -626,36 +685,37 @@ struct Graph {
       const int32_t* up;
       int up_p = -2;  // >= -1: all predecessors are this single row id
       if (!any_pred) {
-        up = &dp[0];
+        up = &dp[(size_t)slot_of[0] * W];
         up_p = 0;
       } else if (in_e[v].size() == 1) {
         // single predecessor (the common case): alias its row, no copy
         up_p = pos_in_order[in_e[v][0].first] + 1;
-        up = &dp[(size_t)up_p * W];
+        up = &dp[(size_t)slot_of[up_p] * W];
       } else {
         for (size_t j = 0; j < W; j++) { best_up[j] = (int32_t)NEG; best_up_p[j] = -1; }
         for (auto& e : in_e[v]) {
           int p = pos_in_order[e.first] + 1;
-          const int32_t* d = &dp[(size_t)p * W];
+          const int32_t* d = &dp[(size_t)slot_of[p] * W];
           for (size_t j = 0; j < W; j++)
             if (d[j] > best_up[j]) { best_up[j] = d[j]; best_up_p[j] = p; }
         }
         up = best_up.data();
       }
+      row_pred_[i] = up_p;
+      slot_of[i] = alloc_slot();
       char base = ch[v];
-      // __restrict__: rows/arrays never overlap (dst is row i; up is a
-      // strictly earlier row or the separate best_up scratch) — lets the
-      // compiler vectorize without exploding alias-version checks
-      int32_t* __restrict__ dst = &dp[(size_t)i * W];
+      // __restrict__: rows/arrays never overlap (dst is row i's fresh
+      // slot; up is a live earlier row's slot or the best_up scratch) —
+      // lets the compiler vectorize without alias-version checks
+      int32_t* __restrict__ dst = &dp[(size_t)slot_of[i] * W];
       int32_t* __restrict__ bn = &bt_node[(size_t)i * W];
       signed char* __restrict__ bt = &bt_type[(size_t)i * W];
       const int32_t* __restrict__ upr = up;
       const int32_t* __restrict__ bup = best_up_p.data();
       const char* __restrict__ sq = seq;
       // fused pass: up, then strictly-better diag (same result order as
-      // separate passes); the sequential left-gap pass stays on its own
+      // separate passes); the left-gap pass follows in closed form
       dst[0] = upr[0] + GAP;
-      bn[0] = (up_p >= -1) ? up_p : bup[0];
       bt[0] = 1;
       if (up_p >= -1) {
         for (size_t j = 1; j < W; j++) {
@@ -664,9 +724,10 @@ struct Graph {
           int32_t diag = upr[j - 1] +
                          ((sq[j - 1] == base) ? MATCH : MISMATCH);
           if (diag > val) { val = diag; t = 0; }
-          dst[j] = val; bn[j] = up_p; bt[j] = t;
+          dst[j] = val; bt[j] = t;
         }
       } else {
+        bn[0] = bup[0];
         for (size_t j = 1; j < W; j++) {
           int32_t val = upr[j] + GAP;
           int32_t node = bup[j];
@@ -677,8 +738,33 @@ struct Graph {
           dst[j] = val; bn[j] = node; bt[j] = t;
         }
       }
-      for (size_t j = 1; j < W; j++)
-        if (dst[j - 1] + GAP > dst[j]) { dst[j] = dst[j - 1] + GAP; bn[j] = i; bt[j] = 2; }
+      // left-gap pass in closed form: the cascade
+      //   dst[j] = max(dst[j], dst[j-1] + GAP)   (updated dst[j-1])
+      // equals dst'[j] = max_{k<=j}(dst[k] + (j-k)*GAP); with GAP = -1
+      // that is (prefix-max of dst[k] + k) - j, exact in integers.
+      // Including dst[j] + j itself in the prefix max is harmless: it
+      // makes nd >= dst[j], and the strict > excludes the self case, so
+      // bt updates exactly when the original cascade updated.  Two
+      // passes, not one: the scalar prefix scan stays minimal and the
+      // compare/update pass vectorizes (measured ~1.6x over the fused
+      // scalar loop).  (t==2 traceback only decrements j, so bn is
+      // never read there.)
+      static_assert(GAP == -1, "closed-form left pass assumes GAP == -1");
+      {
+        int32_t rm = dst[0];            // dst[0] + 0
+        pmax[0] = rm;
+        for (size_t j = 1; j < W; j++) {
+          int32_t t2 = dst[j] + (int32_t)j;
+          if (t2 > rm) rm = t2;
+          pmax[j] = rm;
+        }
+        for (size_t j = 1; j < W; j++) {
+          int32_t nd = pmax[j] - (int32_t)j;
+          if (nd > dst[j]) { dst[j] = nd; bt[j] = 2; }
+        }
+      }
+      endcol[i] = dst[m];
+      free_after(i);
     }
     // endpoint: best sink (max over sinks of dp[i][m]; first max wins to
     // mirror Python's max() over the sink list in node order)
@@ -689,20 +775,24 @@ struct Graph {
       if (out_e[v2].empty()) {
         any_sink = true;
         int i2 = pos_in_order[v2] + 1;
-        if (dp[(size_t)i2 * W + m] > best_v) { best_v = dp[(size_t)i2 * W + m]; best_i = i2; }
+        if (endcol[i2] > best_v) { best_v = endcol[i2]; best_i = i2; }
       }
     }
     if (!any_sink) {
       for (int i2 = 0; i2 <= n; i2++)
-        if (dp[(size_t)i2 * W + m] > best_v) { best_v = dp[(size_t)i2 * W + m]; best_i = i2; }
+        if (endcol[i2] > best_v) { best_v = endcol[i2]; best_i = i2; }
     }
     int i = best_i, j = m;
     while (i != 0 || j != 0) {
       if (i == 0) { j--; continue; }
       signed char t = bt_type[(size_t)i * W + j];
-      if (t == 0) { aln[j - 1] = order[i - 1]; i = bt_node[(size_t)i * W + j]; j--; }
-      else if (t == 1) { i = bt_node[(size_t)i * W + j]; }
-      else { j--; }
+      if (t == 2) { j--; continue; }
+      // predecessor row: row-constant unless this row had multiple
+      // predecessors (row_pred_ == -2), in which case bt_node holds it
+      int pred = row_pred_[i] >= -1 ? row_pred_[i]
+                                    : bt_node[(size_t)i * W + j];
+      if (t == 0) { aln[j - 1] = order[i - 1]; i = pred; j--; }
+      else { i = pred; }
     }
   }
 
