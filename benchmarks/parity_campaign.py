@@ -1,0 +1,138 @@
+"""Randomized record-parity campaign vs the compiled reference.
+
+Long-running differential fuzz over the PRODUCTION pipeline: random
+catalogs (motif mix / VNTR scale, coverage, sample count, read error
+rate, haploid chroms, custom alignment params) run through the CLI in
+fidelity mode with every SeqStutterGenotyper construction captured and
+replayed through the compiled reference chain
+(tests/test_pipeline_record_parity.py machinery); every emitted record
+must match byte for byte.  Any divergence is a real bug — this harness
+found the left-align cross-element CIGAR-merge divergence in round 3.
+
+Usage: python benchmarks/parity_campaign.py [n_trials] [start_seed]
+Prints one line per trial; exits nonzero on the first divergence with
+the trial's full config for reproduction.
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _ROOT)                               # tests.ref_oracle
+sys.path.insert(0, os.path.join(_ROOT, "tests"))        # synth, test_*
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+class _Patch:
+    """Minimal monkeypatch.setattr stand-in for the test helper."""
+
+    def __init__(self):
+        self._saved = []
+
+    def setattr(self, obj, name, value):
+        self._saved.append((obj, name, getattr(obj, name)))
+        setattr(obj, name, value)
+
+    def undo(self):
+        for obj, name, val in reversed(self._saved):
+            setattr(obj, name, val)
+        self._saved.clear()
+
+
+def run_trial(seed: int) -> str:
+    from pathlib import Path
+
+    from loci_throughput import build_catalog
+    from test_pipeline_record_parity import _run_and_compare
+
+    rng = np.random.default_rng(seed)
+    vntr = bool(rng.random() < 0.2)
+    n_loci = int(rng.integers(3, 8)) if vntr else int(rng.integers(6, 26))
+    coverage = int(rng.integers(8, 40))
+    n_samples = int(rng.integers(1, 6))
+    ont = bool(rng.random() < 0.25)
+    haploid = bool(rng.random() < 0.2)
+    custom_params = bool(rng.random() < 0.2)
+
+    extra = []
+    if vntr:
+        extra += ["--max-tr-len", "10000"]
+    if custom_params:
+        g = -float(rng.uniform(6.0, 12.0))
+        extra += [f"--alignment-params=-1.5,-0.3,-1.5,-0.3,-0.0001,{g},{g}"]
+    desc = (f"seed={seed} loci={n_loci} cov={coverage} S={n_samples} "
+            f"vntr={vntr} ont={ont} haploid={haploid} "
+            f"params={custom_params}")
+
+    tmpdir = tempfile.mkdtemp(prefix=f"parity{seed}_")
+    if vntr:
+        # clean reads at VNTR scale: errors route most loci into the POA
+        # rescue path, which the oracle's spoa stub cannot replay — build
+        # error-free cohorts so the multi-hundred-bp emission IS checked
+        from longtr_tpu.io.fasta import write_fasta
+        from synth import Locus, make_genome, write_bed, write_sample_bam
+        motifs = ["ACGGTCATGG", "ACGGTCATGGACGGTCA",
+                  "ACGGTCATGGACGGTCATGGACG"]
+        loci = []
+        offset = 1000
+        for i in range(n_loci):
+            m = motifs[int(rng.integers(0, len(motifs)))]
+            copies = int(rng.integers(300 // len(m), 900 // len(m)))
+            loci.append(Locus("chr1", offset, m, copies, f"V{i}"))
+            offset = loci[-1].stop + 800
+        genome = make_genome(rng, loci, chrom_len=offset + 1200)
+        fasta = os.path.join(tmpdir, "g.fa")
+        write_fasta(fasta, genome)
+        bed = os.path.join(tmpdir, "r.bed")
+        write_bed(bed, loci)
+        bams = []
+        for s in range(n_samples):
+            gts = {l.name: (max(l.ref_copies + int(rng.integers(-2, 3)), 2),
+                            max(l.ref_copies + int(rng.integers(-2, 3)), 2))
+                   for l in loci}
+            p = os.path.join(tmpdir, f"S{s}.bam")
+            write_sample_bam(p, genome, loci, gts, f"S{s}", rng,
+                             coverage=coverage)
+            bams.append(p)
+    else:
+        fasta, bed, bams, _loci, _truth = build_catalog(
+            tmpdir, n_loci, coverage=coverage, n_samples=n_samples,
+            seed=seed, ont=ont)
+    if haploid:
+        chroms = sorted({ln.split()[0] for ln in open(bed)})
+        extra += ["--haploid-chrs", ",".join(chroms)]
+
+    patch = _Patch()
+    try:
+        n = _run_and_compare(Path(tmpdir), patch, bams, fasta, bed,
+                             extra_args=extra)
+    finally:
+        patch.undo()
+    return f"{desc} -> {n} records byte-identical"
+
+
+def main():
+    import tests.ref_oracle as ro
+    if ro.get_lib() is None:
+        print("reference oracle unavailable; cannot run")
+        return 2
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    for t in range(n_trials):
+        seed = start + t
+        try:
+            msg = run_trial(seed)
+        except AssertionError as e:
+            print(f"DIVERGENCE at seed={seed}: {e}", flush=True)
+            return 1
+        print(f"[{t + 1}/{n_trials}] {msg}", flush=True)
+    print("campaign clean")
+    return 0
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("LONGTR_PLATFORM", "cpu")
+    sys.exit(main())
