@@ -114,21 +114,61 @@ def run_trial(seed: int) -> str:
     return f"{desc} -> {n} records byte-identical"
 
 
+def run_left_align_trial(seed: int) -> str:
+    """High-volume variant for the read-conversion layer: randomized locus
+    geometry (period 1-10, unit count, read mix) through compiled
+    left_align_reads vs both our native and pure-Python paths."""
+    import tests.ref_oracle as ro
+    from test_left_align_parity import make_locus, run_ours
+
+    rng = np.random.default_rng(seed)
+    period = int(rng.integers(1, 11))
+    n_units = int(rng.integers(3, 30))
+    n_reads = int(rng.integers(2, 16))
+    n_samples = int(rng.integers(1, 4))
+    chrom, rs, re_, motif, reads = make_locus(
+        rng, n_samples=n_samples, n_reads=n_reads, period=period,
+        n_units=n_units)
+    want = ro.left_align(chrom, "chr1", rs, re_, motif, reads)
+    got = run_ours(chrom, rs, re_, motif, reads)
+    assert got[0] == want[0], f"alignments differ (seed={seed})"
+    assert got[1] == want[1], f"phase factors differ (seed={seed})"
+    assert (got[2], got[3]) == (want[2], want[3]), f"HP counts (seed={seed})"
+    os.environ["LONGTR_NO_NATIVE"] = "1"
+    try:
+        got_py = run_ours(chrom, rs, re_, motif, reads)
+    finally:
+        del os.environ["LONGTR_NO_NATIVE"]
+    assert got_py == got, f"native/python divergence (seed={seed})"
+    return (f"seed={seed} p={period} units={n_units} reads={n_reads} "
+            f"S={n_samples} ok")
+
+
 def main():
     import tests.ref_oracle as ro
     if ro.get_lib() is None:
         print("reference oracle unavailable; cannot run")
         return 2
-    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    surface = "records"
+    if "--left-align" in sys.argv:
+        surface = "left_align"
+        if ro.get_trim_lib() is None:
+            print("trim oracle unavailable; cannot run")
+            return 2
+    n_trials = int(args[0]) if args else 50
+    start = int(args[1]) if len(args) > 1 else 1000
+    trial_fn = run_left_align_trial if surface == "left_align" else run_trial
+    quiet_every = 200 if surface == "left_align" else 1
     for t in range(n_trials):
         seed = start + t
         try:
-            msg = run_trial(seed)
+            msg = trial_fn(seed)
         except AssertionError as e:
             print(f"DIVERGENCE at seed={seed}: {e}", flush=True)
             return 1
-        print(f"[{t + 1}/{n_trials}] {msg}", flush=True)
+        if (t + 1) % quiet_every == 0 or t + 1 == n_trials:
+            print(f"[{t + 1}/{n_trials}] {msg}", flush=True)
     print("campaign clean")
     return 0
 
