@@ -144,6 +144,30 @@ def run_left_align_trial(seed: int) -> str:
             f"S={n_samples} ok")
 
 
+def run_trim_trial(seed: int) -> str:
+    """CIGAR-surgery surface: random reads/windows through the compiled
+    TrimAlignment vs our run-level transcription."""
+    import tests.ref_oracle as ro
+    from longtr_tpu.pipeline.alignment import FLANK_SIZE
+    from test_trim_ref_parity import our_trim, random_aligned_read
+
+    rng = np.random.default_rng(seed)
+    pos = int(rng.integers(0, 2000))
+    seq, quals, cigar, pos, end_pos = random_aligned_read(rng, pos)
+    mid = int(rng.integers(pos - 80, end_pos + 80))
+    width = int(rng.integers(0, 300))
+    region_start = mid
+    region_stop = mid + width
+    lo = region_start - FLANK_SIZE if region_start > FLANK_SIZE else 1
+    hi = region_stop + FLANK_SIZE
+    want = ro.trim_alignment(seq, quals, cigar, pos, end_pos, lo, hi)
+    got = our_trim(seq, quals, cigar, pos, end_pos, lo, hi)
+    for key in ("pos", "end_pos", "seq", "quals", "cigar", "deleted",
+                "length"):
+        assert want[key] == got[key], (seed, key)
+    return f"seed={seed} window=({lo},{hi}) ok"
+
+
 def main():
     import tests.ref_oracle as ro
     if ro.get_lib() is None:
@@ -153,13 +177,16 @@ def main():
     surface = "records"
     if "--left-align" in sys.argv:
         surface = "left_align"
-        if ro.get_trim_lib() is None:
-            print("trim oracle unavailable; cannot run")
-            return 2
+    elif "--trim" in sys.argv:
+        surface = "trim"
+    if surface != "records" and ro.get_trim_lib() is None:
+        print("trim oracle unavailable; cannot run")
+        return 2
     n_trials = int(args[0]) if args else 50
     start = int(args[1]) if len(args) > 1 else 1000
-    trial_fn = run_left_align_trial if surface == "left_align" else run_trial
-    quiet_every = 200 if surface == "left_align" else 1
+    trial_fn = {"records": run_trial, "left_align": run_left_align_trial,
+                "trim": run_trim_trial}[surface]
+    quiet_every = {"records": 1, "left_align": 200, "trim": 1000}[surface]
     for t in range(n_trials):
         seed = start + t
         try:
