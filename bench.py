@@ -194,7 +194,14 @@ hap_start, hap_end = 1000, rs_ + len(rep) + len(rf)
 pools = []
 for k in range(512):
     allele = "A" * (18 + int(rng3.integers(-2, 2)))
-    seq = lf + allele + rf
+    # DISTINCT read sequences (sprinkled flank mismatches): production
+    # feeds pooled (deduplicated) reads, so identical-sequence repeats
+    # would overstate the per-read table-cache hit rate
+    fl = list(lf + allele + rf)
+    for _m in range(int(rng3.integers(1, 4))):
+        p_ = int(rng3.integers(0, len(fl)))
+        fl[p_] = str(rng3.choice(basesl))
+    seq = "".join(fl)
     pools.append(Alignment(1000, 1000 + len(lf) + len(rep) + len(rf) - 1,
                            False, False, f"p{k}", "I" * len(seq), seq,
                            alignment=seq, cigar=[("=", len(seq))]))
@@ -377,7 +384,11 @@ def _mode_b_host_baseline():
     pools = []
     for k in range(16):
         allele = "A" * (18 + int(rng.integers(-2, 2)))
-        seq = lf + allele + rf
+        fl = list(lf + allele + rf)
+        for _m in range(int(rng.integers(1, 4))):
+            p_ = int(rng.integers(0, len(fl)))
+            fl[p_] = str(rng.choice(basesl))
+        seq = "".join(fl)
         pools.append(Alignment(1000, 1000 + len(lf) + len(rep) + len(rf) - 1,
                                False, False, f"p{k}", "I" * len(seq), seq,
                                alignment=seq, cigar=[("=", len(seq))]))

@@ -168,6 +168,57 @@ def run_trim_trial(seed: int) -> str:
     return f"seed={seed} window=({lo},{hi}) ok"
 
 
+def run_filter_trial(seed: int) -> str:
+    """Read-filter surface: randomized streams (mate pairs, XA/SA alt
+    mappings, multi-file/multi-RG, hard clips, unmapped) under random
+    filter knobs through compiled read_and_filter_reads vs ours."""
+    from test_filter_parity import mk_read, run_both
+
+    rng = np.random.default_rng(seed)
+    rs = 500
+    re_ = 500 + int(rng.integers(10, 80))
+    reads = []
+    n = int(rng.integers(10, 70))
+    for i in range(n):
+        f = int(rng.integers(0, 3))
+        rg = f"G{int(rng.integers(0, 2))}"
+        if rng.random() < 0.5:
+            kw = dict(file=f, rg=rg, paired=True, first_mate=True,
+                      mate_pos=int(rng.integers(400, 700)))
+            if rng.random() < 0.35:
+                kw["xa"] = (f"alt{int(rng.integers(1, 3))},"
+                            f"+{int(rng.integers(100, 2000))},50=,2;")
+            if rng.random() < 0.3:
+                kw["as_score"] = int(rng.integers(40, 60))
+                kw["xs_score"] = int(rng.integers(30, 60))
+            reads.append(mk_read(rng, rs, re_, f"p{i}", **kw))
+            if rng.random() < 0.8:
+                mkw = dict(file=f, rg=rg, paired=True, first_mate=False,
+                           mate_pos=reads[-1]["pos"])
+                if rng.random() < 0.3:
+                    mkw["sa"] = (f"ref,{int(rng.integers(100, 5000))},"
+                                 f"+,60=,60,0;")
+                reads.append(mk_read(rng, rs, re_, f"p{i}", **mkw))
+        else:
+            kw = dict(file=f, rg=rg)
+            if rng.random() < 0.1:
+                kw["mapped"] = False
+            reads.append(mk_read(rng, rs, re_, f"r{i}", **kw))
+    reads.sort(key=lambda d: d["file"])   # ORDER_ALNS_BY_FILE
+    rg_map = {f"F{f}G{g}": f"S{f}_{g}" for f in range(3) for g in range(2)}
+    knobs = {}
+    if rng.random() < 0.5:
+        knobs = dict(require_spanning=int(rng.random() < 0.7),
+                     min_mapq=float(rng.integers(0, 60)),
+                     min_sum_qual=float(rng.integers(10, 40)),
+                     min_flank=int(rng.integers(0, 30)),
+                     require_paired=int(rng.random() < 0.3),
+                     max_total_reads=int(rng.integers(5, 200)))
+    want, got = run_both(reads, rs, re_, "AC", rg_map, **knobs)
+    assert want == got, f"filter divergence seed={seed} knobs={knobs}"
+    return f"seed={seed} n={len(reads)} knobs={bool(knobs)} ok"
+
+
 def main():
     import tests.ref_oracle as ro
     if ro.get_lib() is None:
@@ -179,14 +230,17 @@ def main():
         surface = "left_align"
     elif "--trim" in sys.argv:
         surface = "trim"
-    if surface != "records" and ro.get_trim_lib() is None:
+    elif "--filters" in sys.argv:
+        surface = "filters"
+    if surface in ("left_align", "trim") and ro.get_trim_lib() is None:
         print("trim oracle unavailable; cannot run")
         return 2
     n_trials = int(args[0]) if args else 50
     start = int(args[1]) if len(args) > 1 else 1000
     trial_fn = {"records": run_trial, "left_align": run_left_align_trial,
-                "trim": run_trim_trial}[surface]
-    quiet_every = {"records": 1, "left_align": 200, "trim": 1000}[surface]
+                "trim": run_trim_trial, "filters": run_filter_trial}[surface]
+    quiet_every = {"records": 1, "left_align": 200, "trim": 1000,
+                   "filters": 500}[surface]
     for t in range(n_trials):
         seed = start + t
         try:

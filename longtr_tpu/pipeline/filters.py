@@ -226,7 +226,9 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
                 if mate is not None:
                     if rec.is_first_mate == mate.is_first_mate:
                         del potential_mates[aln_key]
-                        potential_strs[aln_key] = rec
+                        # std::map::insert keeps an existing entry
+                        # (bam_processor.cpp:327): first-seen read wins
+                        potential_strs.setdefault(aln_key, rec)
                         continue
                     p1, _p2 = get_valid_pairings(rec, mate, config.max_mate_dist)
                     if len(p1) == 1 and p1[0][1] == rec.pos:
@@ -239,10 +241,14 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
                         _write_filt(rec, "NO_UNIQUE_MAPPING", filt_writer)
                     del potential_mates[aln_key]
                 else:
-                    potential_strs[aln_key] = rec
+                    # std::map::insert semantics (bam_processor.cpp:376):
+                    # when BOTH mates of a pair pass and overlap the
+                    # region, the FIRST-seen read is kept as the unpaired
+                    # candidate and the second insert is a no-op
+                    potential_strs.setdefault(aln_key, rec)
             else:
                 _write_filt(rec, filt, filt_writer)
-                potential_mates[aln_key] = rec
+                potential_mates.setdefault(aln_key, rec)
         else:
             aln_key = file_label + trim_alignment_name(rec)
             str_rec = potential_strs.get(aln_key)
@@ -266,9 +272,13 @@ def read_and_filter_reads(reader, region_group, rg_to_sample, config,
                         continue
                     del potential_mates[aln_key]
                 else:
-                    potential_mates[aln_key] = rec
+                    potential_mates.setdefault(aln_key, rec)
 
-    for rec in potential_strs.values():
+    # std::map iteration is KEY-SORTED (bam_processor.cpp:421): the
+    # unpaired-read order — and through the reverse RG fan-out below, the
+    # read-group discovery order — follows sorted aln_keys, not insertion
+    # order.  (Found by the randomized filter-parity campaign.)
+    for _key, rec in sorted(potential_strs.items()):
         if rec.has_tag("XA"):
             counters.unique_mapping += 1
             _write_filt(rec, "NO_UNIQUE_MAPPING", filt_writer)

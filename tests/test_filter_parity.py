@@ -258,3 +258,51 @@ def test_filter_parity_fuzz():
         rg_map = {f"F{f}G0": f"S{f}" for f in range(2)}
         want, got = run_both(reads, rs, re_, "ACG", rg_map)
         assert want == got, trial
+
+
+def test_filter_parity_both_mates_pass_keeps_first():
+    """When BOTH mates of a pair pass filters and overlap the region, the
+    reference's std::map::insert keeps the FIRST-seen read as the unpaired
+    candidate (the second insert is a no-op, bam_processor.cpp:376) — a
+    dict-assignment transcription keeps the last instead.  Found by the
+    randomized filter-parity campaign (seed 80005)."""
+    rng = np.random.default_rng(10)
+    rs, re_ = 500, 540
+    reads = []
+    for i in range(6):
+        # same-name pairs where both ends overlap the region and pass;
+        # get_valid_pairings fails (mate_pos mismatch), so both flow into
+        # potential_strs via the same aln_key
+        a = mk_read(rng, rs, re_, f"q{i}", paired=True, first_mate=True,
+                    mate_pos=int(rng.integers(400, 700)))
+        b = mk_read(rng, rs, re_, f"q{i}", paired=True, first_mate=False,
+                    mate_pos=int(rng.integers(400, 700)))
+        # force both to span the region so both take the pass_one path
+        for d in (a, b):
+            span = (re_ - rs) + 80
+            d["pos"] = rs - 40
+            d["cigar"] = f"{span}="
+            d["end_pos"] = d["pos"] + span
+            d["seq"] = "".join(rng.choice(list(BASES), size=span))
+            d["qual"] = "I" * span
+            d["mapq"] = 60
+        reads += [a, b]
+    want, got = run_both(reads, rs, re_, "AC", {"F0G0": "S0"})
+    assert want == got
+
+
+def test_filter_parity_unpaired_order_is_key_sorted():
+    """The reference iterates potential_strs (std::map) in sorted-aln_key
+    order, which sets both the unpaired read order and, through the
+    reverse RG fan-out, the read-group discovery order — insertion order
+    diverges for interleaved read groups.  Found by the campaign (seed
+    80025)."""
+    rng = np.random.default_rng(11)
+    rs, re_ = 500, 540
+    reads = []
+    # names chosen so sorted order != arrival order, spread across two RGs
+    for i, name in enumerate(["zz", "mm", "aa", "rr", "bb", "kk"]):
+        reads.append(mk_read(rng, rs, re_, name, rg=f"G{i % 2}"))
+    rg_map = {"F0G0": "S0", "F0G1": "S1"}
+    want, got = run_both(reads, rs, re_, "AC", rg_map)
+    assert want == got
