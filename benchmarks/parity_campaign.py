@@ -219,6 +219,28 @@ def run_filter_trial(seed: int) -> str:
     return f"seed={seed} n={len(reads)} knobs={bool(knobs)} ok"
 
 
+def run_em_trial(seed: int) -> str:
+    """EM-training surface: random read sets (period 1-6, frame mixes,
+    both ploidies, shifted ref allele) must reproduce the compiled
+    reference's per-iteration LL trajectory, final stutter params, and
+    posterior tensor bit for bit in fidelity mode."""
+    from test_em_parity import assert_em_bit_parity, gen_reads
+
+    rng = np.random.default_rng(seed)
+    ml = int(rng.integers(1, 7))
+    motif = ("ACGTAC"[:ml] if ml > 1 else "A")
+    fm = bool(rng.random() < 0.5) and ml > 1   # frame mix needs period > 1
+    haploid = bool(rng.random() < 0.3)
+    n_samples = int(rng.integers(1, 9))
+    num_bps, p1s, p2s = gen_reads(n_samples, seed, ml, fm)
+    n_alleles = len({b for s in num_bps for b in s} | {0})
+    ref_allele = int(rng.integers(0, n_alleles)) if rng.random() < 0.3 else 0
+    assert_em_bit_parity(haploid, motif, num_bps, p1s, p2s,
+                         ref_allele=ref_allele)
+    return (f"seed={seed} p={ml} fm={fm} hap={haploid} S={n_samples} "
+            f"ref={ref_allele} ok")
+
+
 def main():
     import tests.ref_oracle as ro
     if ro.get_lib() is None:
@@ -232,15 +254,18 @@ def main():
         surface = "trim"
     elif "--filters" in sys.argv:
         surface = "filters"
+    elif "--em" in sys.argv:
+        surface = "em"
     if surface in ("left_align", "trim") and ro.get_trim_lib() is None:
         print("trim oracle unavailable; cannot run")
         return 2
     n_trials = int(args[0]) if args else 50
     start = int(args[1]) if len(args) > 1 else 1000
     trial_fn = {"records": run_trial, "left_align": run_left_align_trial,
-                "trim": run_trim_trial, "filters": run_filter_trial}[surface]
+                "trim": run_trim_trial, "filters": run_filter_trial,
+                "em": run_em_trial}[surface]
     quiet_every = {"records": 1, "left_align": 200, "trim": 1000,
-                   "filters": 500}[surface]
+                   "filters": 500, "em": 100}[surface]
     for t in range(n_trials):
         seed = start + t
         try:
