@@ -241,6 +241,62 @@ def run_em_trial(seed: int) -> str:
             f"ref={ref_allele} ok")
 
 
+def run_nw_trial(seed: int) -> str:
+    """NeedlemanWunsch surface: repeat-rich sequence pairs with multi-base
+    indels through compiled Align/LeftAlign vs ours — aligned strings,
+    CIGAR, and the left-alignment tie-breaks must match exactly."""
+    import tests.ref_oracle as ro
+    from longtr_tpu.haplotype.nw import nw_align
+
+    rng = np.random.default_rng(seed)
+    bases = np.array(list("ACGT"))
+    # low-complexity scaffolds make ties common (where LeftAlign matters)
+    style = rng.random()
+    if style < 0.3:
+        unit = "".join(rng.choice(bases, int(rng.integers(1, 4))))
+        ref = unit * int(rng.integers(8, 40))
+    elif style < 0.6:
+        unit = "".join(rng.choice(bases, int(rng.integers(2, 6))))
+        core = unit * int(rng.integers(4, 15))
+        ref = ("".join(rng.choice(bases, int(rng.integers(5, 25)))) + core
+               + "".join(rng.choice(bases, int(rng.integers(5, 25)))))
+    else:
+        ref = "".join(rng.choice(bases, int(rng.integers(20, 150))))
+    read = list(ref)
+    for _ in range(int(rng.integers(0, 4))):   # multi-base deletions
+        if len(read) < 8:
+            break
+        p = int(rng.integers(0, len(read) - 5))
+        del read[p: p + int(rng.integers(1, 6))]
+    for _ in range(int(rng.integers(0, 4))):   # multi-base insertions
+        p = int(rng.integers(0, len(read) + 1))
+        ins = "".join(rng.choice(bases, int(rng.integers(1, 6))))
+        read[p:p] = list(ins)
+    for _ in range(int(rng.integers(0, 5))):   # substitutions
+        if not read:
+            break
+        p = int(rng.integers(0, len(read)))
+        read[p] = str(rng.choice(bases))
+    read = "".join(read)
+    if not read:
+        return f"seed={seed} empty-read skip"
+    # NeedlemanWunsch::LeftAlign is dead upstream (no call site; only
+    # Align runs, AlignmentOps.cpp:25 / Haplotype.cpp:66) — fuzz the live
+    # surface under both end-penalty modes.
+    for pen in (False, True):
+        ok_w, ra_w, qa_w, sc_w, cig_w = ro.nw_align(
+            ref, read, use_ref_end_penalty=pen)
+        ok_g, ra_g, qa_g, sc_g, cig_g = nw_align(
+            ref, read, use_ref_end_penalty=pen)
+        cig_gs = "".join(f"{n}{op}" for op, n in cig_g)
+        assert ok_w == ok_g, (seed, pen)
+        if ok_w:
+            assert (ra_w, qa_w, cig_w) == (ra_g, qa_g, cig_gs), \
+                (seed, pen, cig_w, cig_gs)
+            assert abs(sc_w - sc_g) < 1e-3, (seed, pen, sc_w, sc_g)
+    return f"seed={seed} len={len(ref)}/{len(read)} ok"
+
+
 def main():
     import tests.ref_oracle as ro
     if ro.get_lib() is None:
@@ -256,6 +312,8 @@ def main():
         surface = "filters"
     elif "--em" in sys.argv:
         surface = "em"
+    elif "--nw" in sys.argv:
+        surface = "nw"
     if surface in ("left_align", "trim") and ro.get_trim_lib() is None:
         print("trim oracle unavailable; cannot run")
         return 2
@@ -263,9 +321,9 @@ def main():
     start = int(args[1]) if len(args) > 1 else 1000
     trial_fn = {"records": run_trial, "left_align": run_left_align_trial,
                 "trim": run_trim_trial, "filters": run_filter_trial,
-                "em": run_em_trial}[surface]
+                "em": run_em_trial, "nw": run_nw_trial}[surface]
     quiet_every = {"records": 1, "left_align": 200, "trim": 1000,
-                   "filters": 500, "em": 100}[surface]
+                   "filters": 500, "em": 100, "nw": 500}[surface]
     for t in range(n_trials):
         seed = start + t
         try:
