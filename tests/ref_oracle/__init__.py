@@ -63,6 +63,7 @@ def _build():
         # the reference Makefile builds with default FP behavior; keep it
         "-o", _LIB_PATH,
         os.path.join(_DIR, "wrapper.cc"), *srcs,
+        "-ldl",   # spoa stub dlopens the production POA
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -80,7 +81,10 @@ def get_lib():
     newest_src = max(
         (os.path.getmtime(os.path.join(_REF_SRC, s)) for s in _REF_SOURCES),
         default=0.0)
-    wrapper_mtime = os.path.getmtime(os.path.join(_DIR, "wrapper.cc"))
+    wrapper_mtime = max(
+        os.path.getmtime(os.path.join(_DIR, f)) for f in
+        ("wrapper.cc", "stub_bam_io.h", "stub_fasta_reader.h",
+         "stub_vcf_layer.h", os.path.join("spoa", "spoa.hpp")))
     stale = (not os.path.exists(_LIB_PATH)
              or os.path.getmtime(_LIB_PATH) < max(newest_src, wrapper_mtime))
     if stale:
@@ -90,6 +94,18 @@ def get_lib():
             if not os.path.exists(_LIB_PATH):
                 _build_failed = True
                 return None
+    # The spoa stub's GenerateConsensus dlopens the PRODUCTION consensus
+    # (ltr_poa_consensus) so rescue-path loci can be replayed through the
+    # compiled reference chain with the same cluster-consensus function.
+    try:
+        from longtr_tpu import native as _ltr_native
+        if _ltr_native.get_lib() is not None:
+            os.environ.setdefault(
+                "LONGTR_NATIVE_SO",
+                os.path.join(os.path.dirname(_ltr_native.__file__),
+                             "liblongtr_native.so"))
+    except Exception:
+        pass
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
