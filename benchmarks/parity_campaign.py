@@ -63,9 +63,19 @@ def run_trial(seed: int) -> str:
     if custom_params:
         g = -float(rng.uniform(6.0, 12.0))
         extra += [f"--alignment-params=-1.5,-0.3,-1.5,-0.3,-0.0001,{g},{g}"]
+    phased = bool(rng.random() < 0.3)       # HP-tag phasing path
+    if phased:
+        extra += ["--phased-bam"]
+    outflags = []
+    if rng.random() < 0.4:
+        for fl in ("--output-gls", "--output-pls", "--output-phased-gls",
+                   "--output-filters"):
+            if rng.random() < 0.5:
+                outflags.append(fl)
+        extra += outflags
     desc = (f"seed={seed} loci={n_loci} cov={coverage} S={n_samples} "
             f"vntr={vntr} ont={ont} haploid={haploid} "
-            f"params={custom_params}")
+            f"params={custom_params} phased={phased} out={outflags}")
 
     tmpdir = tempfile.mkdtemp(prefix=f"parity{seed}_")
     if vntr:

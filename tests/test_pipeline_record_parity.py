@@ -90,7 +90,15 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
                     log_p1=p1_list[j], log_p2=cap["p2s"][s][j]))
             reads.append(rd)
 
-        ro.set_genotyper_flags(allreads=1, mallreads=1)
+        # mirror the CLI's output-flag surface (defaults: ALLREADS +
+        # MALLREADS on, like the reference) so GL/PL/PHASEDGL/FILTER
+        # FORMAT emission is replayed too when the run enabled it
+        ro.set_genotyper_flags(
+            gls=int("--output-gls" in extra_args),
+            pls=int("--output-pls" in extra_args),
+            phased_gls=int("--output-phased-gls" in extra_args),
+            allreads=1, mallreads=1,
+            filters=int("--output-filters" in extra_args))
         try:
             want_recs, _log = ro.genotype_locus(
                 cap["chrom_seq"], region.chrom, region.start, region.stop,
