@@ -186,6 +186,10 @@ def get_lib():
 
     lib.ro_set_genotyper_flags.restype = None
     lib.ro_set_genotyper_flags.argtypes = [i, i, i, i, i, i, i, f]
+    lib.ro_set_ref_vcf_alleles.restype = None
+    lib.ro_set_ref_vcf_alleles.argtypes = [ctypes.c_int32, s, i32p, i]
+    lib.ro_clear_ref_vcf_alleles.restype = None
+    lib.ro_clear_ref_vcf_alleles.argtypes = []
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -653,7 +657,7 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
                    switch_old_align_len=0, aln_params=None,
                    max_total_haplotypes=1000, max_flank_haplotypes=4,
                    min_flank_freq=0.01, vcf_sample_names=None,
-                   region_name=""):
+                   region_name="", ref_vcf=None):
     """Full reference genotyping + VCF emission
     (seq_stutter_genotyper.cpp ctor -> genotype() -> write_vcf_record).
 
@@ -712,20 +716,29 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
     out = ctypes.create_string_buffer(cap)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     dp = ctypes.POINTER(ctypes.c_double)
-    rc = lib.ro_genotype_locus(
-        chrom_seq.encode(), chrom_name.encode(), region_name.encode(),
-        region_start, region_end,
-        motif.encode(), int(haploid), S, name_cat, name_lens_p, counts_p,
-        seq_cat, seq_lens_p, qual_cat, qual_lens_p, aln_cat, aln_lens_p,
-        rname_cat, rname_lens_p, starts_p, stops_p,
-        rev.ctypes.data_as(u8p), dele.ctypes.data_as(u8p),
-        ufh.ctypes.data_as(u8p),
-        cig_cat, cig_lens_p, p1.ctypes.data_as(dp), p2.ctypes.data_as(dp),
-        np1_p, np2_p, *[float(x) for x in stutter_params],
-        int(skip_assembly), int(reassemble_flanks), indel_flank_len,
-        switch_old_align_len, ap_ptr, n_ap, max_total_haplotypes,
-        max_flank_haplotypes, min_flank_freq, n_vcf, vname_cat,
-        vname_lens_p, out, cap)
+    # --ref-vcf replay: inject the (pos, alleles) the pipeline's
+    # read_vcf_alleles produced; a dummy non-NULL reader routes
+    # build_haplotype down add_vcf_haplotype_block
+    if ref_vcf is not None:
+        rv_pos, rv_alleles = ref_vcf
+        rv_cat = "".join(rv_alleles).encode()
+        _rvl, rv_lens_p = _i32arr([len(a) for a in rv_alleles])
+        lib.ro_set_ref_vcf_alleles(int(rv_pos), rv_cat, rv_lens_p,
+                                   len(rv_alleles))
+    try:
+        rc = _call_genotype_locus(
+            lib, chrom_seq, chrom_name, region_name, region_start,
+            region_end, motif, haploid, S, name_cat, name_lens_p, counts_p,
+            seq_cat, seq_lens_p, qual_cat, qual_lens_p, aln_cat, aln_lens_p,
+            rname_cat, rname_lens_p, starts_p, stops_p, rev, dele, ufh,
+            cig_cat, cig_lens_p, p1, p2, np1_p, np2_p, stutter_params,
+            skip_assembly, reassemble_flanks, indel_flank_len,
+            switch_old_align_len, ap_ptr, n_ap, max_total_haplotypes,
+            max_flank_haplotypes, min_flank_freq, n_vcf, vname_cat,
+            vname_lens_p, out, cap, u8p, dp)
+    finally:
+        if ref_vcf is not None:
+            lib.ro_clear_ref_vcf_alleles()
     raw = out.raw
     end = raw.index(b"\x00")
     logger_text = raw[:end].decode()
@@ -739,6 +752,34 @@ def genotype_locus(chrom_seq, chrom_name, region_start, region_end, motif,
         pos_s, text = rec.split("\t", 1)
         records.append((int(pos_s), text))
     return records, logger_text
+
+
+def _call_genotype_locus(lib, chrom_seq, chrom_name, region_name,
+                         region_start, region_end, motif, haploid, S,
+                         name_cat, name_lens_p, counts_p, seq_cat,
+                         seq_lens_p, qual_cat, qual_lens_p, aln_cat,
+                         aln_lens_p, rname_cat, rname_lens_p, starts_p,
+                         stops_p, rev, dele, ufh, cig_cat, cig_lens_p, p1,
+                         p2, np1_p, np2_p, stutter_params, skip_assembly,
+                         reassemble_flanks, indel_flank_len,
+                         switch_old_align_len, ap_ptr, n_ap,
+                         max_total_haplotypes, max_flank_haplotypes,
+                         min_flank_freq, n_vcf, vname_cat, vname_lens_p,
+                         out, cap, u8p, dp):
+    return lib.ro_genotype_locus(
+        chrom_seq.encode(), chrom_name.encode(), region_name.encode(),
+        region_start, region_end,
+        motif.encode(), int(haploid), S, name_cat, name_lens_p, counts_p,
+        seq_cat, seq_lens_p, qual_cat, qual_lens_p, aln_cat, aln_lens_p,
+        rname_cat, rname_lens_p, starts_p, stops_p,
+        rev.ctypes.data_as(u8p), dele.ctypes.data_as(u8p),
+        ufh.ctypes.data_as(u8p),
+        cig_cat, cig_lens_p, p1.ctypes.data_as(dp), p2.ctypes.data_as(dp),
+        np1_p, np2_p, *[float(x) for x in stutter_params],
+        int(skip_assembly), int(reassemble_flanks), indel_flank_len,
+        switch_old_align_len, ap_ptr, n_ap, max_total_haplotypes,
+        max_flank_haplotypes, min_flank_freq, n_vcf, vname_cat,
+        vname_lens_p, out, cap)
 
 
 _I64_ABSENT = -(2 ** 62)

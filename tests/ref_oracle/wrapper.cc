@@ -65,11 +65,43 @@ void printErrorAndDie(std::string message) {
 #undef private
 
 // vcf_input.cpp is htslib-backed and not compiled into the oracle; the
-// ref-VCF path is never exercised (ro_genotype_locus always passes a NULL
-// VCF::VCFReader*), so its externs resolve to aborting stubs here.
+// ref-VCF path is replayed instead: tests inject the (pos, alleles) their
+// pipeline's read_vcf_alleles produced (ro_set_ref_vcf_alleles), a dummy
+// non-NULL VCF::VCFReader* routes build_haplotype down the
+// add_vcf_haplotype_block branch (seq_stutter_genotyper.cpp:439-452), and
+// this stub hands the injected alleles back.  n == 0 emulates the
+// reference's extraction-failure return.
+static bool g_ref_vcf_set = false;
+static int32_t g_ref_vcf_pos = -1;
+static std::vector<std::string> g_ref_vcf_alleles;
+static VCF::VCFReader g_dummy_ref_vcf;
+
+extern "C" void ro_set_ref_vcf_alleles(int32_t pos, const char* cat,
+                                       const int32_t* lens, int n) {
+  g_ref_vcf_alleles.clear();
+  const char* p = cat;
+  for (int i = 0; i < n; i++) {
+    g_ref_vcf_alleles.push_back(std::string(p, p + lens[i]));
+    p += lens[i];
+  }
+  g_ref_vcf_pos = pos;
+  g_ref_vcf_set = true;
+}
+
+extern "C" void ro_clear_ref_vcf_alleles() {
+  g_ref_vcf_set = false;
+  g_ref_vcf_alleles.clear();
+}
+
 bool read_vcf_alleles(VCF::VCFReader* ref_vcf, const Region& region,
                       std::vector<std::string>& alleles, int32_t& pos) {
-  throw std::runtime_error("ref_oracle: read_vcf_alleles stub called");
+  if (!g_ref_vcf_set)
+    throw std::runtime_error("ref_oracle: read_vcf_alleles stub called "
+                             "without injected alleles");
+  if (g_ref_vcf_alleles.empty()) return false;
+  alleles = g_ref_vcf_alleles;
+  pos = g_ref_vcf_pos;
+  return true;
 }
 
 // Test-only: read_and_filter_reads is private; promote access in this TU so
@@ -1285,7 +1317,8 @@ int ro_genotype_locus(
 
     SeqStutterGenotyper gt(group, haploid != 0, reassemble_flanks != 0, alns,
                            p1, p2, np1, np2, sample_names,
-                           std::string(chrom_seq), stutter_models, NULL,
+                           std::string(chrom_seq), stutter_models,
+                           g_ref_vcf_set ? &g_dummy_ref_vcf : NULL,
                            logger, skip_assembly != 0, indel_flank_len,
                            switch_old_align_len, params);
 

@@ -25,6 +25,7 @@ pytestmark = pytest.mark.skipif(ro.get_lib() is None,
 
 
 def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
+    import longtr_tpu.io.vcf_input as vcf_input_mod
     import longtr_tpu.pipeline.processor as proc
     from longtr_tpu.cli import main as cli_main
     from longtr_tpu.io.bgzf import bgzf_open_text
@@ -41,6 +42,7 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
                 n_p1s=list(n_p1s), n_p2s=list(n_p2s),
                 sample_names=list(sample_names), chrom_seq=chrom_seq,
                 stutter=stutter_models[0],
+                ref_vcf_mode=kw.get("ref_vcf") is not None,
                 skip_assembly=kw.get("skip_assembly", True),
                 indel_flank_len=kw.get("indel_flank_len", 5),
                 switch_old_align_len=kw.get("switch_old_align_len", 0),
@@ -49,6 +51,19 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
                              sample_names, chrom_seq, stutter_models, **kw)
 
     monkeypatch.setattr(proc, "SeqStutterGenotyper", Spy)
+
+    # --ref-vcf replay: record what the pipeline's panel-allele extraction
+    # produced per region so the oracle can be fed the same alleles
+    vcf_alleles_log = {}
+    real_rva = vcf_input_mod.read_vcf_alleles
+
+    def _rva_spy(ref_vcf, region):
+        ok, pos, alleles = real_rva(ref_vcf, region)
+        vcf_alleles_log[(region.chrom, region.start, region.stop)] = \
+            (pos, list(alleles) if ok else [])
+        return ok, pos, alleles
+
+    monkeypatch.setattr(vcf_input_mod, "read_vcf_alleles", _rva_spy)
 
     out = str(tmp_path / "fid.vcf.gz")
     rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
@@ -99,6 +114,11 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
             phased_gls=int("--output-phased-gls" in extra_args),
             allreads=1, mallreads=1,
             filters=int("--output-filters" in extra_args))
+        ref_vcf_inject = None
+        if cap["ref_vcf_mode"]:
+            key = (region.chrom, region.start, region.stop)
+            assert key in vcf_alleles_log, f"no panel alleles logged for {key}"
+            ref_vcf_inject = vcf_alleles_log[key]
         try:
             want_recs, _log = ro.genotype_locus(
                 cap["chrom_seq"], region.chrom, region.start, region.stop,
@@ -111,7 +131,8 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
                 switch_old_align_len=cap["switch_old_align_len"],
                 aln_params=cap["alignment_params"],
                 vcf_sample_names=vcf_samples,
-                region_name=region.name or "")
+                region_name=region.name or "",
+                ref_vcf=ref_vcf_inject)
         except AssertionError as e:
             if "spoa stub" in str(e):
                 # the reference would call the real spoa here; the oracle
@@ -228,3 +249,56 @@ def test_production_pipeline_vntr_matches_reference(tmp_path, monkeypatch):
     n = _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed,
                          extra_args=["--max-tr-len", "10000"])
     assert n == 4
+
+
+def test_production_pipeline_ref_vcf_matches_reference(tmp_path, monkeypatch):
+    """--ref-vcf mode: panel alleles define the candidate set (no pruning,
+    seq_stutter_genotyper.cpp:636) — the captured pipeline run is replayed
+    through the compiled reference with the same injected panel alleles and
+    every record must match byte for byte."""
+    import numpy as np
+
+    from longtr_tpu.io.bgzf import BgzfWriter
+    from longtr_tpu.io.fasta import write_fasta
+    from synth import Locus, make_genome, write_bed, write_sample_bam
+
+    rng = np.random.default_rng(321)
+    loci = [
+        Locus("chr1", 1000, "AC", 10, "P_AC"),
+        Locus("chr1", 2200, "AGAT", 8, "P_AGAT"),
+        Locus("chr2", 1500, "TTG", 9, "P_TTG"),
+    ]
+    genome = make_genome(rng, loci)
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, genome)
+    bed = str(tmp_path / "r.bed")
+    write_bed(bed, loci)
+    # panel: per locus ref + two alts (one carried, one absent from reads)
+    panel = str(tmp_path / "panel.vcf.gz")
+    lines = ["##fileformat=VCFv4.1",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+    panel_alts = {}
+    for loc in loci:
+        ref = genome[loc.chrom][loc.start: loc.stop]
+        alts = [loc.motif * (loc.ref_copies + d) for d in (2, -3)]
+        panel_alts[loc.name] = alts
+        lines.append(
+            f"{loc.chrom}\t{loc.start + 1}\t{loc.name}\t{ref}\t"
+            f"{','.join(alts)}\t.\t.\t"
+            f"START={loc.start + 1};END={loc.stop};PERIOD={len(loc.motif)}")
+    w = BgzfWriter(panel)
+    w.write("\n".join(lines) + "\n")
+    w.close()
+
+    bams = []
+    for s in range(3):
+        gts = {loc.name: (loc.ref_copies,
+                          loc.ref_copies + (2 if s % 2 else 0))
+               for loc in loci}
+        p = str(tmp_path / f"S{s}.bam")
+        write_sample_bam(p, genome, loci, gts, f"S{s}", rng, coverage=20)
+        bams.append(p)
+
+    n = _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed,
+                         extra_args=["--ref-vcf", panel])
+    assert n == len(loci)
