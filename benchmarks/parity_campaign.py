@@ -114,6 +114,34 @@ def run_trial(seed: int) -> str:
     if haploid:
         chroms = sorted({ln.split()[0] for ln in open(bed)})
         extra += ["--haploid-chrs", ",".join(chroms)]
+    if not vntr and rng.random() < 0.15:
+        # --ref-vcf mode: a panel supplying ref + random alt alleles per
+        # locus (replayed into the oracle via ro_set_ref_vcf_alleles)
+        from longtr_tpu.io.bgzf import BgzfWriter
+        from longtr_tpu.io.fasta import FastaReader
+        fr = FastaReader(fasta)
+        lines = ["##fileformat=VCFv4.1",
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+        for li, loc in enumerate(_loci):
+            chrom_seq = fr.get_sequence(loc.chrom)
+            ref_seq = chrom_seq[loc.start: loc.stop]
+            alts = []
+            for d in {int(rng.integers(-3, 4)) for _ in range(2)} - {0}:
+                c = loc.ref_copies + d
+                if c >= 1:
+                    alts.append(loc.motif * c)
+            if not alts:
+                alts = [loc.motif * (loc.ref_copies + 1)]
+            lines.append(
+                f"{loc.chrom}\t{loc.start + 1}\t{loc.name}\t{ref_seq}\t"
+                f"{','.join(alts)}\t.\t.\tSTART={loc.start + 1};"
+                f"END={loc.stop};PERIOD={len(loc.motif)}")
+        panel = os.path.join(tmpdir, "panel.vcf.gz")
+        w = BgzfWriter(panel)
+        w.write("\n".join(lines) + "\n")
+        w.close()
+        extra += ["--ref-vcf", panel]
+        desc += " refvcf=True"
 
     patch = _Patch()
     try:
