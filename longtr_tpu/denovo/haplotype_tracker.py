@@ -79,19 +79,25 @@ class HaplotypeTracker:
                     self._hap2[idx].append(0)
 
     def advance(self, chrom: str, position: int, sites_to_skip=()):
-        """haplotype_tracker.cpp:87-125."""
+        """haplotype_tracker.cpp:87-125.
+
+        The reference queries tabix with the 1-BASED region string
+        "chrom:start" (vcf_reader.h:222-227), which includes a SNP at
+        POS == start; our VCFReader.set_region takes a 0-based start, so
+        the equivalent call passes start - 1 (clamped).
+        """
         start = position - self.window_size if position >= self.window_size else 0
         end = position + self.window_size
         if chrom != self.chrom:
             self.chrom = chrom
             self._reset()
-            self.snp_vcf.set_region(chrom, start)
+            self.snp_vcf.set_region(chrom, max(0, start - 1))
         else:
             if start < self._prev_start:
                 raise ValueError("advance() requires loci sorted by position")
             if start > self._prev_end:
                 self._reset()
-                self.snp_vcf.set_region(chrom, start)
+                self.snp_vcf.set_region(chrom, max(0, start - 1))
         self._prev_start = start
         self._prev_end = end
 

@@ -13,9 +13,16 @@ PAD = 50  # vcf_input.cpp:19
 
 
 def read_vcf_alleles(ref_vcf, region):
-    """Returns (ok, pos0, alleles) (vcf_input.cpp:21-50)."""
+    """Returns (ok, pos0, alleles) (vcf_input.cpp:21-50).
+
+    The reference queries tabix with the 1-BASED inclusive region
+    "chrom:pad_start-stop+pad" (vcf_reader.h:222-227), which includes a
+    record at POS == pad_start; our VCFReader.set_region takes a 0-based
+    start, so the equivalent call passes pad_start - 1 (clamped).
+    """
     pad_start = 0 if region.start < PAD else region.start - PAD
-    if not ref_vcf.set_region(region.chrom, pad_start, region.stop + PAD):
+    if not ref_vcf.set_region(region.chrom, max(0, pad_start - 1),
+                              region.stop + PAD):
         return False, -1, []
     while True:
         variant = ref_vcf.get_next_variant()

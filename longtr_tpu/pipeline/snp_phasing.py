@@ -55,8 +55,14 @@ def in_any_region(variant, skip_regions, skip_padding: int) -> bool:
 
 def create_snp_trees(chrom: str, start: int, end: int, skip_regions,
                      skip_padding: int, snp_vcf, tracker=None, logger=None):
-    """Returns (ok, sample_indices, trees) (snp_tree.cpp:25-113)."""
-    if not snp_vcf.set_region(chrom, start, end):
+    """Returns (ok, sample_indices, trees) (snp_tree.cpp:25-113).
+
+    The reference queries tabix with the 1-BASED inclusive region
+    "chrom:start-end" (vcf_reader.h:222-227), i.e. 0-based
+    [start-1, end); our VCFReader.set_region takes 0-based [start, end),
+    so the equivalent call passes start - 1 (clamped).
+    """
+    if not snp_vcf.set_region(chrom, max(0, start - 1), end):
         return False, {}, []
     samples = snp_vcf.get_samples()
     sample_indices = {s: i for i, s in enumerate(samples)}

@@ -126,3 +126,55 @@ def test_e2e_with_fam_pedigree_filter(tmp_path):
                   "--regions", fx["bed"],
                   "--tr-vcf", str(tmp_path / "x.vcf.gz"),
                   "--fam", fam_path, "--quiet"])
+
+
+def test_region_low_edge_matches_tabix_semantics(tmp_path):
+    """The reference queries tabix with 1-BASED regions ("chrom:start" /
+    "chrom:start-end", vcf_reader.h:222-227), so a SNP at POS == start is
+    INSIDE the window.  Our 0-based VCFReader.set_region callers must pass
+    start-1 to match — a straight pass-through silently narrows every SNP
+    window by 1bp at the low edge (found by a reference-semantics audit
+    after the std::map campaign findings)."""
+    import numpy as np
+
+    from longtr_tpu.denovo.haplotype_tracker import HaplotypeTracker
+    from longtr_tpu.denovo.pedigree import NuclearFamily
+    from longtr_tpu.io.vcf import VCFReader
+    from longtr_tpu.pipeline.snp_phasing import create_snp_trees
+
+    rng = np.random.default_rng(3)
+    chrom_seq = "".join(rng.choice(list("ACGT"), size=4000))
+    genome = {"chr1": chrom_seq}
+    samples = ["MOM", "DAD", "KID"]
+
+    # one SNP exactly at the window's low edge: POS1 == window_start
+    window_start = 1200          # the value callers hand to create_snp_trees
+    snp_pos0 = window_start - 1  # POS1 == 1200
+    path = str(tmp_path / "edge.vcf.gz")
+    ref = chrom_seq[snp_pos0].upper()
+    alt = "ACGT"[("ACGT".index(ref) + 1) % 4]
+    lines = ["##fileformat=VCFv4.1",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(samples),
+             f"chr1\t{snp_pos0 + 1}\tsnp\t{ref}\t{alt}\t.\t.\t.\tGT\t"
+             + "\t".join("1|0" for _ in samples)]
+    w = BgzfWriter(path)
+    w.write("\n".join(lines) + "\n")
+    w.close()
+
+    vcf = VCFReader(path)
+    ok, sample_indices, trees = create_snp_trees(
+        "chr1", window_start, window_start + 500, [], 15, vcf)
+    assert ok
+    # the edge SNP must be in every sample's tree (reference includes it)
+    found = trees[sample_indices["MOM"]].find_contained(snp_pos0, snp_pos0)
+    assert found, "SNP at POS == window start must be inside the window"
+
+    # HaplotypeTracker::advance: same edge via "chrom:start"
+    vcf2 = VCFReader(path)
+    fam = NuclearFamily("F1", "MOM", "DAD", ["KID"])
+    tracker = HaplotypeTracker([fam], vcf2, window_size=500)
+    # position such that start_of_window == POS1 of the SNP
+    tracker.advance("chr1", snp_pos0 + 1 + 500, set())
+    assert tracker.num_stored_snps() == 1, \
+        "SNP at POS == start_of_window must be tracked"
