@@ -335,6 +335,26 @@ def run_nw_trial(seed: int) -> str:
     return f"seed={seed} len={len(ref)}/{len(read)} ok"
 
 
+def run_pedigree_trial(seed: int) -> str:
+    """FAM-pedigree surface: randomized pedigrees (nuclear / 3-gen /
+    half-sib / corrupted) through compiled extract_pedigree_nuclear_families
+    vs ours — family lists in order, or matching error classes."""
+    from test_pedigree_parity import run_pedigree_trial as trial
+
+    # The reference prints node dumps to C++ std::cerr on its "Logical
+    # error" path; redirect fd 2 around the call for output hygiene
+    # (Python-level redirect_stderr can't see the C++ stream).
+    saved = os.dup(2)
+    devnull = os.open(os.devnull, os.O_WRONLY)
+    try:
+        os.dup2(devnull, 2)
+        return trial(seed)
+    finally:
+        os.dup2(saved, 2)
+        os.close(saved)
+        os.close(devnull)
+
+
 def main():
     import tests.ref_oracle as ro
     if ro.get_lib() is None:
@@ -352,6 +372,8 @@ def main():
         surface = "em"
     elif "--nw" in sys.argv:
         surface = "nw"
+    elif "--pedigree" in sys.argv:
+        surface = "pedigree"
     if surface in ("left_align", "trim") and ro.get_trim_lib() is None:
         print("trim oracle unavailable; cannot run")
         return 2
@@ -359,9 +381,11 @@ def main():
     start = int(args[1]) if len(args) > 1 else 1000
     trial_fn = {"records": run_trial, "left_align": run_left_align_trial,
                 "trim": run_trim_trial, "filters": run_filter_trial,
-                "em": run_em_trial, "nw": run_nw_trial}[surface]
+                "em": run_em_trial, "nw": run_nw_trial,
+                "pedigree": run_pedigree_trial}[surface]
     quiet_every = {"records": 1, "left_align": 200, "trim": 1000,
-                   "filters": 500, "em": 100, "nw": 500}[surface]
+                   "filters": 500, "em": 100, "nw": 500,
+                   "pedigree": 1000}[surface]
     for t in range(n_trials):
         seed = start + t
         try:

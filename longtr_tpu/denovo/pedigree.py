@@ -63,6 +63,20 @@ class _Node:
 
 
 def _read_fam(path: str):
+    """FAM parse (pedigree.cpp:64-121 PedigreeGraph::build).
+
+    Reference semantics mirrored exactly, order included:
+    - every line must yield >=4 whitespace tokens (family child father
+      mother); a blank or short line is a format error, extra columns
+      (sex/phenotype) are ignored;
+    - nodes are created in first-appearance order, per line in child ->
+      mother -> father order;
+    - a repeated child line OVERWRITES mother/father but appends to the
+      parents' children lists unconditionally (duplicates accumulate —
+      the later topological sort dies on them, like the reference);
+    - family-id consistency is re-checked against each line for all three
+      named samples.
+    """
     nodes = {}
     order = []
 
@@ -76,19 +90,19 @@ def _read_fam(path: str):
         for line in fh:
             f = line.split()
             if len(f) < 4:
-                if line.strip():
-                    raise ValueError("Improperly formatted .fam pedigree file")
-                continue
+                raise ValueError(
+                    f"Improperly formated .ped pedigree file {path}")
             family, child, father, mother = f[0], f[1], f[2], f[3]
             if child == "0":
-                raise ValueError("Invalid individual id 0")
+                raise ValueError(f"Invalid individual id {child}")
             cn = get(child, family)
             mn = get(mother, family) if mother != "0" else None
             fn = get(father, family) if father != "0" else None
             for n in (cn, mn, fn):
                 if n is not None and n.family != family:
                     raise ValueError(
-                        f"Inconsistent family IDs in FAM file for sample {n.name}")
+                        "Inconsistent family IDs detected in FAM file for "
+                        f"sample {n.name}")
             cn.mother = mn
             cn.father = fn
             if mn:
@@ -98,40 +112,18 @@ def _read_fam(path: str):
     return order
 
 
-def _prune(nodes, sample_set: set):
-    """Keep nodes with a requested sample both upstream and downstream
-    (pedigree.cpp:126-174)."""
-    upstream = {}
-    for n in _topo(nodes):
-        up = n.name in sample_set
-        up |= bool(n.father and upstream.get(id(n.father)))
-        up |= bool(n.mother and upstream.get(id(n.mother)))
-        upstream[id(n)] = up
-    downstream = {}
-    for n in reversed(_topo(nodes)):
-        down = n.name in sample_set
-        for c in n.children:
-            down |= downstream.get(id(c), False)
-        downstream[id(n)] = down
-    keep = [n for n in nodes
-            if upstream.get(id(n)) and downstream.get(id(n))]
-    keep_ids = {id(n) for n in keep}
-    for n in keep:
-        if n.father and id(n.father) not in keep_ids:
-            n.father = None
-        if n.mother and id(n.mother) not in keep_ids:
-            n.mother = None
-        n.children = [c for c in n.children if id(c) in keep_ids]
-    return keep
+def _topological_sort(nodes):
+    """pedigree.cpp:26-62 PedigreeGraph::topological_sort.
 
-
-def _topo(nodes):
-    nodes_set = {id(n) for n in nodes}
+    Returns the topologically ordered node list, or None if the graph has a
+    cycle (unprocessed parented nodes remain).  Raises on the reference's
+    "Logical error" path: meeting a child that is absent from parent_counts
+    (happens when duplicate FAM lines left stale entries in a parent's
+    children list)."""
     counts = {}
     sources = []
     for n in nodes:
-        c = int(n.mother is not None and id(n.mother) in nodes_set) + \
-            int(n.father is not None and id(n.father) in nodes_set)
+        c = int(n.mother is not None) + int(n.father is not None)
         if c == 0:
             sources.append(n)
         else:
@@ -142,44 +134,121 @@ def _topo(nodes):
         out.append(s)
         for c in s.children:
             if id(c) not in counts:
-                continue
+                raise ValueError(
+                    "Logical error in topological_sort() for parent "
+                    f"{s.name} and child {c.name}")
             if counts[id(c)] == 1:
                 sources.append(c)
                 del counts[id(c)]
             else:
                 counts[id(c)] -= 1
-    if counts:
-        raise ValueError("Pedigree file contains cycles")
-    return out
+    return None if counts else out
 
 
-def _components(nodes):
+def _prune(topo_nodes, sample_set: set):
+    """pedigree.cpp:125-175 PedigreeGraph::prune.
+
+    Operates on the topologically sorted node list: forward pass marks nodes
+    with a requested sample at-or-above, backward pass at-or-below; nodes
+    lacking either are removed with order-preserving compaction, and
+    surviving nodes drop pointers to removed parents/children."""
+    upstream = {}
+    for n in topo_nodes:
+        up = n.name in sample_set
+        up |= bool(n.father is not None and upstream[id(n.father)])
+        up |= bool(n.mother is not None and upstream[id(n.mother)])
+        upstream[id(n)] = up
+    downstream = {}
+    for n in reversed(topo_nodes):
+        down = n.name in sample_set
+        for c in n.children:
+            down |= downstream[id(c)]
+        downstream[id(n)] = down
+    removed = {id(n): not (upstream[id(n)] and downstream[id(n)])
+               for n in topo_nodes}
+    keep = []
+    for n in topo_nodes:
+        if removed[id(n)]:
+            continue
+        if n.father is not None and removed[id(n.father)]:
+            n.father = None
+        if n.mother is not None and removed[id(n.mother)]:
+            n.mother = None
+        n.children = [c for c in n.children if not removed[id(c)]]
+        keep.append(n)
+    return keep
+
+
+def _components(topo_nodes):
+    """pedigree.cpp:236-270 split_into_connected_components: seeds iterate
+    the (pruned) topological order; DFS pops from the back of a stack onto
+    which mother, father, then children are pushed, with a visited re-check
+    at pop time.  Component node order is DFS discovery order."""
     seen = set()
     comps = []
-    by_id = {id(n): n for n in nodes}
-    for n in nodes:
+    for n in topo_nodes:
         if id(n) in seen:
             continue
         comp = []
         stack = [n]
         while stack:
             cur = stack.pop()
-            if id(cur) in seen or id(cur) not in by_id:
+            if id(cur) in seen:
                 continue
             seen.add(id(cur))
             comp.append(cur)
-            for nb in [cur.mother, cur.father] + cur.children:
-                if nb is not None and id(nb) not in seen and id(nb) in by_id:
-                    stack.append(nb)
+            if cur.mother is not None and id(cur.mother) not in seen:
+                stack.append(cur.mother)
+            if cur.father is not None and id(cur.father) not in seen:
+                stack.append(cur.father)
+            for c in cur.children:
+                if id(c) not in seen:
+                    stack.append(c)
         comps.append(comp)
     return comps
 
 
+def _subgraph_topo(comp):
+    """pedigree.cpp:177-234 build_subgraph: clone the component's nodes in
+    DFS-discovery iteration order (child, then mother, then father per
+    visited node) and topologically sort the clones.  The resulting order —
+    not file order — determines founder and child ordering in the emitted
+    NuclearFamily, so it must be reproduced exactly."""
+    clones = {}
+    order = []
+
+    def get(name, family):
+        if name not in clones:
+            clones[name] = _Node(name, family)
+            order.append(clones[name])
+        return clones[name]
+
+    for n in comp:
+        cn = get(n.name, n.family)
+        mn = get(n.mother.name, n.family) if n.mother is not None else None
+        fn = get(n.father.name, n.family) if n.father is not None else None
+        cn.mother = mn
+        cn.father = fn
+        if mn is not None:
+            mn.children.append(cn)
+        if fn is not None:
+            fn.children.append(cn)
+    topo = _topological_sort(order)
+    if topo is None:
+        raise ValueError("Subgraph in pedigree contains a cycle")
+    return topo
+
+
 def _as_nuclear_family(comp):
-    """pedigree.cpp:272-307."""
-    founders = [n for n in comp if n.mother is None and n.father is None]
-    leaves = [n for n in comp if not n.children]
-    if len(founders) != 2 or not leaves or len(founders) + len(leaves) != len(comp):
+    """pedigree.cpp:272-307 is_nuclear_family + convert_to_nuclear_family,
+    evaluated on the rebuilt per-component subgraph: exactly two founders,
+    >=1 leaf, founders+leaves == all nodes, every leaf parented by both
+    founders; children emitted in subgraph topological order."""
+    topo = _subgraph_topo(comp)
+    founders = [n for n in topo if n.mother is None and n.father is None]
+    leaves = [n for n in topo if not n.children]
+    if len(founders) != 2 or not leaves or \
+            len(founders) + len(leaves) != len(topo):
         return None
     p1, p2 = founders[0].name, founders[1].name
     for leaf in leaves:
@@ -196,13 +265,17 @@ def _as_nuclear_family(comp):
 
 def extract_pedigree_nuclear_families(fam_file: str, samples_with_data: set,
                                       logger=None):
-    """pedigree.cpp:309-333. Returns list[NuclearFamily]."""
+    """pedigree.cpp:309-333. Returns list[NuclearFamily] in the reference's
+    order (components seeded from the pruned topological order)."""
     nodes = _read_fam(fam_file)
-    _topo(nodes)  # cycle check
-    nodes = _prune(nodes, samples_with_data)
+    topo = _topological_sort(nodes)
+    if topo is None:
+        raise ValueError(
+            f"Supplied pedigree file {fam_file} contains cycles")
+    pruned = _prune(topo, samples_with_data)
     families = []
     num_others = 0
-    for comp in _components(nodes):
+    for comp in _components(pruned):
         fam = _as_nuclear_family(comp)
         if fam is not None:
             families.append(fam)

@@ -37,6 +37,7 @@ _REF_SOURCES = [
     "debruijn_graph.cpp",
     "directed_graph.cpp",
     "base_quality.cpp",
+    "pedigree.cpp",
     "SeqAlignment/HapAligner.cpp",
     "SeqAlignment/Haplotype.cpp",
     "SeqAlignment/HapBlock.cpp",
@@ -190,6 +191,8 @@ def get_lib():
     lib.ro_set_ref_vcf_alleles.argtypes = [ctypes.c_int32, s, i32p, i]
     lib.ro_clear_ref_vcf_alleles.restype = None
     lib.ro_clear_ref_vcf_alleles.argtypes = []
+    lib.ro_extract_families.restype = i
+    lib.ro_extract_families.argtypes = [s, s, i32p, i, s, ctypes.c_long]
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -1119,3 +1122,29 @@ def left_align(chrom_seq, region_chrom, region_start, region_end, motif,
                    _re.findall(r"(\d+)([=XIDSHM])", cig)],
             use_for_haps=[c == "1" for c in ufh]))
     return alns, filt_p1, n_p1s, n_p2s
+
+
+def extract_families(fam_path: str, samples_with_data):
+    """Reference extract_pedigree_nuclear_families (pedigree.cpp): FAM parse
+    -> pedigree graph -> prune to samples with data -> connected components
+    -> nuclear families.  Returns a list of
+    (family_id, mother, father, [children...]) or raises on reference
+    errors (inconsistent family ids, cycles, ...)."""
+    lib = get_lib()
+    names = list(samples_with_data)
+    cat = "".join(names).encode()
+    _l, lens_p = _i32arr([len(n) for n in names])
+    cap = 1 << 20
+    out = ctypes.create_string_buffer(cap)
+    rc = lib.ro_extract_families(fam_path.encode(), cat, lens_p, len(names),
+                                 out, cap)
+    text = out.raw[:out.raw.index(b"\x00")].decode()
+    if rc < 0:
+        raise RuntimeError(text)
+    fams = []
+    for ln in text.splitlines():
+        fid, mother, father, children = ln.split("\t")
+        fams.append((fid, mother, father,
+                     children.split(",") if children else []))
+    assert len(fams) == rc
+    return fams

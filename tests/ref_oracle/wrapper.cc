@@ -63,6 +63,7 @@ void printErrorAndDie(std::string message) {
 #include "em_stutter_genotyper.h"
 #include "seq_stutter_genotyper.h"
 #undef private
+#include "pedigree.h"
 
 // vcf_input.cpp is htslib-backed and not compiled into the oracle; the
 // ref-VCF path is replayed instead: tests inject the (pos, alleles) their
@@ -1360,6 +1361,46 @@ int ro_genotype_locus(
     return n_records;
   } catch (const std::exception& e) {
     std::string msg = std::string("EXC:") + e.what() + "\n" + logger.str();
+    if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
+    return -1;
+  }
+}
+
+// Reference FAM-pedigree extraction (pedigree.cpp: PedigreeGraph build +
+// prune + topological sort + connected components + nuclear-family
+// conversion).  Serializes one family per line:
+// "family_id\tmother\tfather\tchild1,child2,...".
+int ro_extract_families(const char* fam_path, const char* samples_cat,
+                        const int32_t* sample_lens, int n_samples,
+                        char* out, long cap) {
+  try {
+    std::set<std::string> with_data;
+    const char* p = samples_cat;
+    for (int i = 0; i < n_samples; i++) {
+      with_data.insert(std::string(p, p + sample_lens[i]));
+      p += sample_lens[i];
+    }
+    std::vector<NuclearFamily> families;
+    std::ostringstream logger;
+    extract_pedigree_nuclear_families(std::string(fam_path), with_data,
+                                      families, logger);
+    std::string text;
+    for (size_t i = 0; i < families.size(); i++) {
+      const NuclearFamily& f = families[i];
+      text += f.get_family_id() + "\t" + f.get_mother() + "\t" +
+              f.get_father() + "\t";
+      const std::vector<std::string>& ch = f.get_children();
+      for (size_t c = 0; c < ch.size(); c++) {
+        if (c) text += ",";
+        text += ch[c];
+      }
+      text += "\n";
+    }
+    if ((long)text.size() + 1 > cap) return -4;
+    memcpy(out, text.c_str(), text.size() + 1);
+    return (int)families.size();
+  } catch (const std::exception& e) {
+    std::string msg = std::string("EXC:") + e.what();
     if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
     return -1;
   }
