@@ -65,11 +65,15 @@ def _main(argv=None):
     from longtr_tpu.io.vcf import VCFReader
 
     str_vcf = VCFReader(args.str_vcf)
+    # samples-with-data mirrors denovo_main.cpp: STR samples in trio mode
+    # (:245), SNP∩STR in joint mode (:225-230).  The reference proceeds even
+    # with zero nuclear families (header-only columns), so no early exit.
     samples_with_data = set(str_vcf.get_samples())
+    if args.snp_vcf:
+        snp_vcf_for_samples = VCFReader(args.snp_vcf)
+        samples_with_data &= set(snp_vcf_for_samples.get_samples())
     families = extract_pedigree_nuclear_families(args.fam, samples_with_data,
                                                  logger)
-    if not families:
-        sys.exit("ERROR: No nuclear families found in the pedigree with VCF data")
 
     sites_to_skip = set()
     if args.skip_snps:

@@ -38,6 +38,10 @@ _REF_SOURCES = [
     "directed_graph.cpp",
     "base_quality.cpp",
     "pedigree.cpp",
+    "haplotype_tracker.cpp",
+    "denovos/denovo_allele_priors.cpp",
+    "denovos/trio_denovo_scanner.cpp",
+    "denovos/denovo_scanner.cpp",
     "SeqAlignment/HapAligner.cpp",
     "SeqAlignment/Haplotype.cpp",
     "SeqAlignment/HapBlock.cpp",
@@ -63,7 +67,9 @@ def _build():
         "-I", _DIR,   # provides the spoa/ stub header
         # the reference Makefile builds with default FP behavior; keep it
         "-o", _LIB_PATH,
-        os.path.join(_DIR, "wrapper.cc"), *srcs,
+        os.path.join(_DIR, "wrapper.cc"),
+        # real vcf_input.cpp with read_vcf_alleles renamed (see shim)
+        os.path.join(_DIR, "vcf_input_shim.cc"), *srcs,
         "-ldl",   # spoa stub dlopens the production POA
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -85,7 +91,8 @@ def get_lib():
     wrapper_mtime = max(
         os.path.getmtime(os.path.join(_DIR, f)) for f in
         ("wrapper.cc", "stub_bam_io.h", "stub_fasta_reader.h",
-         "stub_vcf_layer.h", os.path.join("spoa", "spoa.hpp")))
+         "stub_vcf_layer.h", "vcf_input_shim.cc",
+         os.path.join("spoa", "spoa.hpp")))
     stale = (not os.path.exists(_LIB_PATH)
              or os.path.getmtime(_LIB_PATH) < max(newest_src, wrapper_mtime))
     if stale:
@@ -193,6 +200,8 @@ def get_lib():
     lib.ro_clear_ref_vcf_alleles.argtypes = []
     lib.ro_extract_families.restype = i
     lib.ro_extract_families.argtypes = [s, s, i32p, i, s, ctypes.c_long]
+    lib.ro_denovo_scan.restype = i
+    lib.ro_denovo_scan.argtypes = [s, s, s, s, s, i, s, s, s, ctypes.c_long]
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -1148,3 +1157,25 @@ def extract_families(fam_path: str, samples_with_data):
                      children.split(",") if children else []))
     assert len(fams) == rc
     return fams
+
+
+def denovo_scan(fam_path: str, str_vcf_path: str, out_path: str,
+                snp_vcf_path: str = "", chrom: str = "",
+                skip_sites=(), use_pop_priors: bool = True,
+                full_command: str = "DenovoFinder-ref-oracle"):
+    """Reference DenovoFinder drive (denovos/denovo_main.cpp flow): STR VCF
+    (+ optional phased SNP VCF for the family-joint scanner) through the
+    compiled TrioDenovoScanner / DenovoScanner; the output VCF is written as
+    PLAIN text at out_path (stub bgzfostream).  Inputs are PLAIN-TEXT VCFs.
+    Returns the number of nuclear families scanned; raises on reference
+    errors."""
+    lib = get_lib()
+    err = ctypes.create_string_buffer(1 << 16)
+    rc = lib.ro_denovo_scan(
+        fam_path.encode(), str_vcf_path.encode(), snp_vcf_path.encode(),
+        chrom.encode(), "\n".join(skip_sites).encode(),
+        1 if use_pop_priors else 0, full_command.encode(),
+        out_path.encode(), err, len(err))
+    if rc < 0:
+        raise RuntimeError(err.value.decode())
+    return rc

@@ -64,9 +64,14 @@ void printErrorAndDie(std::string message) {
 #include "seq_stutter_genotyper.h"
 #undef private
 #include "pedigree.h"
+#include "haplotype_tracker.h"
+#include "denovos/trio_denovo_scanner.h"
+#include "denovos/denovo_scanner.h"
 
-// vcf_input.cpp is htslib-backed and not compiled into the oracle; the
-// ref-VCF path is replayed instead: tests inject the (pos, alleles) their
+// The REAL read_vcf_alleles now compiles via vcf_input_shim.cc under the
+// name ro_real_read_vcf_alleles; the injection stub below remains the
+// binding for every other TU.  The ref-VCF path is replayed: tests inject
+// the (pos, alleles) their
 // pipeline's read_vcf_alleles produced (ro_set_ref_vcf_alleles), a dummy
 // non-NULL VCF::VCFReader* routes build_haplotype down the
 // add_vcf_haplotype_block branch (seq_stutter_genotyper.cpp:439-452), and
@@ -1402,6 +1407,75 @@ int ro_extract_families(const char* fam_path, const char* samples_cat,
   } catch (const std::exception& e) {
     std::string msg = std::string("EXC:") + e.what();
     if ((long)msg.size() + 1 <= cap) memcpy(out, msg.c_str(), msg.size() + 1);
+    return -1;
+  }
+}
+
+// Reference DenovoFinder drive (denovos/denovo_main.cpp:218-258 post-arg
+// flow): build the STR VCF reader, optionally restrict to one chromosome,
+// compute samples-with-data (SNP∩STR samples in joint mode, STR samples in
+// trio mode), extract nuclear families, and run the matching scanner.  The
+// stub bgzfostream writes the output VCF as PLAIN text at out_path; parity
+// tests diff it against our bgzf-decompressed denovofinder output.
+// snp_vcf_path == ""  -> TrioDenovoScanner (per-child, GL).
+// snp_vcf_path != ""  -> DenovoScanner (family-joint, PHASEDGL + SNP
+//                        haplotype transmission via HaplotypeTracker).
+// skip_sites: newline-joined CHROM:POS strings ("" for none), mirroring
+// read_site_skip_list.  Returns the number of nuclear families, or -1 with
+// the error text in err.
+int ro_denovo_scan(const char* fam_path, const char* str_vcf_path,
+                   const char* snp_vcf_path, const char* chrom,
+                   const char* skip_sites, int use_pop_priors,
+                   const char* full_command, const char* out_path,
+                   char* err, long errcap) {
+  try {
+    VCF::VCFReader str_vcf(str_vcf_path);
+    if (chrom && *chrom)
+      if (!str_vcf.set_region(chrom, 0))
+        printErrorAndDie("Failed to set the region to chromosome " +
+                         std::string(chrom) + " in the STR VCF. Please "
+                         "check the STR VCF and rerun the analysis");
+    std::ostringstream logger;
+    std::vector<NuclearFamily> families;
+    if (snp_vcf_path && *snp_vcf_path) {
+      VCF::VCFReader snp_vcf(snp_vcf_path);
+      std::set<std::string> samples_with_data;
+      std::set<std::string> str_samples(str_vcf.get_samples().begin(),
+                                        str_vcf.get_samples().end());
+      for (auto s = snp_vcf.get_samples().begin();
+           s != snp_vcf.get_samples().end(); s++)
+        if (str_samples.find(*s) != str_samples.end())
+          samples_with_data.insert(*s);
+      extract_pedigree_nuclear_families(std::string(fam_path),
+                                        samples_with_data, families, logger);
+      std::set<std::string> sites_to_skip;
+      {
+        std::istringstream iss(skip_sites ? skip_sites : "");
+        std::string line;
+        while (std::getline(iss, line))
+          sites_to_skip.insert(line);
+      }
+      DenovoScanner scanner(families, std::string(out_path),
+                            std::string(full_command), use_pop_priors != 0);
+      scanner.scan(std::string(snp_vcf_path), str_vcf, sites_to_skip,
+                   logger);
+      scanner.finish();
+    } else {
+      std::set<std::string> str_samples(str_vcf.get_samples().begin(),
+                                        str_vcf.get_samples().end());
+      extract_pedigree_nuclear_families(std::string(fam_path), str_samples,
+                                        families, logger);
+      TrioDenovoScanner scanner(families, std::string(out_path),
+                                std::string(full_command),
+                                use_pop_priors != 0);
+      scanner.scan(str_vcf, logger);
+      scanner.finish();
+    }
+    return (int)families.size();
+  } catch (const std::exception& e) {
+    std::string msg = std::string("EXC:") + e.what();
+    if ((long)msg.size() + 1 <= errcap)
+      memcpy(err, msg.c_str(), msg.size() + 1);
     return -1;
   }
 }
