@@ -335,6 +335,51 @@ def run_nw_trial(seed: int) -> str:
     return f"seed={seed} len={len(ref)}/{len(read)} ok"
 
 
+def run_denovo_trial(seed: int) -> str:
+    """DenovoFinder surface: randomized trio/joint cohorts through the full
+    denovofinder CLI vs the compiled TrioDenovoScanner / DenovoScanner
+    (ro_denovo_scan).  Fidelity mode must be byte-identical; every third
+    trial additionally replays in the default (unpruned) mode and asserts
+    structural identity with last-digit-bounded values."""
+    import tempfile as _tf
+    from pathlib import Path
+
+    import test_denovo_parity as dp
+    from longtr_tpu.utils import mathops
+
+    rng = np.random.default_rng(seed)
+    joint = bool(rng.integers(2))
+    with _tf.TemporaryDirectory() as td:
+        tmp = Path(td)
+        if joint:
+            famlines, str_text, snp_text, use_pop = dp._joint_cohort(seed)
+            skips = ()
+            if rng.random() < 0.3:
+                pos = [l.split("\t")[1] for l in snp_text.splitlines()
+                       if l.startswith("chr")]
+                step = max(1, len(pos) // int(rng.integers(10, 60)))
+                skips = tuple(f"chr1:{p}" for p in pos[::step])
+        else:
+            famlines, str_text, use_pop = dp._trio_cohort(seed)
+            snp_text, skips = None, ()
+        mathops.set_ref_fidelity(True)
+        try:
+            ours, ref = dp.run_pair(tmp, "c", famlines, str_text, snp_text,
+                                    use_pop=use_pop, skip_sites=skips)
+            assert ours == ref, (seed, "fidelity divergence")
+            if seed % 3 == 0:
+                mathops.set_ref_fidelity(False)
+                ours_d, ref_d = dp.run_pair(tmp, "cd", famlines, str_text,
+                                            snp_text, use_pop=use_pop,
+                                            skip_sites=skips)
+                dp._assert_structurally_close(ours_d, ref_d)
+        finally:
+            mathops.set_ref_fidelity(False)
+        n_rec = sum(1 for l in ref.splitlines() if l.startswith("chr"))
+    mode = "joint" if joint else "trio"
+    return f"seed={seed} {mode} records={n_rec} skips={len(skips)} ok"
+
+
 def run_pedigree_trial(seed: int) -> str:
     """FAM-pedigree surface: randomized pedigrees (nuclear / 3-gen /
     half-sib / corrupted) through compiled extract_pedigree_nuclear_families
@@ -374,6 +419,8 @@ def main():
         surface = "nw"
     elif "--pedigree" in sys.argv:
         surface = "pedigree"
+    elif "--denovo" in sys.argv:
+        surface = "denovo"
     if surface in ("left_align", "trim") and ro.get_trim_lib() is None:
         print("trim oracle unavailable; cannot run")
         return 2
@@ -382,10 +429,11 @@ def main():
     trial_fn = {"records": run_trial, "left_align": run_left_align_trial,
                 "trim": run_trim_trial, "filters": run_filter_trial,
                 "em": run_em_trial, "nw": run_nw_trial,
-                "pedigree": run_pedigree_trial}[surface]
+                "pedigree": run_pedigree_trial,
+                "denovo": run_denovo_trial}[surface]
     quiet_every = {"records": 1, "left_align": 200, "trim": 1000,
                    "filters": 500, "em": 100, "nw": 500,
-                   "pedigree": 1000}[surface]
+                   "pedigree": 1000, "denovo": 50}[surface]
     for t in range(n_trials):
         seed = start + t
         try:

@@ -74,12 +74,18 @@ def run_trio(tmp_path, gts):
 
 def test_trio_consistent_inheritance(tmp_path):
     # KID carries one allele from each parent -> no mutation strongly favored
+    # over de novo.
     nomut, denovo, other = run_trio(tmp_path, {
         "MOM": (0, 1), "DAD": (0, 0), "KID": (0, 1)})
     assert nomut > denovo + 3
     # "other" (mutation to an allele already in a parent) can coincide with
-    # the inherited genotype, so it stays within ~1 log10 of no-mutation.
-    assert nomut > other
+    # the inherited genotype, AND the reference's hybrid-base streaming LSE
+    # (mathops.cpp:73-85: natural exp/log over log10 terms) inflates the
+    # many-term OTHER sum more than the NOMUT sum — the compiled reference
+    # emits OTHER (-1.423) > NOMUT (-1.514) on this very input
+    # (execution-proven: test_denovo_parity.py::test_trio_directed_byte_identical
+    # is byte-identical against src/denovos/trio_denovo_scanner.cpp here).
+    assert other > nomut > other - 1
 
 
 def test_trio_denovo_mutation(tmp_path):
