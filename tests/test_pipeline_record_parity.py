@@ -24,7 +24,16 @@ pytestmark = pytest.mark.skipif(ro.get_lib() is None,
                                 reason="reference oracle unavailable")
 
 
-def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
+def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=(),
+                     skip_log=None):
+    """Run the production CLI in fidelity mode with genotyper-construction
+    capture, replay every captured locus through the compiled reference and
+    assert byte equality of all written records.  Returns the number of
+    byte-checked records.  `skip_log` (a list, if given) receives the region
+    names whose replay hit the oracle's deliberate spoa-sampling skip
+    (clusters >= 30, HaplotypeGenerator.cpp:182-192 std::random_device) so
+    campaigns can report big-cluster coverage instead of silently dropping
+    it."""
     import longtr_tpu.io.vcf_input as vcf_input_mod
     import longtr_tpu.pipeline.processor as proc
     from longtr_tpu.cli import main as cli_main
@@ -168,6 +177,8 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=()):
     # record-parity information — callers see 0 and may retry another seed
     assert n_records_checked > 0 or spoa_skipped, \
         (n_records_checked, len(got), spoa_skipped)
+    if skip_log is not None:
+        skip_log.extend(spoa_skipped)
     return n_records_checked
 
 
