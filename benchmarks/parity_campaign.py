@@ -66,6 +66,12 @@ def run_trial(seed: int) -> str:
     phased = bool(rng.random() < 0.3)       # HP-tag phasing path
     if phased:
         extra += ["--phased-bam"]
+    # --snp-vcf path (mutually exclusive with --phased-bam upstream):
+    # SNP-tree factors from a synthesized phased SNP VCF, bit-checked
+    # against compiled snp_tree.cpp + calc_het_snp_factors; optional --fam
+    # adds pedigree filtering through the real HaplotypeTracker
+    snp_vcf_mode = (not phased and not vntr and rng.random() < 0.25)
+    fam_mode = snp_vcf_mode and n_samples >= 3 and rng.random() < 0.5
     outflags = []
     if rng.random() < 0.4:
         for fl in ("--output-gls", "--output-pls", "--output-phased-gls",
@@ -142,6 +148,48 @@ def run_trial(seed: int) -> str:
         w.close()
         extra += ["--ref-vcf", panel]
         desc += " refvcf=True"
+
+    if snp_vcf_mode:
+        from longtr_tpu.io.bgzf import BgzfWriter
+        from longtr_tpu.io.fasta import FastaReader
+        samples = [f"S{s}" for s in range(n_samples)]
+        fr = FastaReader(fasta)
+        chroms = sorted({ln.split()[0] for ln in open(bed)},
+                        key=lambda c: int(c[3:]))
+        lines = ["##fileformat=VCFv4.1",
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(samples)]
+        mh_pick, dh_pick = int(rng.integers(2)), int(rng.integers(2))
+        for chrom in chroms:
+            seq = fr.get_sequence(chrom)
+            pos = 200
+            while pos < len(seq) - 200:
+                pos += int(rng.integers(30, 140))
+                if pos >= len(seq) - 200:
+                    break
+                ref = seq[pos].upper()
+                if ref not in "ACGT":
+                    continue
+                alt = "ACGT"[("ACGT".index(ref) + 1) % 4]
+                gts = {}
+                for s in samples:
+                    gts[s] = (int(rng.integers(2)), int(rng.integers(2)))
+                if fam_mode:   # S0 = child of S1 (father) x S2 (mother)
+                    gts["S0"] = (gts["S2"][mh_pick], gts["S1"][dh_pick])
+                cols = "\t".join(f"{gts[s][0]}|{gts[s][1]}" for s in samples)
+                lines.append(f"{chrom}\t{pos + 1}\tsnp{chrom}_{pos}\t{ref}\t"
+                             f"{alt}\t.\t.\t.\tGT\t" + cols)
+        snp_vcf = os.path.join(tmpdir, "snps.vcf.gz")
+        w = BgzfWriter(snp_vcf)
+        w.write("\n".join(lines) + "\n")
+        w.close()
+        extra += ["--snp-vcf", snp_vcf]
+        if fam_mode:
+            fam = os.path.join(tmpdir, "fam.fam")
+            with open(fam, "w") as fh:
+                fh.write("FAM1\tS0\tS1\tS2\n")
+            extra += ["--fam", fam]
+        desc += f" snpvcf=True fam={fam_mode}"
 
     patch = _Patch()
     skip_log = []

@@ -91,7 +91,12 @@ def _main(argv=None):
 
         def _advance(self):
             if self.chroms:
-                self.vcf.set_region(self.chroms.pop(0), 0)
+                chrom = self.chroms.pop(0)
+                if not self.vcf.set_region(chrom, 0) and args.chrom:
+                    # printErrorAndDie analog (denovo_main.cpp --chrom path)
+                    sys.exit("ERROR: Failed to set the region to chromosome "
+                             + chrom + " in the STR VCF. Please check the "
+                             "STR VCF and rerun the analysis")
 
         def get_next_variant(self):
             while True:

@@ -91,13 +91,23 @@ class HaplotypeTracker:
         if chrom != self.chrom:
             self.chrom = chrom
             self._reset()
-            self.snp_vcf.set_region(chrom, max(0, start - 1))
+            if not self.snp_vcf.set_region(chrom, max(0, start - 1)):
+                # printErrorAndDie analog (haplotype_tracker.cpp:90-92): a
+                # chromosome absent from the SNP VCF is FATAL upstream
+                import sys
+                sys.exit("ERROR: Failed to set the region to chromosome "
+                         + chrom + " in the SNP VCF. Please check the SNP "
+                         "VCF and rerun the analysis")
         else:
             if start < self._prev_start:
                 raise ValueError("advance() requires loci sorted by position")
             if start > self._prev_end:
                 self._reset()
-                self.snp_vcf.set_region(chrom, max(0, start - 1))
+                if not self.snp_vcf.set_region(chrom, max(0, start - 1)):
+                    import sys
+                    sys.exit("ERROR: Failed to set the region in the SNP "
+                             "VCF. Please check the SNP VCF and rerun the "
+                             "analysis")
         self._prev_start = start
         self._prev_end = end
 

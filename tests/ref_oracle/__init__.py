@@ -39,6 +39,7 @@ _REF_SOURCES = [
     "base_quality.cpp",
     "pedigree.cpp",
     "haplotype_tracker.cpp",
+    "snp_tree.cpp",
     "denovos/denovo_allele_priors.cpp",
     "denovos/trio_denovo_scanner.cpp",
     "denovos/denovo_scanner.cpp",
@@ -202,6 +203,12 @@ def get_lib():
     lib.ro_extract_families.argtypes = [s, s, i32p, i, s, ctypes.c_long]
     lib.ro_denovo_scan.restype = i
     lib.ro_denovo_scan.argtypes = [s, s, s, s, s, i, s, s, s, ctypes.c_long]
+    lib.ro_snp_vcf_factors.restype = i
+    lib.ro_snp_vcf_factors.argtypes = [
+        s, s, s, ctypes.c_int32, ctypes.c_int32, i, i32p, i32p, s, i32p,
+        i, s, i32p, i32p, i32p,
+        i, s, i32p, s, i32p, i32p, i32p, s, i32p,
+        dp, dp, i32p, s, ctypes.c_long]
 
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -604,6 +611,73 @@ def snp_phasing(reads, snps):
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     assert rc == n, f"ro_snp_phasing failed: {rc}"
     return p1, p2, int(counts[0]), int(counts[1])
+
+
+def snp_vcf_factors(snp_vcf_path, chrom, group_start, group_stop, regions,
+                    rg_reads, fam_path=""):
+    """The reference's WHOLE --snp-vcf phasing path (snp_tree.cpp
+    create_snp_trees + snp_bam_processor.cpp:52-92 calc_het_snp_factors,
+    with optional --fam pedigree filtering through a real
+    HaplotypeTracker).
+
+    regions: list of (start, stop, motif) for the locus group (the
+    skip-region set).  rg_reads: list of (rg_name, paired, mates,
+    unpaired) with len(mates) == len(paired); each read is (bases, quals,
+    pos, end_pos, cigar_text) like snp_phasing().  snp_vcf_path must be a
+    PLAIN-TEXT VCF (stub reader).  Returns (log_p1s, log_p2s,
+    got_snp_info) with per-RG lists ordered paired-then-unpaired."""
+    lib = get_lib()
+    flat = []
+    n_paired, n_unpaired, names = [], [], []
+    for name, paired, mates, unpaired in rg_reads:
+        assert len(mates) == len(paired)
+        names.append(name)
+        n_paired.append(len(paired))
+        n_unpaired.append(len(unpaired))
+        flat += list(paired) + list(mates) + list(unpaired)
+    n = len(flat)
+    bases_cat = "".join(r[0] for r in flat).encode()
+    _bl, base_lens_p = _i32arr([len(r[0]) for r in flat])
+    quals_cat = "".join(r[1] for r in flat).encode()
+    _ql, qual_lens_p = _i32arr([len(r[1]) for r in flat])
+    _pa, pos_p = _i32arr([r[2] for r in flat])
+    _ea, end_p = _i32arr([r[3] for r in flat])
+    cig_cat = "".join(r[4] for r in flat).encode()
+    _cl, cig_lens_p = _i32arr([len(r[4]) for r in flat])
+    _rs, rstarts_p = _i32arr([r[0] for r in regions])
+    _rp, rstops_p = _i32arr([r[1] for r in regions])
+    motifs_cat = "".join(r[2] for r in regions).encode()
+    _ml, motif_lens_p = _i32arr([len(r[2]) for r in regions])
+    names_cat = "".join(names).encode()
+    _nl, name_lens_p = _i32arr([len(x) for x in names])
+    _np_, npaired_p = _i32arr(n_paired)
+    _nu, nunpaired_p = _i32arr(n_unpaired)
+    n_out = sum(n_paired) + sum(n_unpaired)
+    p1 = np.zeros(max(n_out, 1))
+    p2 = np.zeros(max(n_out, 1))
+    flags = np.zeros(2, dtype=np.int32)
+    err = ctypes.create_string_buffer(1 << 16)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.ro_snp_vcf_factors(
+        snp_vcf_path.encode(), fam_path.encode(), chrom.encode(),
+        group_start, group_stop, len(regions), rstarts_p, rstops_p,
+        motifs_cat, motif_lens_p,
+        len(names), names_cat, name_lens_p, npaired_p, nunpaired_p,
+        n, bases_cat, base_lens_p, quals_cat, qual_lens_p, pos_p, end_p,
+        cig_cat, cig_lens_p,
+        p1.ctypes.data_as(dp), p2.ctypes.data_as(dp),
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        err, len(err))
+    if rc < 0:
+        raise RuntimeError(err.value.decode())
+    assert rc == n_out, (rc, n_out)
+    out1, out2, idx = [], [], 0
+    for k in range(len(names)):
+        cnt = n_paired[k] + n_unpaired[k]
+        out1.append([float(x) for x in p1[idx: idx + cnt]])
+        out2.append([float(x) for x in p2[idx: idx + cnt]])
+        idx += cnt
+    return out1, out2, bool(flags[0])
 
 
 def em_train(haploid, motif, num_bps, log_p1s, log_p2s, ref_allele,

@@ -860,6 +860,159 @@ int ro_snp_phasing(int n_reads, const char* bases_concat,
 }
 
 // ---------------------------------------------------------------------------
+// snp_tree.cpp + snp_bam_processor.cpp:52-92 — the WHOLE --snp-vcf phasing
+// path: create_snp_trees from a phased SNP VCF (biallelic-SNP filter,
+// skip-region padding, optional pedigree-based site filtering through a
+// real HaplotypeTracker) followed by per-RG calc_het_snp_factors.
+// Reads arrive as one blob ordered per RG: paired STR reads, then their
+// mates (same count), then unpaired STR reads.  Outputs one (log_p1,
+// log_p2) per STR read (paired-then-unpaired per RG, RGs concatenated);
+// RGs absent from the VCF get 0.0 like the reference.  out_flags[0] =
+// got_snp_info.  Returns the number of output factors, or -1 with the
+// error text in err.
+// ---------------------------------------------------------------------------
+
+static std::vector<BamAlignment> ro_parse_read_blob(
+    int n_reads, const char* bases_concat, const int32_t* base_lens,
+    const char* quals_concat, const int32_t* qual_lens,
+    const int32_t* positions, const int32_t* end_positions,
+    const char* cigar_concat, const int32_t* cigar_lens) {
+  std::vector<BamAlignment> reads(n_reads);
+  const char* bp = bases_concat;
+  const char* qp = quals_concat;
+  const char* cp = cigar_concat;
+  for (int i = 0; i < n_reads; i++) {
+    reads[i].pos_ = positions[i];
+    reads[i].end_pos_ = end_positions[i];
+    reads[i].bases_.assign(bp, bp + base_lens[i]);
+    bp += base_lens[i];
+    reads[i].qualities_.assign(qp, qp + qual_lens[i]);
+    qp += qual_lens[i];
+    std::string cig(cp, cp + cigar_lens[i]);
+    cp += cigar_lens[i];
+    size_t pos = 0;
+    while (pos < cig.size()) {
+      size_t p2 = pos;
+      while (p2 < cig.size() && isdigit(cig[p2])) p2++;
+      reads[i].cigar_ops_.push_back(
+          CigarOp(cig[p2], atoi(cig.substr(pos, p2 - pos).c_str())));
+      pos = p2 + 1;
+    }
+  }
+  return reads;
+}
+
+int ro_snp_vcf_factors(
+    const char* snp_vcf_path, const char* fam_path, const char* chrom,
+    int32_t group_start, int32_t group_stop, int n_regions,
+    const int32_t* region_starts, const int32_t* region_stops,
+    const char* region_motifs_cat, const int32_t* region_motif_lens,
+    int n_rgs, const char* rg_names_cat, const int32_t* rg_name_lens,
+    const int32_t* n_paired_per_rg, const int32_t* n_unpaired_per_rg,
+    int n_reads_total, const char* bases_concat, const int32_t* base_lens,
+    const char* quals_concat, const int32_t* qual_lens,
+    const int32_t* positions, const int32_t* end_positions,
+    const char* cigar_concat, const int32_t* cigar_lens,
+    double* out_p1, double* out_p2, int32_t* out_flags,
+    char* err, long errcap) {
+  HaplotypeTracker* tracker = NULL;
+  std::vector<SNPTree*> snp_trees;
+  try {
+    std::vector<BamAlignment> all = ro_parse_read_blob(
+        n_reads_total, bases_concat, base_lens, quals_concat, qual_lens,
+        positions, end_positions, cigar_concat, cigar_lens);
+    VCF::VCFReader snp_vcf(snp_vcf_path);
+
+    // hipstr_main.cpp:582-593 + snp_bam_processor.h:89-103 pedigree setup
+    std::vector<NuclearFamily> families;
+    if (fam_path && *fam_path) {
+      std::set<std::string> snp_samples(snp_vcf.get_samples().begin(),
+                                        snp_vcf.get_samples().end());
+      std::vector<NuclearFamily> fams0;
+      std::ostringstream plog;
+      extract_pedigree_nuclear_families(std::string(fam_path), snp_samples,
+                                        fams0, plog);
+      for (size_t f = 0; f < fams0.size(); f++)
+        if (!fams0[f].is_missing_sample(snp_samples))
+          families.push_back(fams0[f]);
+      if (!families.empty())
+        tracker = new HaplotypeTracker(families, std::string(snp_vcf_path),
+                                       500000);
+    }
+    // snp_bam_processor.cpp:54-57: advance to the locus before tree build
+    if (tracker != NULL) {
+      std::set<std::string> no_skips;
+      tracker->advance(std::string(chrom), group_start, no_skips);
+    }
+
+    std::vector<Region> skip_regions;
+    const char* mp = region_motifs_cat;
+    for (int i = 0; i < n_regions; i++) {
+      std::string motif(mp, mp + region_motif_lens[i]);
+      mp += region_motif_lens[i];
+      skip_regions.push_back(Region(std::string(chrom), region_starts[i],
+                                    region_stops[i], motif));
+    }
+
+    // snp_bam_processor.cpp:60-62 window math (MAX_MATE_DIST=1000,
+    // SKIP_PADDING=15, bam_processor.h:83 / snp_bam_processor.h:54)
+    std::map<std::string, unsigned int> sample_indices;
+    std::ostringstream tlog;
+    bool got_snp_info = create_snp_trees(
+        std::string(chrom),
+        (group_start > 1000 ? group_start - 1000 : 1), group_stop + 1000,
+        skip_regions, 15, &snp_vcf, tracker, sample_indices, snp_trees,
+        tlog);
+
+    BaseQuality bq;
+    int out_idx = 0;
+    size_t read_idx = 0;
+    const char* np = rg_names_cat;
+    for (int i = 0; i < n_rgs; i++) {
+      std::string name(np, np + rg_name_lens[i]);
+      np += rg_name_lens[i];
+      int npair = n_paired_per_rg[i], nunp = n_unpaired_per_rg[i];
+      std::vector<BamAlignment> paired(all.begin() + read_idx,
+                                       all.begin() + read_idx + npair);
+      read_idx += npair;
+      std::vector<BamAlignment> mates(all.begin() + read_idx,
+                                      all.begin() + read_idx + npair);
+      read_idx += npair;
+      std::vector<BamAlignment> unpaired(all.begin() + read_idx,
+                                         all.begin() + read_idx + nunp);
+      read_idx += nunp;
+      std::vector<double> p1, p2;
+      if (got_snp_info &&
+          sample_indices.find(name) != sample_indices.end()) {
+        SNPTree* tree = snp_trees[sample_indices[name]];
+        int32_t match = 0, mismatch = 0;
+        calc_het_snp_factors(paired, mates, bq, tree, p1, p2, match,
+                             mismatch);
+        calc_het_snp_factors(unpaired, bq, tree, p1, p2, match, mismatch);
+      } else {
+        p1.assign(npair + nunp, 0.0);
+        p2.assign(npair + nunp, 0.0);
+      }
+      for (size_t j = 0; j < p1.size(); j++, out_idx++) {
+        out_p1[out_idx] = p1[j];
+        out_p2[out_idx] = p2[j];
+      }
+    }
+    out_flags[0] = got_snp_info ? 1 : 0;
+    destroy_snp_trees(snp_trees);
+    delete tracker;
+    return out_idx;
+  } catch (const std::exception& e) {
+    destroy_snp_trees(snp_trees);
+    delete tracker;
+    std::string msg = std::string("EXC:") + e.what();
+    if ((long)msg.size() + 1 <= errcap)
+      memcpy(err, msg.c_str(), msg.size() + 1);
+    return -1;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // em_stutter_genotyper.cpp — EM stutter training (em_stutter_genotyper.cpp:170-226)
 //
 // Two instances are built from identical inputs: instance A runs the real

@@ -74,6 +74,41 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=(),
 
     monkeypatch.setattr(vcf_input_mod, "read_vcf_alleles", _rva_spy)
 
+    # --snp-vcf: capture every snp_vcf_factors call (inputs AND the factors
+    # the tree path produced) so the factor computation itself — SNP-tree
+    # construction from the VCF, window edges, pedigree filtering, per-read
+    # base extraction — can be replayed through the compiled reference
+    # (snp_tree.cpp + snp_bam_processor.cpp:52-92, ro_snp_vcf_factors).
+    snp_factor_caps = []
+    snp_vcf_arg = None
+    extra_list = list(extra_args)
+    if "--snp-vcf" in extra_list:
+        snp_vcf_arg = extra_list[extra_list.index("--snp-vcf") + 1]
+        import longtr_tpu.pipeline.snp_phasing as snp_mod
+
+        def _rd(r):
+            cig = "".join(f"{n}{op}" for op, n in r.cigar)
+            return (r.seq, r.qual, r.pos, r.end_pos, cig)
+
+        real_svf = snp_mod.snp_vcf_factors
+
+        def _svf_spy(snp_vcf, paired, mates, unpaired, rg_names, group,
+                     cfg, logger=None, tracker=None):
+            alns, p1s, p2s = real_svf(snp_vcf, paired, mates, unpaired,
+                                      rg_names, group, cfg, logger=logger,
+                                      tracker=tracker)
+            snp_factor_caps.append(dict(
+                group=group, rg_names=list(rg_names),
+                rg_reads=[(rg_names[i],
+                           [_rd(r) for r in paired[i]],
+                           [_rd(r) for r in mates[i]],
+                           [_rd(r) for r in unpaired[i]])
+                          for i in range(len(rg_names))],
+                p1s=[list(x) for x in p1s], p2s=[list(x) for x in p2s]))
+            return alns, p1s, p2s
+
+        monkeypatch.setattr(snp_mod, "snp_vcf_factors", _svf_spy)
+
     out = str(tmp_path / "fid.vcf.gz")
     rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
                    "--regions", bed, "--tr-vcf", out,
@@ -81,6 +116,26 @@ def _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed, extra_args=(),
                   + list(extra_args))
     assert rc == 0
     assert captured, "no loci captured"
+
+    if snp_vcf_arg is not None:
+        # replay every captured factor computation through the compiled
+        # reference --snp-vcf path and demand bit-identical log_p1/log_p2
+        from longtr_tpu.io.bgzf import bgzf_open_text
+        assert snp_factor_caps, "no snp_vcf_factors calls captured"
+        snp_plain = str(tmp_path / "snps_plain.vcf")
+        with open(snp_plain, "w") as fh:
+            for ln in bgzf_open_text(snp_vcf_arg):
+                fh.write(ln if ln.endswith("\n") else ln + "\n")
+        fam_arg = (extra_list[extra_list.index("--fam") + 1]
+                   if "--fam" in extra_list else "")
+        for cap in snp_factor_caps:
+            group = cap["group"]
+            regions = [(r.start, r.stop, r.motifs) for r in group.regions]
+            want_p1, want_p2, _got = ro.snp_vcf_factors(
+                snp_plain, group.chrom, group.start, group.stop, regions,
+                cap["rg_reads"], fam_path=fam_arg)
+            assert want_p1 == cap["p1s"], (group, want_p1, cap["p1s"])
+            assert want_p2 == cap["p2s"], (group, want_p2, cap["p2s"])
 
     # pipeline-written records keyed by (chrom, pos)
     got = {}
@@ -260,6 +315,133 @@ def test_production_pipeline_vntr_matches_reference(tmp_path, monkeypatch):
     n = _run_and_compare(tmp_path, monkeypatch, bams, fasta, bed,
                          extra_args=["--max-tr-len", "10000"])
     assert n == 4
+
+
+def _write_family_snp_vcf(path, genome, rng, chroms=("chr1",),
+                          mother="SAMP3", father="SAMP2", child="SAMP1",
+                          spacing=(40, 120), consistent=True):
+    """Phased SNP VCF over the fixture genome.  With consistent=True the
+    child's hap1 copies one maternal hap and hap2 one paternal hap at every
+    SNP, so the reference HaplotypeTracker can infer inheritance; otherwise
+    genotypes are random (inference fails, pedigree filtering clears all
+    SNPs — the other live branch)."""
+    from longtr_tpu.io.bgzf import BgzfWriter
+
+    samples = [child, father, mother]
+    lines = ["##fileformat=VCFv4.1",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(samples)]
+    mom_hap, dad_hap = int(rng.integers(2)), int(rng.integers(2))
+    for chrom in chroms:
+        chrom_seq = genome[chrom]
+        pos = 250
+        while pos < len(chrom_seq) - 250:
+            pos += int(rng.integers(*spacing))
+            if pos >= len(chrom_seq) - 250:
+                break
+            ref = chrom_seq[pos].upper()
+            if ref not in "ACGT":
+                continue
+            alt = "ACGT"[("ACGT".index(ref) + 1) % 4]
+            mh = (int(rng.integers(2)), int(rng.integers(2)))
+            dh = (int(rng.integers(2)), int(rng.integers(2)))
+            if consistent:
+                kh = (mh[mom_hap], dh[dad_hap])
+            else:
+                kh = (int(rng.integers(2)), int(rng.integers(2)))
+            gt = {child: kh, father: dh, mother: mh}
+            cols = "\t".join(f"{gt[s][0]}|{gt[s][1]}" for s in samples)
+            lines.append(f"{chrom}\t{pos + 1}\tsnp{chrom}{pos}\t{ref}\t{alt}"
+                         f"\t.\t.\t.\tGT\t{cols}")
+    w = BgzfWriter(path)
+    w.write("\n".join(lines) + "\n")
+    w.close()
+
+
+def test_production_pipeline_snp_vcf_matches_reference(tmp_path, monkeypatch):
+    """--snp-vcf mode: SNP trees built from the VCF drive per-read phasing
+    factors; the captured factors must be BIT-identical to the compiled
+    snp_tree.cpp + calc_het_snp_factors chain, and the records (DSNP/PSNP/
+    PDP populated from those factors) byte-identical.  chr2/chr3 loci have
+    no SNPs in the VCF, covering the failed-set_region zero-factor branch
+    on both sides."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    fx = standard_fixture(str(tmp_path), rng=rng)
+    snp_path = str(tmp_path / "snps.vcf.gz")
+    _write_family_snp_vcf(snp_path, fx["genome"], rng)
+    n = _run_and_compare(tmp_path, monkeypatch, fx["bams"], fx["fasta"],
+                         fx["bed"], extra_args=["--snp-vcf", snp_path])
+    assert n >= 1
+
+
+def test_production_pipeline_snp_vcf_with_fam_matches_reference(
+        tmp_path, monkeypatch):
+    """--snp-vcf + --fam: pedigree-based SNP filtering through the real
+    HaplotypeTracker (consistent trio -> inference succeeds, bad sites
+    dropped per family) replayed through the compiled reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(78)
+    fx = standard_fixture(str(tmp_path), rng=rng)
+    snp_path = str(tmp_path / "snps.vcf.gz")
+    _write_family_snp_vcf(snp_path, fx["genome"], rng,
+                          chroms=("chr1", "chr2", "chr3"))
+    fam = str(tmp_path / "trio.fam")
+    with open(fam, "w") as fh:
+        fh.write("FAM1\tSAMP1\tSAMP2\tSAMP3\n")
+    n = _run_and_compare(tmp_path, monkeypatch, fx["bams"], fx["fasta"],
+                         fx["bed"],
+                         extra_args=["--snp-vcf", snp_path, "--fam", fam])
+    assert n >= 1
+
+
+def test_production_pipeline_snp_vcf_fam_inconsistent_trio(
+        tmp_path, monkeypatch):
+    """--snp-vcf + --fam with a trio whose SNP genotypes defeat inheritance
+    inference: the reference clears every SNP for the family's samples
+    (snp_tree.cpp:86-95) — factors must still match bit for bit (all
+    zero) and records byte for byte."""
+    import numpy as np
+
+    rng = np.random.default_rng(79)
+    fx = standard_fixture(str(tmp_path), rng=rng)
+    snp_path = str(tmp_path / "snps.vcf.gz")
+    _write_family_snp_vcf(snp_path, fx["genome"], rng,
+                          chroms=("chr1", "chr2", "chr3"), consistent=False)
+    fam = str(tmp_path / "trio.fam")
+    with open(fam, "w") as fh:
+        fh.write("FAM1\tSAMP1\tSAMP2\tSAMP3\n")
+    n = _run_and_compare(tmp_path, monkeypatch, fx["bams"], fx["fasta"],
+                         fx["bed"],
+                         extra_args=["--snp-vcf", snp_path, "--fam", fam])
+    assert n >= 1
+
+
+def test_snp_vcf_fam_missing_chrom_is_fatal(tmp_path, monkeypatch):
+    """A locus chromosome absent from the SNP VCF is FATAL when --fam is
+    given: HaplotypeTracker::advance printErrorAndDie's upstream
+    (haplotype_tracker.cpp:90-92) — execution-proven by the oracle raising
+    the same error (this fuzz surface found our tracker silently ignoring
+    the failed set_region; fixed in round 4)."""
+    import numpy as np
+
+    rng = np.random.default_rng(80)
+    fx = standard_fixture(str(tmp_path), rng=rng)
+    snp_path = str(tmp_path / "snps.vcf.gz")
+    _write_family_snp_vcf(snp_path, fx["genome"], rng, chroms=("chr1",))
+    fam = str(tmp_path / "trio.fam")
+    with open(fam, "w") as fh:
+        fh.write("FAM1\tSAMP1\tSAMP2\tSAMP3\n")
+    from longtr_tpu.cli import main as cli_main
+    out = str(tmp_path / "calls.vcf.gz")
+    with pytest.raises(SystemExit) as ei:
+        cli_main(["--bams", ",".join(fx["bams"]), "--fasta", fx["fasta"],
+                  "--regions", fx["bed"], "--tr-vcf", out,
+                  "--min-reads", "5", "--quiet",
+                  "--snp-vcf", snp_path, "--fam", fam])
+    assert "Failed to set the region to chromosome" in str(ei.value)
 
 
 def test_production_pipeline_ref_vcf_matches_reference(tmp_path, monkeypatch):

@@ -23,23 +23,31 @@ def test_snp_tree_queries():
     assert tree.find_contained(31, 40) == []
 
 
-def write_snp_vcf(path, genome, samples, rng, skip_span=None, spacing=(40, 120)):
-    """Phased het SNPs along chr1; hap1 carries ALT at every SNP for SAMP1."""
+def write_snp_vcf(path, genome, samples, rng, skip_span=None, spacing=(40, 120),
+                  chroms=("chr1",)):
+    """Phased het SNPs along the given chroms; hap1 carries ALT at every SNP.
+    snp_positions returned for chroms[0] only (chr1, what the tests probe)."""
     lines = ["##fileformat=VCFv4.1",
              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
              + "\t".join(samples)]
-    chrom_seq = genome["chr1"]
-    pos = 300
     snp_positions = []
-    while pos < len(chrom_seq) - 300:
-        pos += int(rng.integers(*spacing))
-        if skip_span and skip_span[0] <= pos <= skip_span[1]:
-            continue
-        ref = chrom_seq[pos]  # 0-based
-        alt = "ACGT"[("ACGT".index(ref.upper()) + 1) % 4]
-        gts = "\t".join("1|0" for _ in samples)
-        lines.append(f"chr1\t{pos + 1}\tsnp{pos}\t{ref.upper()}\t{alt}\t.\t.\t.\tGT\t{gts}")
-        snp_positions.append(pos)
+    for chrom in chroms:
+        chrom_seq = genome[chrom]
+        pos = 300
+        while pos < len(chrom_seq) - 300:
+            pos += int(rng.integers(*spacing))
+            if skip_span and chrom == chroms[0] and \
+                    skip_span[0] <= pos <= skip_span[1]:
+                continue
+            if pos >= len(chrom_seq) - 300:
+                break
+            ref = chrom_seq[pos]  # 0-based
+            alt = "ACGT"[("ACGT".index(ref.upper()) + 1) % 4]
+            gts = "\t".join("1|0" for _ in samples)
+            lines.append(f"{chrom}\t{pos + 1}\tsnp{chrom}_{pos}\t{ref.upper()}"
+                         f"\t{alt}\t.\t.\t.\tGT\t{gts}")
+            if chrom == chroms[0]:
+                snp_positions.append(pos)
     w = BgzfWriter(path)
     w.write("\n".join(lines) + "\n")
     w.close()
@@ -103,7 +111,11 @@ def test_e2e_with_fam_pedigree_filter(tmp_path):
     rng = np.random.default_rng(33)
     fx = standard_fixture(str(tmp_path), rng=rng)
     snp_path = str(tmp_path / "snps.vcf.gz")
-    write_snp_vcf(snp_path, fx["genome"], ["SAMP1", "SAMP2", "SAMP3"], rng)
+    # every catalog chromosome must appear in the SNP VCF: with --fam the
+    # tracker's advance() onto a missing chromosome is FATAL upstream
+    # (haplotype_tracker.cpp:90-92; test_pipeline_record_parity covers it)
+    write_snp_vcf(snp_path, fx["genome"], ["SAMP1", "SAMP2", "SAMP3"], rng,
+                  chroms=("chr1", "chr2", "chr3"))
     fam_path = str(tmp_path / "trio.fam")
     with open(fam_path, "w") as fh:
         fh.write("FAM1\tSAMP1\tSAMP2\tSAMP3\n")
