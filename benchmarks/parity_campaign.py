@@ -438,6 +438,23 @@ def run_denovo_trial(seed: int) -> str:
     return f"seed={seed} {mode} records={n_rec} skips={len(skips)} ok"
 
 
+def run_phasing_checker_trial(seed: int) -> str:
+    """PhasingChecker surface: randomized families + phased SNP VCFs +
+    unsorted BEDs through the full phasingchecker CLI vs the compiled
+    check_phasing.cpp flow; byte-identical tables."""
+    import tempfile as _tf
+    from pathlib import Path
+
+    import test_phasing_checker_parity as pc
+
+    with _tf.TemporaryDirectory() as td:
+        famlines, snp_text, bed_text = pc._cohort(seed)
+        ours, ref = pc.run_pair(Path(td), "c", famlines, snp_text, bed_text)
+        assert ours == ref, (seed, "phasing checker divergence")
+        n_rows = len(ref.splitlines()) - 1
+    return f"seed={seed} rows={n_rows} ok"
+
+
 def run_pedigree_trial(seed: int) -> str:
     """FAM-pedigree surface: randomized pedigrees (nuclear / 3-gen /
     half-sib / corrupted) through compiled extract_pedigree_nuclear_families
@@ -479,6 +496,8 @@ def main():
         surface = "pedigree"
     elif "--denovo" in sys.argv:
         surface = "denovo"
+    elif "--phasing" in sys.argv:
+        surface = "phasing"
     if surface in ("left_align", "trim") and ro.get_trim_lib() is None:
         print("trim oracle unavailable; cannot run")
         return 2
@@ -488,10 +507,12 @@ def main():
                 "trim": run_trim_trial, "filters": run_filter_trial,
                 "em": run_em_trial, "nw": run_nw_trial,
                 "pedigree": run_pedigree_trial,
-                "denovo": run_denovo_trial}[surface]
+                "denovo": run_denovo_trial,
+                "phasing": run_phasing_checker_trial}[surface]
     quiet_every = {"records": 1, "left_align": 200, "trim": 1000,
                    "filters": 500, "em": 100, "nw": 500,
-                   "pedigree": 1000, "denovo": 50}[surface]
+                   "pedigree": 1000, "denovo": 50,
+                   "phasing": 100}[surface]
     for t in range(n_trials):
         seed = start + t
         try:

@@ -203,6 +203,8 @@ def get_lib():
     lib.ro_extract_families.argtypes = [s, s, i32p, i, s, ctypes.c_long]
     lib.ro_denovo_scan.restype = i
     lib.ro_denovo_scan.argtypes = [s, s, s, s, s, i, s, s, s, ctypes.c_long]
+    lib.ro_check_phasing.restype = i
+    lib.ro_check_phasing.argtypes = [s, s, s, s, s, ctypes.c_long]
     lib.ro_snp_vcf_factors.restype = i
     lib.ro_snp_vcf_factors.argtypes = [
         s, s, s, ctypes.c_int32, ctypes.c_int32, i, i32p, i32p, s, i32p,
@@ -611,6 +613,22 @@ def snp_phasing(reads, snps):
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     assert rc == n, f"ro_snp_phasing failed: {rc}"
     return p1, p2, int(counts[0]), int(counts[1])
+
+
+def check_phasing(fam_path: str, snp_vcf_path: str, region_path: str,
+                  out_path: str) -> int:
+    """Reference PhasingChecker drive (check_phasing.cpp:129-226): the
+    PASS/FAIL + diploid-edit-distance table written as PLAIN text at
+    out_path (stub bgzfostream).  snp_vcf_path must be a PLAIN-TEXT VCF.
+    Returns the number of region rows written."""
+    lib = get_lib()
+    err = ctypes.create_string_buffer(1 << 16)
+    rc = lib.ro_check_phasing(fam_path.encode(), snp_vcf_path.encode(),
+                              region_path.encode(), out_path.encode(),
+                              err, len(err))
+    if rc < 0:
+        raise RuntimeError(err.value.decode())
+    return rc
 
 
 def snp_vcf_factors(snp_vcf_path, chrom, group_start, group_stop, regions,

@@ -1633,4 +1633,105 @@ int ro_denovo_scan(const char* fam_path, const char* str_vcf_path,
   }
 }
 
+// Reference PhasingChecker drive (check_phasing.cpp:129-226 post-arg flow):
+// families from the FAM file restricted to SNP-VCF samples, regions read +
+// ordered, a HaplotypeTracker advanced region by region, and the per-child
+// PASS/FAIL + diploid edit-distance table written through the stub
+// bgzfostream as PLAIN text at out_path.  Returns the number of regions
+// written, or -1 with the error text in err.
+int ro_check_phasing(const char* fam_path, const char* snp_vcf_path,
+                     const char* region_path, const char* out_path,
+                     char* err, long errcap) {
+  try {
+    VCF::VCFReader snp_vcf(snp_vcf_path);
+    std::set<std::string> snp_samples(snp_vcf.get_samples().begin(),
+                                      snp_vcf.get_samples().end());
+    std::ostringstream logger;
+    std::vector<NuclearFamily> families;
+    extract_pedigree_nuclear_families(std::string(fam_path), snp_samples,
+                                      families, logger);
+    std::vector<Region> regions;
+    readRegions(std::string(region_path), 1000000000, "", regions, logger);
+    orderRegions(regions);
+
+    HaplotypeTracker haplotype_tracker(families, std::string(snp_vcf_path),
+                                       500000);
+    bgzfostream output;
+    output.open(out_path);
+    output << "#CHROM\tPOS";
+    for (auto f = families.begin(); f != families.end(); ++f)
+      for (auto c = f->get_children().begin();
+           c != f->get_children().end(); ++c)
+        output << "\t" << *c;
+    output << "\n";
+
+    std::set<std::string> sites_to_skip;
+    int min_second_best_score = DenovoScanner::MIN_SECOND_BEST_SCORE;
+    int max_best_score = DenovoScanner::MAX_BEST_SCORE;
+    int n_out = 0;
+    for (auto region_iter = regions.begin(); region_iter != regions.end();
+         region_iter++) {
+      output << region_iter->chrom() << "\t" << region_iter->start();
+      haplotype_tracker.advance(region_iter->chrom(), region_iter->start(),
+                                sites_to_skip);
+      for (auto f = families.begin(); f != families.end(); ++f) {
+        std::string mother = f->get_mother();
+        std::string father = f->get_father();
+        bool all_pass = true;
+        for (auto c = f->get_children().begin();
+             c != f->get_children().end(); ++c) {
+          DiploidEditDistance maternal_distance =
+              haplotype_tracker.edit_distances(*c, mother);
+          DiploidEditDistance paternal_distance =
+              haplotype_tracker.edit_distances(*c, father);
+          int min_mat_dist, min_mat_index, second_mat_dist, second_mat_index;
+          maternal_distance.min_distance(min_mat_dist, min_mat_index);
+          maternal_distance.second_min_distance(second_mat_dist,
+                                                second_mat_index);
+          if (min_mat_dist > max_best_score ||
+              second_mat_dist < min_second_best_score)
+            all_pass = false;
+          int min_pat_dist, min_pat_index, second_pat_dist, second_pat_index;
+          paternal_distance.min_distance(min_pat_dist, min_pat_index);
+          paternal_distance.second_min_distance(second_pat_dist,
+                                                second_pat_index);
+          if (min_pat_dist > max_best_score ||
+              second_pat_dist < min_second_best_score)
+            all_pass = false;
+          if (min_mat_index == 0 || min_mat_index == 1) {
+            if (min_pat_index != 2 && min_pat_index != 3)
+              all_pass = false;
+          } else if (min_pat_index != 0 && min_pat_index != 1)
+            all_pass = false;
+        }
+        for (auto c = f->get_children().begin();
+             c != f->get_children().end(); ++c) {
+          DiploidEditDistance maternal_distance =
+              haplotype_tracker.edit_distances(*c, mother);
+          DiploidEditDistance paternal_distance =
+              haplotype_tracker.edit_distances(*c, father);
+          output << "\t" << (all_pass ? "PASS" : "FAIL")
+                 << ":" << maternal_distance.distance(0, 0) << ","
+                 << maternal_distance.distance(0, 1) << ","
+                 << maternal_distance.distance(1, 0) << ","
+                 << maternal_distance.distance(1, 1)
+                 << ":" << paternal_distance.distance(0, 0) << ","
+                 << paternal_distance.distance(0, 1) << ","
+                 << paternal_distance.distance(1, 0) << ","
+                 << paternal_distance.distance(1, 1);
+        }
+      }
+      output << "\n";
+      n_out++;
+    }
+    output.close();
+    return n_out;
+  } catch (const std::exception& e) {
+    std::string msg = std::string("EXC:") + e.what();
+    if ((long)msg.size() + 1 <= errcap)
+      memcpy(err, msg.c_str(), msg.size() + 1);
+    return -1;
+  }
+}
+
 }  // extern "C"
