@@ -80,10 +80,10 @@ def greedy_clustering(seqs, threshold: int):
         batch = native.edit_distance_batch
         from longtr_tpu.utils.workers import in_locus_worker, spare_workers
         # inside a locus worker, size the native fan-out to the cores this
-        # locus can actually claim (1 when the window is uniformly busy)
+        # locus can actually claim (1 when the window is uniformly busy;
+        # even then the single-threaded batch call amortizes the per-pair
+        # ctypes/encode overhead across all centroids)
         width = spare_workers() if in_locus_worker() else 0
-        if width == 1:
-            batch = None
     except Exception:
         batch = None
         width = 0

@@ -19,6 +19,8 @@ Reference: src/SeqAlignment/HaplotypeGenerator.{h,cpp}.  Pipeline per region:
 
 from __future__ import annotations
 
+import numpy as np
+
 from longtr_tpu.haplotype.blocks import HapBlock, Haplotype, RepeatBlock
 from longtr_tpu.haplotype.cluster import greedy_clustering, merge_clusters
 from longtr_tpu.haplotype.poa import poa_consensus
@@ -107,18 +109,31 @@ def trim_sequences(ideal_min_length: int, region_start: int, region_end: int,
     if min_len <= ideal_min_length:
         return region_start, region_end, sequences
 
-    max_left = 0
-    while max_left < min_len - ideal_min_length:
-        ch = sequences[0][0][max_left]
-        if any(s[max_left] != ch for s, _ in sequences[1:]):
+    # vectorized shared-prefix/suffix scan (value-identical to the scalar
+    # char walk of HaplotypeGenerator.cpp:24-37): max_left/right = length of
+    # the prefix/suffix common to ALL sequences, capped at
+    # min_len - ideal_min_length
+    cap = min_len - ideal_min_length
+    ref_b = sequences[0][0].encode()
+    ref_pre = np.frombuffer(ref_b[:cap], dtype=np.uint8)
+    ref_suf = np.frombuffer(ref_b[len(ref_b) - cap:], dtype=np.uint8)[::-1]
+    max_left = max_right = cap
+    for s, _ in sequences[1:]:
+        if max_left == 0 and max_right == 0:
             break
-        max_left += 1
-    max_right = 0
-    while max_right < min_len - ideal_min_length:
-        ch = sequences[0][0][len(sequences[0][0]) - 1 - max_right]
-        if any(s[len(s) - 1 - max_right] != ch for s, _ in sequences[1:]):
-            break
-        max_right += 1
+        sb = s.encode()
+        if max_left:
+            neq = ref_pre[:max_left] != np.frombuffer(sb[:max_left],
+                                                      dtype=np.uint8)
+            hit = int(np.argmax(neq))
+            if neq[hit]:
+                max_left = hit
+        if max_right:
+            neq = ref_suf[:max_right] != np.frombuffer(
+                sb[len(sb) - max_right:], dtype=np.uint8)[::-1]
+            hit = int(np.argmax(neq))
+            if neq[hit]:
+                max_right = hit
 
     max_left = min(left_pad, max_left)
     max_right = min(right_pad, max_right)

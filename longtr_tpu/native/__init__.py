@@ -68,6 +68,11 @@ def get_lib():
         lib.ltr_edit_distance_banded.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long]
+    if hasattr(lib, "ltr_edit_distance_banded_scalar"):
+        lib.ltr_edit_distance_banded_scalar.restype = ctypes.c_long
+        lib.ltr_edit_distance_banded_scalar.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long]
     if hasattr(lib, "ltr_edit_distance_batch"):
         lib.ltr_edit_distance_batch.restype = ctypes.c_long
         lib.ltr_edit_distance_batch.argtypes = [
@@ -200,6 +205,16 @@ def edit_distance_banded(a: str, b: str, threshold: int) -> int | None:
         return None
     return int(lib.ltr_edit_distance_banded(a.encode(), len(a),
                                             b.encode(), len(b), threshold))
+
+
+def edit_distance_banded_scalar(a: str, b: str, threshold: int) -> int | None:
+    """The pre-round-4 scalar band DP, kept exported purely as a
+    differential-fuzz oracle for the bit-parallel path."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ltr_edit_distance_banded_scalar"):
+        return None
+    return int(lib.ltr_edit_distance_banded_scalar(
+        a.encode(), len(a), b.encode(), len(b), threshold))
 
 
 def edit_distance_batch(a: str, bs: list, threshold: int,

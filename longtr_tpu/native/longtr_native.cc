@@ -910,6 +910,119 @@ extern "C" long ltr_edit_distance_batch(const char* a, long n,
   return 0;
 }
 
+// Banded block bit-parallel edit distance (Myers 1999 bit-vector recurrence
+// in Hyyro's block formulation, with an Ukkonen band over the blocks — the
+// same algorithmic family as edlib, implemented from the published
+// recurrences).  Pattern = b laid vertically in 64-row blocks; text = a
+// consumed one column per step.  Only blocks intersecting the diagonal band
+// |i - j| <= T are maintained:
+//   * a block strictly BELOW the band has seen no in-band cells yet; its
+//     column values are initialized to D[j][0] = j (VP = ~0), an
+//     overestimate of the true column — safe, because any path of total
+//     cost <= T stays inside the band (cost-so-far >= |i' - j'| at every
+//     cell on it), so out-of-band overestimates can never change an
+//     in-band value that is <= T;
+//   * a block strictly ABOVE the band is dropped, and the carry fed to the
+//     block below it is +1 (columns far above the diagonal eventually grow
+//     by one per step; again at most an out-of-band overestimate).
+// Result contract (identical to the scalar band DP this replaces, which is
+// kept below as ltr_edit_distance_banded_scalar for differential fuzzing):
+// the exact distance when d <= T, else T + 1.  O(n * T/64) word ops.
+namespace bpmyers {
+
+struct Block {
+  uint64_t VP, VN;
+  long score;   // D[end_row][current column]
+};
+
+// One Myers block step: consume text char (Eq = match bits of this block),
+// carry hin in {-1,0,+1} from the block above; returns hout at `hbit` (the
+// block's end row) and updates VP/VN/score.
+static inline int step(Block& B, uint64_t Eq, int hin, uint64_t hbit) {
+  uint64_t VP = B.VP, VN = B.VN;
+  uint64_t Xv = Eq | VN;
+  if (hin < 0) Eq |= 1ULL;
+  uint64_t Xh = (((Eq & VP) + VP) ^ VP) | Eq;
+  uint64_t Ph = VN | ~(Xh | VP);
+  uint64_t Mh = VP & Xh;
+  int hout = 0;
+  if (Ph & hbit) hout = 1;
+  else if (Mh & hbit) hout = -1;
+  Ph <<= 1;
+  Mh <<= 1;
+  if (hin > 0) Ph |= 1ULL;
+  else if (hin < 0) Mh |= 1ULL;
+  B.VP = Mh | ~(Xv | Ph);
+  B.VN = Ph & Xv;
+  B.score += hout;
+  return hout;
+}
+
+}  // namespace bpmyers
+
+static long myers_banded(const uint8_t* a, long n, const uint8_t* b, long m,
+                         long T) {
+  using bpmyers::Block;
+  const long W = (m + 63) >> 6;
+  // remap the pattern alphabet to dense ids (DNA: ~4-5 symbols)
+  uint8_t map[256];
+  memset(map, 0xff, sizeof(map));
+  int sigma = 0;
+  for (long j = 0; j < m; j++) {
+    uint8_t c = b[j];
+    if (map[c] == 0xff) map[c] = (uint8_t)sigma++;
+  }
+  std::vector<uint64_t> Peq((size_t)W * sigma, 0);
+  for (long j = 0; j < m; j++)
+    Peq[(size_t)(j >> 6) * sigma + map[b[j]]] |= 1ULL << (j & 63);
+  std::vector<Block> blk(W);
+  std::vector<uint64_t> hbit(W);
+  for (long t = 0; t < W; t++) {
+    long end_row = (t == W - 1) ? m : (t + 1) * 64;   // 1-based
+    hbit[t] = 1ULL << ((end_row - 1) & 63);
+  }
+  // block t covers 1-based rows [t*64+1, min(m,(t+1)*64)]; active window
+  // [first, last] = blocks intersecting the band at the current column
+  long first = 0, last = -1;
+  auto admit = [&](long i) {        // admit blocks whose top row <= i + T
+    while (last + 1 < W && (last + 1) * 64 + 1 <= i + T) {
+      // a freshly admitted block assumes D[j][i-1] = (value at the block
+      // above's end row at column i-1) + (j - that row): all-+1 vertical
+      // deltas chained off the LIVE block above (edlib-style), an upper
+      // bound on the true column (D[j][c] <= D[r][c] + (j - r)), which the
+      // band argument makes safe.  Anchoring to column 0 instead would
+      // break the cross-block delta chain.
+      long prev_end = (last >= 0) ? ((last + 1) * 64) : 0;
+      long base = (last >= 0) ? blk[last].score : (i > 0 ? i - 1 : 0);
+      last++;
+      blk[last].VP = ~0ULL;
+      blk[last].VN = 0;
+      long end_row = (last == W - 1) ? m : (last + 1) * 64;
+      blk[last].score = base + (end_row - prev_end);
+    }
+  };
+  admit(0);   // blocks in-band before any text is consumed (column 0)
+  for (long i = 1; i <= n; i++) {
+    admit(i);
+    // retire blocks fully above the band (end row < i - T)
+    while (first < last && (first + 1) * 64 < i - T) first++;
+    const uint8_t id = map[a[i - 1]];
+    int hin = 1;   // row-0 boundary D[0][i] = i; +1 overestimate if first>0
+    long col_min = (long)1 << 60;
+    for (long t = first; t <= last; t++) {
+      uint64_t Eq = (id == 0xff) ? 0 : Peq[(size_t)t * sigma + id];
+      hin = bpmyers::step(blk[t], Eq, hin, hbit[t]);
+      if (blk[t].score < col_min) col_min = blk[t].score;
+    }
+    // weak early abort: every cell in an active block is >= score - 63;
+    // cells outside the active window are out-of-band (> T); if the whole
+    // column is > T, all later columns are too (row-0 boundary included)
+    if (col_min - 63 > T) return T + 1;
+  }
+  long out = blk[W - 1].score;
+  return out > T ? T + 1 : out;
+}
+
 extern "C" long ltr_edit_distance_banded(const char* a, long n,
                                          const char* b, long m, long T) {
   long diff = n - m;
@@ -918,6 +1031,16 @@ extern "C" long ltr_edit_distance_banded(const char* a, long n,
   // empty b (read_seq, the centroid in clustering) makes the per-row abort
   // fire unconditionally -> T+1; an empty a skips the row loop entirely
   // and returns the exact dp value m.
+  if (m == 0) return n == 0 ? 0 : T + 1;
+  if (n == 0) return m;  // <= T by the length check above
+  return myers_banded((const uint8_t*)a, n, (const uint8_t*)b, m, T);
+}
+
+extern "C" long ltr_edit_distance_banded_scalar(const char* a, long n,
+                                                const char* b, long m,
+                                                long T) {
+  long diff = n - m;
+  if (diff < 0 ? (-diff > T) : (diff > T)) return T + 1;
   if (m == 0) return n == 0 ? 0 : T + 1;
   if (n == 0) return m;  // <= T by the length check above
   // Ukkonen band: unit-cost edit distance satisfies d[i][j] >= |i-j|, so

@@ -270,3 +270,47 @@ def test_native_edit_distance_matches_numpy():
         T = int(rng.integers(1, 30))
         assert native.edit_distance_banded(a, b, T) == numpy_ed(a, b, T), \
             (a, b, T)
+
+
+def test_bitparallel_edit_distance_matches_scalar_band():
+    """The banded block-Myers path (round 4) must be value-identical to the
+    retained scalar band DP across multi-block lengths (>64, >128), big
+    thresholds, near-identical and unrelated pairs, and the T+1 clamp —
+    including block admission/retirement boundaries (len crossing 64k)."""
+    import numpy as np
+
+    from longtr_tpu import native
+    if native.get_lib() is None or \
+            native.edit_distance_banded_scalar("A", "A", 1) is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(17)
+    bases = np.array(list("ACGT"))
+    for trial in range(800):
+        n = int(rng.integers(0, 420))
+        a = "".join(rng.choice(bases, size=n))
+        if rng.random() < 0.6 and n:
+            b = list(a)
+            for _ in range(int(rng.integers(0, 40))):
+                k = int(rng.integers(0, len(b))) if b else 0
+                op = rng.random()
+                if op < 0.4 and b:
+                    b[k] = str(rng.choice(bases))
+                elif op < 0.7 and b:
+                    del b[k]
+                else:
+                    b.insert(k, str(rng.choice(bases)))
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(bases, size=int(rng.integers(0, 420))))
+        T = int(rng.integers(0, 200))
+        assert native.edit_distance_banded(a, b, T) == \
+            native.edit_distance_banded_scalar(a, b, T), (len(a), len(b), T)
+    # directed block-boundary cases
+    for a, b, T in [("A" * 64, "A" * 64, 5), ("A" * 65, "A" * 64, 1),
+                    ("A" * 128, "A" * 128, 0), ("ACGT" * 32, "ACGT" * 32, 3),
+                    ("A" * 1000, "A" * 999, 700), ("A" * 64, "C" * 64, 64),
+                    ("A" * 64, "C" * 64, 63), ("A", "C", 0)]:
+        assert native.edit_distance_banded(a, b, T) == \
+            native.edit_distance_banded_scalar(a, b, T), (len(a), len(b), T)
