@@ -727,16 +727,20 @@ struct Graph {
           dst[j] = val; bt[j] = t;
         }
       } else {
-        bn[0] = bup[0];
+        // split into a value pass (identical to the single-pred loop, so
+        // it vectorizes — the fused variant tripped gcc's alias-check
+        // budget with 6 live pointers) and a tiny bn gather keyed on bt
         for (size_t j = 1; j < W; j++) {
           int32_t val = upr[j] + GAP;
-          int32_t node = bup[j];
           signed char t = 1;
           int32_t diag = upr[j - 1] +
                          ((sq[j - 1] == base) ? MATCH : MISMATCH);
-          if (diag > val) { val = diag; node = bup[j - 1]; t = 0; }
-          dst[j] = val; bn[j] = node; bt[j] = t;
+          if (diag > val) { val = diag; t = 0; }
+          dst[j] = val; bt[j] = t;
         }
+        bn[0] = bup[0];
+        for (size_t j = 1; j < W; j++)
+          bn[j] = bup[j - (bt[j] == 0)];
       }
       // left-gap pass in closed form: the cascade
       //   dst[j] = max(dst[j], dst[j-1] + GAP)   (updated dst[j-1])
