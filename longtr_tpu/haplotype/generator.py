@@ -109,11 +109,27 @@ def trim_sequences(ideal_min_length: int, region_start: int, region_end: int,
     if min_len <= ideal_min_length:
         return region_start, region_end, sequences
 
-    # vectorized shared-prefix/suffix scan (value-identical to the scalar
-    # char walk of HaplotypeGenerator.cpp:24-37): max_left/right = length of
-    # the prefix/suffix common to ALL sequences, capped at
-    # min_len - ideal_min_length
+    # shared-prefix/suffix scan (value-identical to the scalar char walk of
+    # HaplotypeGenerator.cpp:24-37): max_left/right = length of the prefix/
+    # suffix common to ALL sequences, capped at min_len - ideal_min_length
     cap = min_len - ideal_min_length
+    if cap * len(sequences) < 4096:
+        # short-STR loci: the scalar walk beats numpy's per-array overhead
+        max_left = 0
+        while max_left < cap:
+            ch = sequences[0][0][max_left]
+            if any(s[max_left] != ch for s, _ in sequences[1:]):
+                break
+            max_left += 1
+        max_right = 0
+        while max_right < cap:
+            ch = sequences[0][0][len(sequences[0][0]) - 1 - max_right]
+            if any(s[len(s) - 1 - max_right] != ch for s, _ in sequences[1:]):
+                break
+            max_right += 1
+        return _trim_finish(ideal_min_length, region_start, region_end,
+                            sequences, left_pad, right_pad, min_len,
+                            max_left, max_right)
     ref_b = sequences[0][0].encode()
     ref_pre = np.frombuffer(ref_b[:cap], dtype=np.uint8)
     ref_suf = np.frombuffer(ref_b[len(ref_b) - cap:], dtype=np.uint8)[::-1]
@@ -135,6 +151,14 @@ def trim_sequences(ideal_min_length: int, region_start: int, region_end: int,
             if neq[hit]:
                 max_right = hit
 
+    return _trim_finish(ideal_min_length, region_start, region_end,
+                        sequences, left_pad, right_pad, min_len,
+                        max_left, max_right)
+
+
+def _trim_finish(ideal_min_length, region_start, region_end, sequences,
+                 left_pad, right_pad, min_len, max_left, max_right):
+    """Pad clamping + final clip (HaplotypeGenerator.cpp:39-82)."""
     max_left = min(left_pad, max_left)
     max_right = min(right_pad, max_right)
     max_left = max(0, min(min_len - right_pad, max_left))
