@@ -384,6 +384,199 @@ class StutterAligner:
         entries.append(tail)
         return fast_lse_cols(entries)
 
+    # ------------------------------------------------------------------
+    # Read-batched table construction (round 4).  The artifact-table cost
+    # was 80%+ of the mode-B device path: 24k+ small numpy calls, one per
+    # (read, D).  The descent structure depends only on (block, D) — never
+    # on the read — so ALL reads ride one descent with a leading R axis.
+    # numpy's exp/log are value-deterministic across array shapes (verified
+    # empirically; elementwise ops trivially so), so every per-element op
+    # sequence is unchanged and the batched tables are BIT-identical to the
+    # per-read ones (fuzz-enforced in tests/test_mode_b_device.py).
+    # ------------------------------------------------------------------
+
+    def load_read_batch(self, segs):
+        """Batched :meth:`load_read` over R read segments.
+
+        ``segs``: list of (seq_str, log_wrong, log_correct).  Stores
+        (R, Lmax[, n]) prefix tables in the same op order per read.
+        """
+        R = len(segs)
+        Ls = np.array([len(s[0]) for s in segs], dtype=np.int64)
+        Lmax = max(int(Ls.max()) if R else 1, 1)
+        seqv = np.zeros((R, Lmax), dtype=np.uint8)
+        lwv = np.zeros((R, Lmax))
+        lcv = np.zeros((R, Lmax))
+        for r, (s, lw, lc) in enumerate(segs):
+            L = len(s)
+            if L:
+                seqv[r, :L] = np.frombuffer(s.encode(), np.uint8)[::-1]
+                lwv[r, :L] = np.asarray(lw, dtype=np.float64)[::-1]
+                lcv[r, :L] = np.asarray(lc, dtype=np.float64)[::-1]
+        blkv = np.frombuffer(self.block_seq[::-1].encode(), np.uint8)
+        nI, nD = self.num_insertions, self.num_deletions
+        ins = np.zeros((R, Lmax, max(nI, 1)))
+        dels = np.zeros((R, Lmax, max(nD, 1))) if nD else None
+        iv = np.arange(Lmax)
+        Lcol = Ls[:, None]
+        run = np.zeros((R, Lmax))
+        di = 0
+        for j in range(self.block_len):
+            mask = iv + j < Lcol
+            rr = np.clip(np.minimum(iv + j, Lcol - 1), 0, Lmax - 1)
+            sv = np.take_along_axis(seqv, rr, 1)
+            lcg = np.take_along_axis(lcv, rr, 1)
+            lwg = np.take_along_axis(lwv, rr, 1)
+            s = np.where(sv == blkv[j], lcg, lwg)
+            run = run + np.where(mask, s, 0.0)
+            if (j + 1) % self.period == 0 and j < -self.max_deletion \
+                    and di < max(nD, 1) and dels is not None:
+                dels[:, :, di] = np.where(mask, run, dels[:, :, di])
+                di += 1
+        match = run.copy()
+
+        run_ins = np.zeros((R, Lmax))
+        ii = 0
+        for j in range(self.max_insertion):
+            mask = iv + j < Lcol
+            rr = np.clip(np.minimum(iv + j, Lcol - 1), 0, Lmax - 1)
+            lcg = np.take_along_axis(lcv, rr, 1)
+            if j % self.period < self.block_len:
+                sv = np.take_along_axis(seqv, rr, 1)
+                lwg = np.take_along_axis(lwv, rr, 1)
+                s = np.where(sv == blkv[j % self.period], lcg, lwg)
+            else:
+                s = lcg
+            run_ins = run_ins + np.where(mask, s, 0.0)
+            if (j + 1) % self.period == 0:
+                ins[:, :, ii] = run_ins
+                ii += 1
+        self._b = dict(R=R, Ls=Ls, Lmax=Lmax, seqv=seqv, lwv=lwv, lcv=lcv,
+                       ins=ins, dels=dels, match=match, blkv=blkv)
+
+    def _bscore(self, r_mat, blk_idx):
+        """Batched :meth:`_score_vec`: (R, N) reversed read positions vs a
+        single reversed block position."""
+        b = self._b
+        rc = np.clip(r_mat, 0, b["Lmax"] - 1)
+        sv = np.take_along_axis(b["seqv"], rc, 1)
+        return np.where(sv == b["blkv"][blk_idx],
+                        np.take_along_axis(b["lcv"], rc, 1),
+                        np.take_along_axis(b["lwv"], rc, 1))
+
+    def align_all_batch(self, D) -> np.ndarray:
+        """(R, Lmax) table of align() values for artifact size D over every
+        column j of every loaded read (garbage where j >= L — the caller
+        masks those).  One shared masked descent serves bulk AND
+        short-prefix columns of ALL reads: per-element op order is the same
+        as the scalar walk, masked slots hold -inf (exact no-ops in the
+        term-dropping LSE), and each element's tail entry captures lp at
+        its own exit step — bit-identical per (read, column) to
+        :meth:`align`."""
+        b = self._b
+        R, Lmax, Ls = b["R"], b["Lmax"], b["Ls"]
+        if D == 0:
+            out = np.empty((R, Lmax))
+            iv = np.arange(Lmax)
+            offs = np.clip(Ls[:, None] - 1 - iv, 0, Lmax - 1)
+            return np.take_along_axis(b["match"], offs, 1)
+        blk_len = self.block_len
+        iv = np.arange(Lmax)
+        j_arr = np.broadcast_to(iv, (R, Lmax))
+        offsets = Ls[:, None] - 1 - iv                  # < 0 where invalid
+        valid = iv < Ls[:, None]
+        offc = np.clip(offsets, 0, Lmax - 1)
+        NEG_INF = -np.inf
+        base_len = np.minimum(blk_len + D, j_arr + 1)
+
+        def masked(vec, act):
+            return np.where(act, vec, NEG_INF)
+
+        def gather(tbl, idx):
+            return np.take_along_axis(tbl, np.clip(idx, 0, Lmax - 1), 1)
+
+        if D > 0:
+            upstream_d = self.upstream[0]
+            log_prior = -int_log(blk_len + 1)
+            lp = log_prior + gather(b["ins"][:, :, D // self.period - 1],
+                                    offc)
+            has_match = base_len > D
+            lp = lp + np.where(has_match, gather(b["match"], offsets + D),
+                               0.0)
+            lim = -np.minimum(np.maximum(0, base_len - D), blk_len)
+        else:
+            upstream_d = self.upstream[-D // self.period - 1]
+            log_prior = -int_log(blk_len + D + 1)
+            od = offsets + D
+            neg = valid & (od < 0)
+            main_lp = log_prior + (gather(b["match"], od)
+                                   - gather(b["dels"][:, :,
+                                                      -D // self.period - 1],
+                                            od))
+            if neg.any():
+                blkv = np.frombuffer(self.block_seq[::-1].encode(), np.uint8)
+                else_lp = np.full((R, Lmax), log_prior)
+                for t in range(int(base_len[neg].max())):
+                    rr = np.clip(offsets + t, 0, Lmax - 1)
+                    sv = np.take_along_axis(b["seqv"], rr, 1)
+                    s = np.where(blkv[t - D] == sv,
+                                 np.take_along_axis(b["lcv"], rr, 1),
+                                 np.take_along_axis(b["lwv"], rr, 1))
+                    else_lp = else_lp + np.where(t < base_len, s, 0.0)
+                lp = np.where(neg, else_lp, main_lp)
+            else:
+                lp = main_lp
+            lim = -base_len
+
+        entries = [masked(lp, valid)]
+        tail = np.full((R, Lmax), NEG_INF)
+        lim_eff = np.where(valid, lim, 0)       # invalid: exit immediately
+        lim_min = int(lim_eff.min())
+        i = 0
+        t_base = blk_len if D > 0 else blk_len + D
+
+        def capture_exit(old_i, new_i, tail):
+            just = valid & (old_i > lim) & (new_i <= lim)
+            if not just.any():
+                return tail
+            ok = just & (new_i > -t_base)
+            if not ok.any():
+                return tail
+            tval = int_log(t_base + new_i)
+            return np.where(ok, tval + lp, tail)
+
+        if (lim >= 0).any():
+            tail = capture_exit(1, 0, tail)
+        while i > lim_min and i > (-blk_len if D > 0 else lim_min - 1):
+            act = valid & (i > lim)
+            if D > 0 and not (-i + self.period < blk_len):
+                entries.append(masked(lp, act))
+                old_i, i = i, i - 1
+                tail = capture_exit(old_i, i, tail)
+                continue
+            um = upstream_d[blk_len - 1 + i]
+            if um == 0:
+                if D > 0:
+                    idx = i - self.period
+                    while idx >= i - D:
+                        r = offsets - idx
+                        lp = lp - self._bscore(r, -i)
+                        lp = lp + self._bscore(r, -(i - self.period))
+                        idx -= self.period
+                else:
+                    r = offsets - i
+                    lp = lp - self._bscore(r, -(i + D))
+                    lp = lp + self._bscore(r, -i)
+                entries.append(masked(lp, act))
+                old_i, i = i, i - 1
+            else:
+                entries.append(masked(int_log(um) + lp, act))
+                old_i, i = i, i - (um - 1) - 1
+            tail = capture_exit(old_i, i, tail)
+        entries.append(tail)
+        return fast_lse_cols([e.reshape(-1) for e in entries]).reshape(
+            R, Lmax)
+
     def _align_insertion(self, base_seq_len, offset, D):
         blk_len = self.block_len
         log_probs = []

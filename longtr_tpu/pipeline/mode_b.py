@@ -367,6 +367,37 @@ class ModeBAligner:
                     A[di, j] = prior + pr
         return A
 
+    def _artifact_table_batch(self, blocks, stutter_aligners, bi, option,
+                              segs_side, n_d, l_pad):
+        """(R, n_d, l_pad) artifact tables for ALL read segments of one
+        (side, block, option) in ~n_D vector calls — bit-identical per read
+        to :meth:`_artifact_table` (the descent depends only on (block, D);
+        reads ride a leading axis; fuzz-enforced)."""
+        block = blocks[bi]
+        bseq = block.get_seq(option)
+        block_len = len(bseq)
+        sa = stutter_aligners[bi][option]
+        sa.load_read_batch(segs_side)
+        Ls = sa._b["Ls"]
+        Lmax = sa._b["Lmax"]
+        R = len(segs_side)
+        d_list = list(range(block.max_del, block.max_ins + 1, block.period))
+        A = np.full((R, n_d, l_pad), -np.inf)
+        iv = np.arange(min(Lmax, l_pad))
+        valid = iv < Ls[:, None]                       # (R, l)
+        A[:, :len(d_list), :Lmax][
+            np.broadcast_to(valid[:, None, :],
+                            (R, len(d_list), len(iv)))] = IMPOSSIBLE
+        for di, Dart in enumerate(d_list):
+            if block_len + Dart < 0:
+                continue          # base_len < 0 everywhere: scalar skips
+            prior = block.log_prob_pcr_artifact(option, Dart)
+            tbl = sa.align_all_batch(Dart)             # (R, Lmax)
+            vals = prior + tbl[:, :len(iv)]
+            cur = A[:, di, :len(iv)]
+            A[:, di, :len(iv)] = np.where(valid, vals, cur)
+        return A
+
     def score_reads_batch(self, alns, seeds, dtype=np.float32):
         """Device-batched scoring of many reads (one dispatch per locus).
 
@@ -463,10 +494,24 @@ class ModeBAligner:
         lprob = np.zeros((P, 2))
 
         seg_cache = {}
-        art_cache = {}
         for p in range(P):
             for side in (0, 1):
                 seg_cache[(p, side)] = seg_arrays(p, side)
+        # artifact tables for ALL reads per (side, block, option) in one
+        # read-batched call chain (round 4: this was 80%+ of the device
+        # path's wall as 24k+ per-(read, D) numpy calls)
+        art_cache = {}
+        needed = sorted({(side, bi, opt)
+                         for k in range(K) for side in (0, 1)
+                         for (bi, opt) in sides[k][side][3]})
+        for side, bi, opt in needed:
+            blocks = self.fw_blocks if side == 0 else self.rev_blocks
+            saln = self._fw_stutter if side == 0 else self._rev_stutter
+            segs_side = [seg_cache[(p, side)][:3] for p in range(P)]
+            batch = self._artifact_table_batch(blocks, saln, bi, opt,
+                                               segs_side, n_d, L_max)
+            for p in range(P):
+                art_cache[(p, side, bi, opt)] = batch[p]
         b = 0
         elem = {}
         for p in range(P):
@@ -488,12 +533,7 @@ class ModeBAligner:
                     stut_ord[b, :hs] = so
                     lprob[p, side] = lp
                     for s_i, (bi, opt) in enumerate(sinfo):
-                        key = (p, side, bi, opt)
-                        if key not in art_cache:
-                            art_cache[key] = self._artifact_table(
-                                blocks, saln, bi, opt, sseq, sw, sc,
-                                n_d, L_max)
-                        A[b, s_i] = art_cache[key]
+                        A[b, s_i] = art_cache[(p, side, bi, opt)]
                         blk = blocks[bi]
                         bl_a[b, s_i] = len(blk.get_seq(opt))
                         d0_a[b, s_i] = blk.max_del

@@ -112,3 +112,54 @@ def test_envelope_fallback_empty_block_seq():
                           hs, he)
     assert seed >= 0
     assert aligner.score_reads_batch([aln], [seed]) is None
+
+
+def test_batched_artifact_tables_bit_identical_to_per_read():
+    """The read-batched artifact-table builder (round 4: one descent per
+    (block, D) with reads on a leading axis) must be BIT-identical to the
+    per-read _artifact_table across random blocks, alternate sets, and
+    segments including empty and 1-char ones.  Relies on numpy exp/log
+    value-determinism across array shapes (verified: identical bits for
+    identical values regardless of slicing/stacking)."""
+    from longtr_tpu.models.stutter import StutterModel
+
+    rng = np.random.default_rng(51)
+    bases = np.array(list("ACGT"))
+    for trial in range(25):
+        lf = "".join(rng.choice(bases, int(rng.integers(3, 40))))
+        rf = "".join(rng.choice(bases, int(rng.integers(3, 40))))
+        rep_len = int(rng.integers(4, 30))
+        rep = "A" * rep_len
+        sm = StutterModel(0.9, 0.05, 0.05, 0.9, 0.01, 0.01, "A")
+        rs = 1000 + len(lf)
+        blocks = [HapBlock(1000, rs, lf)]
+        rb = RepeatBlock(rs, rs + rep_len, rep, 1, sm)
+        for d in sorted({int(x) for x in
+                         rng.integers(-min(6, rep_len - 1), 7, 3)} - {0}):
+            if rep_len + d >= 1:
+                rb.add_alternate("A" * (rep_len + d))
+        blocks.append(rb)
+        blocks.append(HapBlock(rs + rep_len, rs + rep_len + len(rf), rf))
+        al = ModeBAligner(Haplotype(blocks))
+        segs = []
+        for _ in range(int(rng.integers(1, 10))):
+            L = int(rng.integers(0, 70))
+            s = "".join(rng.choice(bases, L))
+            lw = list(np.round(rng.uniform(-8, -0.5, L), 3))
+            lc = list(np.round(rng.uniform(-0.05, -0.0001, L), 6))
+            segs.append((s, lw, lc))
+        l_pad = max(max((len(s[0]) for s in segs), default=1), 1)
+        for side, blocks_s, saln in ((0, al.fw_blocks, al._fw_stutter),
+                                     (1, al.rev_blocks, al._rev_stutter)):
+            for bi, blk in enumerate(blocks_s):
+                if blk.repeat_info is None:
+                    continue
+                n_d = len(range(blk.max_del, blk.max_ins + 1, blk.period))
+                for opt in range(blk.num_options()):
+                    want = np.stack([
+                        al._artifact_table(blocks_s, saln, bi, opt,
+                                           s, w, c, n_d, l_pad)
+                        for (s, w, c) in segs])
+                    got = al._artifact_table_batch(blocks_s, saln, bi, opt,
+                                                   segs, n_d, l_pad)
+                    np.testing.assert_array_equal(want, got)
