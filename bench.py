@@ -117,6 +117,10 @@ else:
     dt = (time.time() - t0) / iters
 cells = float((hap_lens.astype(np.int64) * read_lens).sum())
 out = {"cells_per_s": cells / dt}
+# the kernel always pays the full padded (B, N, M) grid; report that
+# throughput too so effective-vs-padded counting is driver-visible
+# (hap lens are random in [150, N): effective ~= 0.79 * padded here)
+out["padded_cells_per_s"] = float(B) * N * M / dt
 
 # --- j-chunked streaming kernel at VNTR scale (8kb x 8kb pairs) -----------
 # The resident number above covers short-STR shapes; product value on
@@ -316,6 +320,13 @@ def main():
             round(cpp1_cells_per_s, 1) if cpp1_cells_per_s else None,
         "vs_python_oracle": round(device_cells / py_cells_per_s, 2),
     }
+    padded = measured.get("padded_cells_per_s")
+    if padded:
+        # effective (useful) vs padded-grid counting of the same run: the
+        # kernel computes the full (B, 192, 192) grid; `value` counts only
+        # the useful sum(hap_len*read_len) cells (~79% of the grid at this
+        # shape).  Numbers quoted per-methodology must cite which field.
+        result["padded_grid_cells_per_s"] = round(padded, 1)
 
     # --- secondary driver-visible kernels (VERDICT r2 weak 4) -------------
     # j-chunked streaming kernel at an 8kb x 8kb VNTR shape, vs the same
