@@ -1005,6 +1005,12 @@ _TRIM_SOURCES = [
     "debruijn_graph.cpp",
     "directed_graph.cpp",
     "base_quality.cpp",
+    # snp_bam_processor.cpp references the real tracker since the round-4
+    # snp_tree work (stub_vcf_layer.h no longer stubs it); without this the
+    # .so builds but fails to LOAD (undefined HaplotypeTracker::advance)
+    # and every trim-parity test silently skips.  create_snp_trees itself
+    # stays stubbed by wrapper_trim.cc.
+    "haplotype_tracker.cpp",
     "SeqAlignment/HapAligner.cpp",
     "SeqAlignment/Haplotype.cpp",
     "SeqAlignment/HapBlock.cpp",
@@ -1056,8 +1062,14 @@ def get_trim_lib():
     try:
         lib = ctypes.CDLL(_TRIM_LIB_PATH)
     except OSError:
-        _trim_failed = True
-        return None
+        # a stale .so from an older source list can fail to load with
+        # undefined symbols even though it builds: rebuild once and retry
+        try:
+            _build_trim()
+            lib = ctypes.CDLL(_TRIM_LIB_PATH)
+        except Exception:
+            _trim_failed = True
+            return None
     i32 = ctypes.c_int32
     lib.rt_trim_alignment.restype = ctypes.c_int
     lib.rt_trim_alignment.argtypes = [
