@@ -65,7 +65,7 @@ def pallas_fits(N, M, budget=VMEM_BUDGET):
     return _vmem_bytes(N, M) <= budget
 
 
-def _prefix_max(cm, Mdim):
+def _prefix_max_flat(cm, Mdim):
     """Exact prefix max along axis 0 via static-slice Hillis–Steele steps.
 
     ``max`` is associative and exact in f32, so any evaluation order is
@@ -83,6 +83,47 @@ def _prefix_max(cm, Mdim):
             [jax.lax.slice_in_dim(cm, 0, s, axis=0), tail], axis=0)
         s *= 2
     return cm
+
+
+_SCAN_BLOCK = 16
+
+
+def _prefix_max(cm, Mdim):
+    """Exact prefix max along axis 0, blocked two-level formulation.
+
+    Level 1 scans within blocks of ``_SCAN_BLOCK`` rows — log2(block)
+    full-tile Hillis–Steele steps instead of log2(Mdim).  Level 2 is an
+    exclusive prefix max over the per-block maxima, an (Mdim/block, B)
+    array 1/block the size, folded back with one full-tile max whose
+    -inf identity row leaves block 0 untouched exactly (max(x, -inf) == x
+    bitwise for every finite x, and all DP values here are finite).
+
+    max is associative and exact in f32, so regrouping the reduction is
+    bit-identical to the flat scan (tests enforce equality with the
+    sequential jnp scan).
+    """
+    blk = _SCAN_BLOCK
+    # Below ~256 rows the two reshapes and the fold-back max cost more than
+    # the handful of saved full-tile steps (measured: 192-row resident
+    # kernel 77.1 -> 74.9 Gcells/s blocked, 512-row chunked kernel
+    # 65.4 -> 68.1 blocked), so small scans keep the flat form.
+    if Mdim < 256 or Mdim % blk:
+        return _prefix_max_flat(cm, Mdim)
+    nb = Mdim // blk
+    B = cm.shape[1]
+    x = cm.reshape(nb, blk, B)
+    s = 1
+    while s < blk:
+        tail = jnp.maximum(jax.lax.slice_in_dim(x, s, blk, axis=1),
+                           jax.lax.slice_in_dim(x, 0, blk - s, axis=1))
+        x = jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 0, s, axis=1), tail], axis=1)
+        s *= 2
+    bm = x[:, blk - 1, :]                               # (nb, B) block maxima
+    carry = jnp.concatenate(
+        [jnp.full((1, B), -jnp.inf, cm.dtype), bm[: nb - 1]], axis=0)
+    carry = _prefix_max_flat(carry, nb)                 # exclusive prefix
+    return jnp.maximum(x, carry[:, None, :]).reshape(Mdim, B)
 
 
 def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
@@ -158,6 +199,11 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
     c_ramp = (jf1 + 1.0) * d2d                         # (M, 1)
     d_ramp = jf1 * d2d                                 # (M, 1)
     nm_f = (n - m).astype(jnp.float32)                 # (1, B)
+    # Loop-invariant masks, hoisted: values defined before the fori_loop
+    # are closed over as loop constants, so these compares/ands are paid
+    # once instead of every row.
+    j0_mask = j_idx == 0
+    band_mask = (j_idx >= 1) & (j_idx <= m - 1)
 
     def row_body(i, _):
         Mp = mrow[:]
@@ -168,23 +214,22 @@ def _kernel(trans_ref, hap_ref, hl_ref, read_ref, rl_ref, fl_ref,
 
         # roll commutes with elementwise max/add: one roll of the fused
         # predecessor instead of three per-matrix rolls (the j=0 wrap
-        # landing is discarded by the column-0 closed form below)
+        # landing is overwritten by the column-0 closed forms)
         pred = jnp.maximum(jnp.maximum(Mp + m2m, Dp + d2m), Ip + i2m)
         pred = pltpu.roll(pred, 1, axis=0)
         M_col0 = Ip[0:1, :] + i2m + col0_emit
         I_col0 = MA + m2i + (i.astype(jnp.float32) - 1.0) * i2i
-        Mn = jnp.where(j_idx == 0, M_col0, emit + pred)
-        In = jnp.where(j_idx == 0, I_col0,
+        Mn = jnp.where(j0_mask, M_col0, emit + pred)
+        In = jnp.where(j0_mask, I_col0,
                        MA + jnp.maximum(Mp + m2i, Ip + i2i))
 
         # D row via decayed running max over sublanes
         cm = _prefix_max((Mn + m2d) - c_ramp, Mdim)
         cm1 = pltpu.roll(cm, 1, axis=0)
-        Dn = jnp.where(j_idx == 0, NEG, d_ramp + cm1)
+        Dn = jnp.where(j0_mask, NEG, d_ramp + cm1)
 
         best = jnp.maximum(jnp.maximum(Mn, In), Dn)
         band = jnp.abs(jf1 + (nm_f - i.astype(jnp.float32))) * d2d
-        band_mask = (j_idx >= 1) & (j_idx <= m - 1)
         row_best = jnp.max(jnp.where(band_mask, best + band, NEG), axis=0,
                            keepdims=True)
         row_active = i <= n - 1                                # (1, B)
@@ -269,7 +314,7 @@ def _pallas_call(hap_t, hl, read_t, rl, fl, trans, interpret=False,
 
 
 def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
-                    fl_ref, out_ref, mrow, irow, drow, epred, ecm, ermax,
+                    fl_ref, out_ref, mrow, irow, prow, epred, ecm, ermax,
                     r0_ref, acc):
     """J-chunked variant: the read axis streams through VMEM in blocks.
 
@@ -289,6 +334,13 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
     terms, so outputs are bit-identical to the resident kernel and the jnp
     scan (tests enforce).  VMEM scales as ~2048*N + O(chunk) instead of
     ~4096*M, lifting the on-device pair length cap from ~13kb to ~40kb.
+
+    Per-row state is (M, I, fused-pred) rather than (M, I, D): the fused
+    predecessor tile max(M+m2m, D+d2m, I+i2m) is computed ONCE at the end
+    of each row (its last column is the epred edge anyway) and carried in
+    ``prow``, so the next row starts with a plain roll instead of
+    recomputing the 5-op fused max — and the D tile never needs to be
+    stored or reloaded at all.  Same expressions, same order: bit-identical.
     """
     Jc, B = read_ref.shape
     N = hap_ref.shape[0]
@@ -351,8 +403,8 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
     I0 = jnp.full((Jc, B), NEG)
     mrow[:] = M0
     irow[:] = I0
-    drow[:] = D0
     fused0 = jnp.maximum(jnp.maximum(M0 + m2m, D0 + d2m), I0 + i2m)
+    prow[:] = fused0
     epred[0:1, :] = fused0[Jc - 1: Jc, :]
 
     corner_mask = j_idx == (m - 1)
@@ -362,6 +414,10 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
     acc[0:1, :] = jnp.where((n == 1) & in_chunk, corner0, acc[0:1, :])
 
     thresh = jnp.float32(BAND_THRESH)
+    # Loop-invariant masks, hoisted out of the row loop (see _kernel)
+    j0_mask = j_idx == 0
+    jl0_mask = jl_idx == 0
+    band_mask = (j_idx >= 1) & (j_idx <= m - 1)
 
     def row_body(i, carry_pred):
         # prev chunk's edges for this row, read BEFORE overwrite
@@ -372,20 +428,18 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
                              ermax[pl.ds(i, 1), :])
         Mp = mrow[:]
         Ip = irow[:]
-        Dp = drow[:]
         hrow = hap_ref[pl.ds(i, 1), :]                    # (1, B)
         emit = jnp.where(hrow == read, MA, MI)
 
-        pred = jnp.maximum(jnp.maximum(Mp + m2m, Dp + d2m), Ip + i2m)
-        pred = pltpu.roll(pred, 1, axis=0)
+        pred = pltpu.roll(prow[:], 1, axis=0)
         # chunk boundary: the rolled-in lane is the previous chunk's
         # fused edge at row i-1 (garbage wrap at chunk 0 is discarded by
         # the j==0 where, exactly as in the resident kernel)
-        pred = jnp.where(jl_idx == 0, carry_pred, pred)
+        pred = jnp.where(jl0_mask, carry_pred, pred)
         M_col0 = Ip[0:1, :] + i2m + col0_emit
         I_col0 = MA + m2i + (i.astype(jnp.float32) - 1.0) * i2i
-        Mn = jnp.where(j_idx == 0, M_col0, emit + pred)
-        In = jnp.where(j_idx == 0, I_col0,
+        Mn = jnp.where(j0_mask, M_col0, emit + pred)
+        In = jnp.where(j0_mask, I_col0,
                        MA + jnp.maximum(Mp + m2i, Ip + i2i))
 
         # deletion recurrence: decayed running max, seeded by the previous
@@ -393,12 +447,11 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
         cm = jnp.maximum(_prefix_max((Mn + m2d) - c_ramp, Jc), old_cm_i)
         ecm[pl.ds(i, 1), :] = cm[Jc - 1: Jc, :]
         cm1 = pltpu.roll(cm, 1, axis=0)
-        cm1 = jnp.where(jl_idx == 0, old_cm_i, cm1)
-        Dn = jnp.where(j_idx == 0, NEG, d_ramp + cm1)
+        cm1 = jnp.where(jl0_mask, old_cm_i, cm1)
+        Dn = jnp.where(j0_mask, NEG, d_ramp + cm1)
 
         best = jnp.maximum(jnp.maximum(Mn, In), Dn)
         band = jnp.abs(jl1 + (nm_cs_f - i.astype(jnp.float32))) * d2d
-        band_mask = (j_idx >= 1) & (j_idx <= m - 1)
         row_best = jnp.max(jnp.where(band_mask, best + band, NEG), axis=0,
                            keepdims=True)
         row_best = jnp.maximum(row_best, old_rm_i)
@@ -417,8 +470,8 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
 
         mrow[:] = Mn
         irow[:] = In
-        drow[:] = Dn
         fused = jnp.maximum(jnp.maximum(Mn + m2m, Dn + d2m), In + i2m)
+        prow[:] = fused
         epred[pl.ds(i, 1), :] = fused[Jc - 1: Jc, :]
         return old_pred_i
 
@@ -517,7 +570,7 @@ def _pallas_call_chunked(hap_t, hl, read_t, hap_m, rl, fl, trans,
         scratch_shapes=[
             pltpu.VMEM((jc, TILE), jnp.float32),    # mrow
             pltpu.VMEM((jc, TILE), jnp.float32),    # irow
-            pltpu.VMEM((jc, TILE), jnp.float32),    # drow
+            pltpu.VMEM((jc, TILE), jnp.float32),    # prow (fused pred)
             pltpu.VMEM((Npad, TILE), jnp.float32),  # epred
             pltpu.VMEM((Npad, TILE), jnp.float32),  # ecm
             pltpu.VMEM((Npad, TILE), jnp.float32),  # ermax
