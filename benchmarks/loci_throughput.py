@@ -30,6 +30,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # repo root: longtr_tpu without an editable install
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
