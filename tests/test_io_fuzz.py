@@ -1,0 +1,192 @@
+"""Malformed-input fuzz of the from-scratch IO stack.
+
+The parity campaigns fuzz *semantics* against the compiled reference; this
+suite fuzzes *bytes*: random truncations, bit flips, splices and zeroed
+windows of valid BAM / CRAM / VCF+tabix files must produce either a clean
+parse or a Python exception — never a native crash, an infinite loop, or an
+out-of-bounds access in the C++ fast paths (native/longtr_native.cc keeps
+per-record sanity checks for exactly this; the reference outsources this
+surface to htslib, which is fuzzed upstream — our stack has to earn the
+same property itself).
+
+Every mutation is seeded, so any failure is a one-line repro.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synth import standard_fixture  # noqa: E402
+
+from longtr_tpu.io.bam import BamReader  # noqa: E402
+from longtr_tpu.io.fasta import FastaReader  # noqa: E402
+from longtr_tpu.native import bam_decode, bgzf_inflate_all  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("iofuzz")
+    fx = standard_fixture(str(tmp))
+    return tmp, fx
+
+
+def _mutate(valid, rng, kind):
+    data = bytearray(valid)
+    if kind == 0:  # truncate
+        return bytes(data[: int(rng.integers(0, len(data)))])
+    if kind == 1:  # byte flips
+        for _ in range(int(rng.integers(1, 50))):
+            i = int(rng.integers(0, len(data)))
+            data[i] = int(rng.integers(0, 256))
+        return bytes(data)
+    if kind == 2:  # splice random garbage
+        i = int(rng.integers(0, len(data)))
+        blob = bytes(rng.integers(0, 256, int(rng.integers(1, 200)),
+                                  dtype=np.uint8))
+        return bytes(data[:i]) + blob + bytes(data[i:])
+    i = int(rng.integers(0, len(data)))  # zero a window
+    j = min(len(data), i + int(rng.integers(1, 500)))
+    for k in range(i, j):
+        data[k] = 0
+    return bytes(data)
+
+
+def test_bam_reader_survives_corruption(fixture_dir):
+    tmp, fx = fixture_dir
+    valid = open(fx["bams"][0], "rb").read()
+
+    # sanity: the harness exercises real records on the intact file
+    r = BamReader(fx["bams"][0])
+    n_valid = sum(1 for _ in iter(r.get_next_alignment, None))
+    assert n_valid > 50
+
+    path = str(tmp / "fuzz.bam")
+    outcomes = {"ok": 0, "exc": 0}
+    for trial in range(120):
+        rng = np.random.default_rng(42_000 + trial)
+        data = _mutate(valid, rng, trial % 4)
+        with open(path, "wb") as f:
+            f.write(data)
+        try:
+            rr = BamReader(path)
+            total = 0
+            while (rec := rr.get_next_alignment()) is not None:
+                # touch the lazy fields so decode actually runs
+                rec.sequence, rec.qualities, rec.cigar, rec.name
+                total += 1
+                if total > 5000:
+                    break
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["exc"] += 1
+
+        # native layers directly on the mutated compressed bytes
+        raw = bgzf_inflate_all(data)
+        if raw:
+            start = int(rng.integers(0, min(1000, len(raw))))
+            try:
+                bam_decode(raw[start:])
+            except Exception:
+                pass
+    assert outcomes["ok"] + outcomes["exc"] == 120
+
+
+def test_cram_reader_survives_corruption(fixture_dir):
+    from longtr_tpu.io.cram import CramReader, CramWriter
+
+    tmp, fx = fixture_dir
+    bam = fx["bams"][0]
+    r = BamReader(bam)
+    recs = []
+    while (rec := r.get_next_alignment()) is not None:
+        recs.append(rec)
+    fr = FastaReader(fx["fasta"])
+    cram_path = str(tmp / "fuzz_src.cram")
+    w = CramWriter(cram_path, r.header.text, r.header.ref_names,
+                   r.header.ref_lengths)
+    for rid, name in enumerate(r.header.ref_names):
+        w.set_reference(rid, fr.get_sequence(name))
+    for rec in recs:
+        w.save_alignment(rec)
+    w.close()
+    valid = open(cram_path, "rb").read()
+
+    # sanity on the intact file
+    rr = CramReader(cram_path, fx["fasta"])
+    assert sum(1 for _ in iter(rr.get_next_alignment, None)) == len(recs)
+
+    path = str(tmp / "fuzz.cram")
+    outcomes = {"ok": 0, "exc": 0}
+    for trial in range(120):
+        rng = np.random.default_rng(43_000 + trial)
+        data = _mutate(valid, rng, trial % 4)
+        with open(path, "wb") as f:
+            f.write(data)
+        try:
+            rr = CramReader(path, fx["fasta"])
+            total = 0
+            while (rec := rr.get_next_alignment()) is not None:
+                rec.sequence, rec.qualities, rec.cigar, rec.name
+                total += 1
+                if total > 5000:
+                    break
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["exc"] += 1
+    assert outcomes["ok"] + outcomes["exc"] == 120
+
+
+def test_vcf_reader_survives_corruption(fixture_dir, tmp_path):
+    from longtr_tpu.io.bgzf import BgzfWriter
+    from longtr_tpu.io.tabix import build_tbi
+    from longtr_tpu.io.vcf import VCFReader
+
+    tmp, fx = fixture_dir
+    header = ("##fileformat=VCFv4.1\n"
+              "##contig=<ID=chr1,length=100000>\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+    body = "".join(
+        f"chr1\t{1000 + 37 * k}\t.\tA\tG\t50\tPASS\t.\tGT\t0|1\n"
+        for k in range(200))
+    vcf_path = str(tmp / "fuzz_src.vcf.gz")
+    w = BgzfWriter(vcf_path)
+    w.write((header + body).encode())
+    w.close()
+    valid = open(vcf_path, "rb").read()
+    build_tbi(vcf_path)
+    tbi_valid = open(vcf_path + ".tbi", "rb").read()
+
+    # sanity on the intact pair
+    rdr = VCFReader(vcf_path)
+    assert rdr.set_region("chr1", 1000, 3000)
+    assert sum(1 for _ in iter(rdr.get_next_variant, None)) > 10
+
+    path = str(tmp_path / "fuzz.vcf.gz")
+    outcomes = {"ok": 0, "exc": 0}
+    for trial in range(120):
+        rng = np.random.default_rng(44_000 + trial)
+        if trial % 2 == 0:
+            # corrupt the VCF, keep the index valid
+            data, tbi = _mutate(valid, rng, (trial // 2) % 4), tbi_valid
+        else:
+            # corrupt the index, keep the VCF valid
+            data, tbi = valid, _mutate(tbi_valid, rng, (trial // 2) % 4)
+        with open(path, "wb") as f:
+            f.write(data)
+        with open(path + ".tbi", "wb") as f:
+            f.write(tbi)
+        try:
+            rr = VCFReader(path)
+            if rr.set_region("chr1", 1000, 3000):
+                total = 0
+                while rr.get_next_variant() is not None:
+                    total += 1
+                    if total > 5000:
+                        break
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["exc"] += 1
+    assert outcomes["ok"] + outcomes["exc"] == 120
