@@ -91,7 +91,10 @@ def test_bam_reader_survives_corruption(fixture_dir):
                 bam_decode(raw[start:])
             except Exception:
                 pass
-    assert outcomes["ok"] + outcomes["exc"] == 120
+    # seeded, so deterministic.  BGZF CRC32 + EOF-marker validation means
+    # corruption anywhere in this small file raises; if exc collapses the
+    # reader started silently accepting garbage (checksum checks regressed)
+    assert outcomes["exc"] >= 100, outcomes
 
 
 def test_cram_reader_survives_corruption(fixture_dir):
@@ -136,7 +139,9 @@ def test_cram_reader_survives_corruption(fixture_dir):
             outcomes["ok"] += 1
         except Exception:
             outcomes["exc"] += 1
-    assert outcomes["ok"] + outcomes["exc"] == 120
+    # corruption anywhere in a CRAM container must surface as an exception
+    # (container/block structure + codec validation), not silent garbage
+    assert outcomes["exc"] >= 100, outcomes
 
 
 def test_vcf_reader_survives_corruption(fixture_dir, tmp_path):
@@ -189,4 +194,8 @@ def test_vcf_reader_survives_corruption(fixture_dir, tmp_path):
             outcomes["ok"] += 1
         except Exception:
             outcomes["exc"] += 1
-    assert outcomes["ok"] + outcomes["exc"] == 120
+    # corrupt-index trials keep a valid VCF, and a bad .tbi that still
+    # parses may legally yield zero/extra candidate blocks (the reader
+    # filters by parsed coordinates), so "ok" stays nonzero; corrupt-VCF
+    # trials must overwhelmingly raise via the BGZF CRC path
+    assert outcomes["exc"] >= 40 and outcomes["ok"] >= 1, outcomes
