@@ -395,11 +395,13 @@ class StutterAligner:
     # per-read ones (fuzz-enforced in tests/test_mode_b_device.py).
     # ------------------------------------------------------------------
 
-    def load_read_batch(self, segs):
-        """Batched :meth:`load_read` over R read segments.
+    @staticmethod
+    def encode_segs_batch(segs):
+        """Reversed per-read arrays for :meth:`load_read_batch`.
 
-        ``segs``: list of (seq_str, log_wrong, log_correct).  Stores
-        (R, Lmax[, n]) prefix tables in the same op order per read.
+        Depends only on the read segments — NOT on this aligner's block —
+        so callers scoring one read set against many (block, option)
+        aligners build it once and pass it to every ``load_read_batch``.
         """
         R = len(segs)
         Ls = np.array([len(s[0]) for s in segs], dtype=np.int64)
@@ -413,6 +415,20 @@ class StutterAligner:
                 seqv[r, :L] = np.frombuffer(s.encode(), np.uint8)[::-1]
                 lwv[r, :L] = np.asarray(lw, dtype=np.float64)[::-1]
                 lcv[r, :L] = np.asarray(lc, dtype=np.float64)[::-1]
+        return dict(R=R, Ls=Ls, Lmax=Lmax, seqv=seqv, lwv=lwv, lcv=lcv)
+
+    def load_read_batch(self, segs, enc=None):
+        """Batched :meth:`load_read` over R read segments.
+
+        ``segs``: list of (seq_str, log_wrong, log_correct).  Stores
+        (R, Lmax[, n]) prefix tables in the same op order per read.
+        ``enc``: optional precomputed :meth:`encode_segs_batch` of the same
+        segments (the read-side arrays are block-independent).
+        """
+        if enc is None:
+            enc = self.encode_segs_batch(segs)
+        R, Ls, Lmax = enc["R"], enc["Ls"], enc["Lmax"]
+        seqv, lwv, lcv = enc["seqv"], enc["lwv"], enc["lcv"]
         blkv = np.frombuffer(self.block_seq[::-1].encode(), np.uint8)
         nI, nD = self.num_insertions, self.num_deletions
         ins = np.zeros((R, Lmax, max(nI, 1)))
@@ -514,7 +530,7 @@ class StutterAligner:
                                                       -D // self.period - 1],
                                             od))
             if neg.any():
-                blkv = np.frombuffer(self.block_seq[::-1].encode(), np.uint8)
+                blkv = b["blkv"]   # reversed block bytes, from load_read_batch
                 else_lp = np.full((R, Lmax), log_prior)
                 for t in range(int(base_len[neg].max())):
                     rr = np.clip(offsets + t, 0, Lmax - 1)

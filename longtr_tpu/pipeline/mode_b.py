@@ -368,7 +368,7 @@ class ModeBAligner:
         return A
 
     def _artifact_table_batch(self, blocks, stutter_aligners, bi, option,
-                              segs_side, n_d, l_pad):
+                              segs_side, n_d, l_pad, enc=None):
         """(R, n_d, l_pad) artifact tables for ALL read segments of one
         (side, block, option) in ~n_D vector calls — bit-identical per read
         to :meth:`_artifact_table` (the descent depends only on (block, D);
@@ -377,7 +377,7 @@ class ModeBAligner:
         bseq = block.get_seq(option)
         block_len = len(bseq)
         sa = stutter_aligners[bi][option]
-        sa.load_read_batch(segs_side)
+        sa.load_read_batch(segs_side, enc=enc)
         Ls = sa._b["Ls"]
         Lmax = sa._b["Lmax"]
         R = len(segs_side)
@@ -504,12 +504,18 @@ class ModeBAligner:
         needed = sorted({(side, bi, opt)
                          for k in range(K) for side in (0, 1)
                          for (bi, opt) in sides[k][side][3]})
+        # the reversed read-side arrays depend only on the side, not the
+        # (block, option): encode once per side and share across the chain
+        side_segs = {side: [seg_cache[(p, side)][:3] for p in range(P)]
+                     for side in (0, 1)}
+        side_enc = {side: StutterAligner.encode_segs_batch(side_segs[side])
+                    for side in (0, 1)}
         for side, bi, opt in needed:
             blocks = self.fw_blocks if side == 0 else self.rev_blocks
             saln = self._fw_stutter if side == 0 else self._rev_stutter
-            segs_side = [seg_cache[(p, side)][:3] for p in range(P)]
             batch = self._artifact_table_batch(blocks, saln, bi, opt,
-                                               segs_side, n_d, L_max)
+                                               side_segs[side], n_d, L_max,
+                                               enc=side_enc[side])
             for p in range(P):
                 art_cache[(p, side, bi, opt)] = batch[p]
         b = 0
