@@ -488,7 +488,12 @@ def _kernel_chunked(trans_ref, hap_ref, hl_ref, read_ref, hapm_ref, rl_ref,
         out_ref[:] = score
 
 
-JCHUNK = 512
+# Chunk length swept on hardware at the 8kb bench shape (round 4):
+# 64/128/256/512/1024/2048 -> 85.2/90.8/78.8/68.7/57.5/52.0 Gcells/s,
+# outputs bit-identical across all values.  128 wins: the per-chunk
+# prefix-max scan costs log2(jc) full-tile steps per row while the
+# cross-chunk edge-array traffic per cell only grows as 1/jc.
+JCHUNK = 128
 
 # hardware-validated chunked-kernel envelope (same discipline as
 # VMEM_BUDGET: a compile-time VMEM OOM wedges the shared tunnel, so gate
