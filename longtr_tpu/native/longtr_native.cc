@@ -529,10 +529,58 @@ extern "C" int ltr_rans_decode(const uint8_t* data, long n,
 #include <string>
 #include <algorithm>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace poa {
 
 constexpr int MATCH = 1, MISMATCH = -1, GAP = -1;
 constexpr long NEG = -1000000000L;
+
+// In-place prefix max.  The scalar form is a loop-carried dependence
+// (~2.5 cycles/element) and dominates the POA row cost once the value
+// passes vectorize, so the int16 overload does the classic SIMD scan:
+// log-step shift-max within each 128-bit lane, one cross-lane fix, and
+// a 16-element-granular running carry.  max is associative and these
+// are exact integer ops, so the result is identical to the scalar scan.
+template <typename S>
+static inline void prefix_max_inplace(S* a, size_t n) {
+  S rm = a[0];
+  for (size_t j = 1; j < n; j++) { if (a[j] > rm) rm = a[j]; a[j] = rm; }
+}
+
+#if defined(__AVX2__)
+static inline void prefix_max_inplace(int16_t* a, size_t n) {
+  const __m256i minv = _mm256_set1_epi16(INT16_MIN);
+  // byte-shuffle pattern replicating each 128-bit lane's element 7
+  const __m256i b7idx = _mm256_set_epi8(
+      15, 14, 15, 14, 15, 14, 15, 14, 15, 14, 15, 14, 15, 14, 15, 14,
+      15, 14, 15, 14, 15, 14, 15, 14, 15, 14, 15, 14, 15, 14, 15, 14);
+  __m256i carry = minv;
+  size_t i = 0;
+  for (; i + 16 <= n; i += 16) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(a + i));
+    // per-lane prefix max (shift-in INT16_MIN, the max identity)
+    v = _mm256_max_epi16(v, _mm256_alignr_epi8(v, minv, 14));
+    v = _mm256_max_epi16(v, _mm256_alignr_epi8(v, minv, 12));
+    v = _mm256_max_epi16(v, _mm256_alignr_epi8(v, minv, 8));
+    // cross-lane: fold the low lane's element 7 into the high lane only
+    __m256i low = _mm256_permute2x128_si256(v, v, 0x00);
+    __m256i b7 = _mm256_shuffle_epi8(low, b7idx);
+    v = _mm256_max_epi16(v, _mm256_blend_epi32(minv, b7, 0xF0));
+    v = _mm256_max_epi16(v, carry);
+    _mm256_storeu_si256((__m256i*)(a + i), v);
+    __m256i hi = _mm256_permute2x128_si256(v, v, 0x11);
+    carry = _mm256_shuffle_epi8(hi, b7idx);
+  }
+  size_t j = i;
+  int16_t rm;
+  if (i == 0) { rm = a[0]; j = 1; }
+  else rm = (int16_t)_mm256_extract_epi16(carry, 0);
+  for (; j < n; j++) { if (a[j] > rm) rm = a[j]; a[j] = rm; }
+}
+#endif
 
 struct Graph {
   std::vector<char> ch;
@@ -595,15 +643,33 @@ struct Graph {
   std::vector<int32_t> dp_, bt_node_;
   std::vector<signed char> bt_type_;
   std::vector<int32_t> row_pred_, pmax_;
+  std::vector<int16_t> dp16_, pmax16_;
 
   void align(const char* seq, int m, std::vector<int>& aln) {
+    // Exact int16 fast path: unit-cost scores are bounded by ±(nodes+m)
+    // (row i, col j satisfies dp >= -(i+j) and dp <= m), so while
+    // nodes+m stays well inside the int16 range the narrow DP computes
+    // bit-identical values with half the memory traffic and double the
+    // SIMD width; the -30000 sentinel is below any reachable score.
+    // This DP is DRAM/issue-bound, so the narrowing is a real win at
+    // the multi-kb VNTR scale the rescue path feeds it.
+    if ((long)ch.size() + m + 2 < 28000)
+      align_impl<int16_t>(seq, m, aln, dp16_, pmax16_);
+    else
+      align_impl<int32_t>(seq, m, aln, dp_, pmax_);
+  }
+
+  template <typename S>
+  void align_impl(const char* seq, int m, std::vector<int>& aln,
+                  std::vector<S>& dp, std::vector<S>& pmax_vec) {
+    const S NEG_S = (S)(sizeof(S) == 2 ? -30000L : NEG);
     std::vector<int> order = topo();
     int n = (int)order.size();
     std::vector<int> pos_in_order(ch.size());
     for (int i = 0; i < n; i++) pos_in_order[order[i]] = i;
     size_t W = (size_t)m + 1;
-    // int32 DP: unit scores bounded by +-m, identical results to wider types
-    std::vector<int32_t>& dp = dp_;
+    // narrow DP: unit scores bounded by +-(n+m), identical results to
+    // wider types whenever they fit (the dispatcher guarantees it)
     std::vector<int32_t>& bt_node = bt_node_;
     std::vector<signed char>& bt_type = bt_type_;
     // Live-row slot pool: traceback reads bt_type/bt_node only (never dp),
@@ -619,7 +685,7 @@ struct Graph {
       bt_type.resize(need);
     }
     if (row_pred_.size() < (size_t)(n + 1)) row_pred_.resize(n + 1);
-    if (pmax_.size() < W) pmax_.resize(W);
+    if (pmax_vec.size() < W) pmax_vec.resize(W);
     // last_use[r]: last topo row that reads dp row r (itself if none).
     std::vector<int> last_use(n + 1);
     for (int r = 0; r <= n; r++) last_use[r] = r;
@@ -667,22 +733,22 @@ struct Graph {
     };
     slot_of[0] = alloc_slot();
     {
-      int32_t* r0 = &dp[(size_t)slot_of[0] * W];
-      for (int j = 0; j <= m; j++) r0[j] = (int32_t)(j * GAP);
+      S* r0 = &dp[(size_t)slot_of[0] * W];
+      for (int j = 0; j <= m; j++) r0[j] = (S)(j * GAP);
     }
     std::vector<int32_t> endcol(n + 1);
     endcol[0] = (int32_t)(m * GAP);
     free_after(0);
-    std::vector<int32_t> best_up(W);
+    std::vector<S> best_up(W);
     std::vector<int32_t> best_up_p(W);
-    int32_t* __restrict__ pmax = pmax_.data();
+    S* __restrict__ pmax = pmax_vec.data();
     for (int i = 1; i <= n; i++) {
       int v = order[i - 1];
       // predecessor rows (insertion order; first strict improvement wins).
       // best_diag[j] == best_up[j] for j < W-1 under strict-improvement
       // scanning in the same predecessor order, so one row serves both.
       bool any_pred = !in_e[v].empty();
-      const int32_t* up;
+      const S* up;
       int up_p = -2;  // >= -1: all predecessors are this single row id
       if (!any_pred) {
         up = &dp[(size_t)slot_of[0] * W];
@@ -692,10 +758,10 @@ struct Graph {
         up_p = pos_in_order[in_e[v][0].first] + 1;
         up = &dp[(size_t)slot_of[up_p] * W];
       } else {
-        for (size_t j = 0; j < W; j++) { best_up[j] = (int32_t)NEG; best_up_p[j] = -1; }
+        for (size_t j = 0; j < W; j++) { best_up[j] = NEG_S; best_up_p[j] = -1; }
         for (auto& e : in_e[v]) {
           int p = pos_in_order[e.first] + 1;
-          const int32_t* d = &dp[(size_t)slot_of[p] * W];
+          const S* d = &dp[(size_t)slot_of[p] * W];
           for (size_t j = 0; j < W; j++)
             if (d[j] > best_up[j]) { best_up[j] = d[j]; best_up_p[j] = p; }
         }
@@ -707,10 +773,10 @@ struct Graph {
       // __restrict__: rows/arrays never overlap (dst is row i's fresh
       // slot; up is a live earlier row's slot or the best_up scratch) —
       // lets the compiler vectorize without alias-version checks
-      int32_t* __restrict__ dst = &dp[(size_t)slot_of[i] * W];
+      S* __restrict__ dst = &dp[(size_t)slot_of[i] * W];
       int32_t* __restrict__ bn = &bt_node[(size_t)i * W];
       signed char* __restrict__ bt = &bt_type[(size_t)i * W];
-      const int32_t* __restrict__ upr = up;
+      const S* __restrict__ upr = up;
       const int32_t* __restrict__ bup = best_up_p.data();
       const char* __restrict__ sq = seq;
       // fused pass: up, then strictly-better diag (same result order as
@@ -719,10 +785,10 @@ struct Graph {
       bt[0] = 1;
       if (up_p >= -1) {
         for (size_t j = 1; j < W; j++) {
-          int32_t val = upr[j] + GAP;
+          S val = (S)(upr[j] + GAP);
           signed char t = 1;
-          int32_t diag = upr[j - 1] +
-                         ((sq[j - 1] == base) ? MATCH : MISMATCH);
+          S diag = (S)(upr[j - 1] +
+                       ((sq[j - 1] == base) ? MATCH : MISMATCH));
           if (diag > val) { val = diag; t = 0; }
           dst[j] = val; bt[j] = t;
         }
@@ -731,10 +797,10 @@ struct Graph {
         // it vectorizes — the fused variant tripped gcc's alias-check
         // budget with 6 live pointers) and a tiny bn gather keyed on bt
         for (size_t j = 1; j < W; j++) {
-          int32_t val = upr[j] + GAP;
+          S val = (S)(upr[j] + GAP);
           signed char t = 1;
-          int32_t diag = upr[j - 1] +
-                         ((sq[j - 1] == base) ? MATCH : MISMATCH);
+          S diag = (S)(upr[j - 1] +
+                       ((sq[j - 1] == base) ? MATCH : MISMATCH));
           if (diag > val) { val = diag; t = 0; }
           dst[j] = val; bt[j] = t;
         }
@@ -755,15 +821,10 @@ struct Graph {
       // never read there.)
       static_assert(GAP == -1, "closed-form left pass assumes GAP == -1");
       {
-        int32_t rm = dst[0];            // dst[0] + 0
-        pmax[0] = rm;
+        for (size_t j = 0; j < W; j++) pmax[j] = (S)(dst[j] + (S)j);
+        prefix_max_inplace(pmax, W);
         for (size_t j = 1; j < W; j++) {
-          int32_t t2 = dst[j] + (int32_t)j;
-          if (t2 > rm) rm = t2;
-          pmax[j] = rm;
-        }
-        for (size_t j = 1; j < W; j++) {
-          int32_t nd = pmax[j] - (int32_t)j;
+          S nd = (S)(pmax[j] - (S)j);
           if (nd > dst[j]) { dst[j] = nd; bt[j] = 2; }
         }
       }

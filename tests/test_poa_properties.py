@@ -157,6 +157,28 @@ def test_native_matches_python_fuzz():
     assert n_checked == 150
 
 
+def test_native_matches_python_midscale_and_simd_boundaries():
+    """Distilled from the int16-DP + SIMD prefix-max rework of the native
+    POA: widths straddling the 16-lane vector boundary (the scalar tail
+    path), plus mid/VNTR-scale clusters whose left-gap cascades stress
+    the vectorized scan.  The narrow-DP gate itself (nodes+m+2 < 28000)
+    was differentially validated int16-vs-int32 up to nodes+m ~ 31k at
+    rework time; here the Python graph is the independent check."""
+    rng = np.random.default_rng(20260820)
+    for trial in range(18):
+        L = int(rng.choice([14, 15, 16, 17, 31, 32, 33, 48, 400, 1201]))
+        base = rand_seq(L, rng)
+        n = int(rng.integers(2, 7))
+        seqs = [mutate(base, rng,
+                       subs=int(rng.integers(0, max(2, L // 8))),
+                       ins=int(rng.integers(0, 4)),
+                       dels=int(rng.integers(0, 4)))
+                for _ in range(n)]
+        want = python_consensus(seqs)
+        got = native_consensus(seqs)
+        assert got == want, (trial, L, n, want, got)
+
+
 def test_two_way_tie_is_deterministic_and_plausible():
     """Even 2-read clusters with disagreement must return one of the
     inputs' bases at every column, deterministically."""
