@@ -8,7 +8,7 @@ bit-for-bit against the native C++ scorer (the production fallback).
 Two pair classes per shape:
   * finite: ~20 substitutions + small length skew, so best-path scores
     stay above the -600 band clamp and exercise the interior DP; and
-  * band-fail: 1%% mutations, which at these lengths drives every pair
+  * band-fail: 1% mutations, which at these lengths drives every pair
     to the -700 early-abort score (HapAligner.cpp:282-307 semantics)
     and exercises the abort bookkeeping.
 A run that validated only band-fail pairs would prove nothing about the

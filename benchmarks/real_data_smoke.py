@@ -88,7 +88,7 @@ def reconstruct_reference(bams, bed_loci, chrom_len, pad=700):
 
 
 def main():
-    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 39
+    n_loci = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -192,7 +192,7 @@ def main():
     # trio are each explained (README "Mendelian validation": one
     # GLDIFF=0.00 tie-broken low-depth VNTR call, two reference-faithful
     # homopolymer stutter het-overcalls), setting the explained rate at
-    # 34/37 = 0.919; the gate fails below 0.9.
+    # 35/38 = 0.921 on the full 40-locus BED; the gate fails below 0.9.
     assert n_full >= min(5, n_rec), "too few fully-called trio loci"
     assert rate >= 0.9, f"Mendelian consistency {rate:.2f} below threshold"
     return 0

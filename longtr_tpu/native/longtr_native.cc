@@ -646,9 +646,11 @@ struct Graph {
   std::vector<int16_t> dp16_, pmax16_;
 
   void align(const char* seq, int m, std::vector<int>& aln) {
-    // Exact int16 fast path: unit-cost scores are bounded by ±(nodes+m)
-    // (row i, col j satisfies dp >= -(i+j) and dp <= m), so while
-    // nodes+m stays well inside the int16 range the narrow DP computes
+    // Exact int16 fast path: unit-cost scores are bounded by ±(nodes+m).
+    // The tight invariant is dp[i][j] <= min(i, j) (matches are bounded by
+    // both consumed columns and the path length through the graph), so
+    // pmax[j] = dst[j] + j <= nodes + m; while nodes+m stays well inside
+    // the int16 range the narrow DP computes
     // bit-identical values with half the memory traffic and double the
     // SIMD width; the -30000 sentinel is below any reachable score.
     // This DP is DRAM/issue-bound, so the narrowing is a real win at

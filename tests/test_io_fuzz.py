@@ -10,6 +10,15 @@ surface to htslib, which is fuzzed upstream — our stack has to earn the
 same property itself).
 
 Every mutation is seeded, so any failure is a one-line repro.
+
+NOTE on the outcome thresholds (exc >= 100 of 120 for BAM/CRAM, exc >= 40
+with ok >= 1 for VCF): they are empirically tuned to the CURRENT
+standard_fixture size and the mutation mix in _mutate.  Growing the
+fixture, changing the BGZF block layout, or reweighting mutation kinds
+shifts seeded trials across the ok/exc boundary — if a fixture change
+trips these asserts, retune the constants by inspecting the printed
+`outcomes` dict rather than weakening the invariant (corruption must
+overwhelmingly raise, never crash natively or hang).
 """
 
 import os
