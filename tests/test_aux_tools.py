@@ -27,11 +27,17 @@ def test_viz_out_and_vizaln(tmp_path, capsys):
     assert os.path.exists(viz)
     with bgzf_open_text(viz) as fh:
         lines = fh.readlines()
-    ref_rows = [ln for ln in lines if "\tREF\t" in ln]
+    # reference rows in the reference's own HTMLCreator format
+    # (HTMLCreator.cpp:8-22): locus_id, ALL, <tr class="reference">offset SEQ
+    ref_rows = [ln for ln in lines if 'class="reference"' in ln]
     assert ref_rows
-    # the REF row carries the actual reference sequence on overlay columns
-    ref_text = ref_rows[0].rstrip("\n").split("\t")[4]
+    frag = ref_rows[0].rstrip("\n").split("\t")[4]
+    assert frag.startswith("<tr") and frag.endswith("</tr>")
+    ref_text = frag[frag.index(">0 ") + 3: -len("</tr>")]
     assert len(ref_text) > 100 and set(ref_text) <= set("ACGTN*")
+    # block framing: <div>/<table> opener and closer per locus
+    assert any("\tALL\t<div>\t" in ln for ln in lines)
+    assert any("</table> <br> </div>" in ln for ln in lines)
     # each locus present
     starts = {ln.split("\t")[1] for ln in lines}
     assert "1001" in starts
