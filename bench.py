@@ -430,10 +430,16 @@ def _run_e2e(script, args, pin=False, timeout=None):
 
 def _e2e_measurements():
     """e2e loci/s for short-STR catalog / VNTR catalog / bundled real trio,
-    plus their single-core-pinned baselines and ratios."""
+    plus their single-core-pinned baselines and ratios.
+
+    A global deadline (LONGTR_BENCH_E2E_BUDGET seconds, default 1500)
+    bounds the whole section so a wedged tunnel degrades fields to null
+    instead of starving the driver of the JSON line."""
+    budget = float(os.environ.get("LONGTR_BENCH_E2E_BUDGET", "1500"))
+    deadline = time.time() + budget
     res = {}
     runs = [
-        # (key, script, device args, baseline args, baseline loci)
+        # (key, script, device args, pinned-baseline args)
         ("short_str", "loci_throughput.py",
          ["300", "--repeat", "2"], ["100", "--cpu", "--repeat", "2"]),
         ("vntr", "loci_throughput.py",
@@ -442,21 +448,57 @@ def _e2e_measurements():
          ["40", "--repeat", "3"], ["40", "--cpu", "--repeat", "2"]),
     ]
     platform = "device"
+
+    def left():
+        return deadline - time.time()
+
     for key, script, dev_args, base_args in runs:
-        dev = _run_e2e(script, dev_args)
-        if dev is None:
-            # tunnel wedged or timed out: one retry, then CPU-backend
-            # fallback (flagged — NOT comparable to TPU captures)
-            dev = _run_e2e(script, dev_args)
-        if dev is None:
-            dev = _run_e2e(script, dev_args + ["--cpu"])
-            platform = "cpu-fallback"
-        base = _run_e2e(script, base_args, pin=True)
+        dev = None
+        if left() > 60:
+            dev = _run_e2e(script, dev_args,
+                           timeout=min(900, max(60, left())))
+        if dev is None and left() > 60:
+            # tunnel wedged or timed out: CPU-backend fallback (flagged —
+            # NOT comparable to TPU captures)
+            dev = _run_e2e(script, dev_args + ["--cpu"],
+                           timeout=min(900, max(60, left())))
+            if dev is not None:
+                platform = "cpu-fallback"
+        base = None
+        if left() > 60:
+            base = _run_e2e(script, base_args, pin=True,
+                            timeout=min(900, max(60, left())))
         res[f"e2e_{key}_loci_per_s"] = round(dev, 2) if dev else None
         res[f"e2e_{key}_single_core_loci_per_s"] = \
             round(base, 3) if base else None
         res[f"e2e_{key}_vs_single_core"] = \
             round(dev / base, 2) if dev and base else None
+
+    # strongest available baseline: the COMPILED REFERENCE's own
+    # genotyping chain on the trio (tests/ref_oracle; single core,
+    # genotyping stage only — an upper bound on the reference binary).
+    # Only when the oracle .so is already built: bench never compiles it.
+    here = os.path.dirname(os.path.abspath(__file__))
+    oracle_so = os.path.join(here, "tests", "ref_oracle",
+                             "libref_oracle.so")
+    ref_cpp = None
+    if os.path.exists(oracle_so) and left() > 120:
+        import re
+        try:
+            out = subprocess.run(
+                ["taskset", "-c", "0", sys.executable,
+                 os.path.join(here, "benchmarks", "ref_cpp_baseline.py"),
+                 "trio"], timeout=min(900, left()),
+                capture_output=True, text=True)
+            m = re.search(r"ref_cpp:\s*([\d.]+)\s*loci/s", out.stdout)
+            ref_cpp = float(m.group(1)) if m else None
+        except subprocess.TimeoutExpired:
+            pass
+    res["e2e_trio_ref_cpp_loci_per_s"] = \
+        round(ref_cpp, 3) if ref_cpp else None
+    dev_trio = res.get("e2e_trio_loci_per_s")
+    res["e2e_trio_vs_ref_cpp"] = (round(dev_trio / ref_cpp, 2)
+                                  if dev_trio and ref_cpp else None)
     res["e2e_platform"] = platform
     return res
 
