@@ -438,30 +438,33 @@ def _e2e_measurements():
     budget = float(os.environ.get("LONGTR_BENCH_E2E_BUDGET", "1500"))
     deadline = time.time() + budget
     res = {}
+    # trio first: the flagship long-read class — if the tunnel is slow and
+    # the budget runs dry, the least valuable class (short-STR, host-bound
+    # by design) is the one that degrades to null
     runs = [
-        # (key, script, device args, pinned-baseline args)
-        ("short_str", "loci_throughput.py",
-         ["300", "--repeat", "2"], ["100", "--cpu", "--repeat", "2"]),
-        ("vntr", "loci_throughput.py",
-         ["24", "--vntr", "--repeat", "2"], ["6", "--vntr", "--cpu"]),
+        # (key, script, device args, pinned-baseline args, device cap s)
         ("trio", "real_data_smoke.py",
-         ["40", "--repeat", "3"], ["40", "--cpu", "--repeat", "2"]),
+         ["40", "--repeat", "3"], ["40", "--cpu", "--repeat", "2"], 900),
+        ("vntr", "loci_throughput.py",
+         ["12", "--vntr", "--repeat", "2"], ["6", "--vntr", "--cpu"], 700),
+        ("short_str", "loci_throughput.py",
+         ["300", "--repeat", "2"], ["100", "--cpu", "--repeat", "2"], 420),
     ]
     platform = "device"
 
     def left():
         return deadline - time.time()
 
-    for key, script, dev_args, base_args in runs:
+    for key, script, dev_args, base_args, cap in runs:
         dev = None
         if left() > 60:
             dev = _run_e2e(script, dev_args,
-                           timeout=min(900, max(60, left())))
+                           timeout=min(cap, max(60, left())))
         if dev is None and left() > 60:
             # tunnel wedged or timed out: CPU-backend fallback (flagged —
             # NOT comparable to TPU captures)
             dev = _run_e2e(script, dev_args + ["--cpu"],
-                           timeout=min(900, max(60, left())))
+                           timeout=min(cap, max(60, left())))
             if dev is not None:
                 platform = "cpu-fallback"
         base = None
