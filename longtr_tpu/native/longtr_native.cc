@@ -13,6 +13,7 @@
 
 #include <cctype>
 #include <cstdint>
+#include <chrono>
 #include <cstring>
 #include <zlib.h>
 #include <atomic>
@@ -644,6 +645,7 @@ struct Graph {
   std::vector<signed char> bt_type_;
   std::vector<int32_t> row_pred_, pmax_;
   std::vector<int16_t> dp16_, pmax16_;
+  long last_B_ = 0;  // band memory: 0 unknown, >0 last accepted, -1 unbanded
 
   void align(const char* seq, int m, std::vector<int>& aln) {
     // Exact int16 fast path: unit-cost scores are bounded by ±(nodes+m).
@@ -655,20 +657,122 @@ struct Graph {
     // SIMD width; the -30000 sentinel is below any reachable score.
     // This DP is DRAM/issue-bound, so the narrowing is a real win at
     // the multi-kb VNTR scale the rescue path feeds it.
-    if ((long)ch.size() + m + 2 < 28000)
-      align_impl<int16_t>(seq, m, aln, dp16_, pmax16_);
+    //
+    // Banded attempts with an exactness PROOF (scores (1, -1, -1)).  A
+    // path reaching node v has consumed len nodes with mind(v) <= len <=
+    // maxd(v) (shortest/longest source->v path; topo index is NOT a valid
+    // proxy — ring/bubble alternates get arbitrary topo positions), and
+    // |len - j| <= #gap-steps.  Restricting row v to j in
+    // [mind(v) - B, maxd(v) + B] therefore loses only paths with > B
+    // gaps, whose score is <= m - B - 1 (score = matches - mismatches -
+    // gaps <= m - gaps).  So if the banded best score s satisfies
+    // s >= m - B, every optimal-scoring path — including every tie the
+    // traceback's fixed preference rules could choose — lies strictly
+    // inside the windows; the DP values and bt decisions at every cell
+    // the traceback visits equal the unbanded ones, and the banded
+    // result is BIT-IDENTICAL to the full DP (the differential
+    // native/Python consensus fuzz stays valid unchanged).  If
+    // verification fails, retry wider, finally unbanded.  Cluster
+    // members differ from the graph by sequencing errors plus
+    // allele-length skew, so the first band almost always verifies.
+    long diff = (long)ch.size() >= (long)m ? (long)ch.size() - m
+                                           : (long)m - (long)ch.size();
+    bool b16 = (long)ch.size() + m + 2 < 28000;
+    static const bool no_band = getenv("LONGTR_POA_NO_BAND") != nullptr;
+    static const bool dbg = getenv("LONGTR_POA_DEBUG") != nullptr;
+    // per-graph band memory: cluster members are homogeneous, so the
+    // band (or the unbanded verdict, last_B_ < 0) discovered on one read
+    // almost always fits the next — failed ladder rungs then cost one
+    // read's discovery per cluster instead of repeating on every read
+    long start_B = 64 + diff;
+    if (last_B_ > start_B) start_B = last_B_;
+    if (last_B_ >= 0 && !no_band) {
+      for (long B = start_B; 2 * B + 1 < m; B = 4 * B + 64) {
+        bool ok = b16
+            ? align_impl<int16_t>(seq, m, aln, dp16_, pmax16_, B)
+            : align_impl<int32_t>(seq, m, aln, dp_, pmax_, B);
+        if (dbg)
+          fprintf(stderr, "[poa] m=%d nodes=%zu B=%ld ok=%d\n", m,
+                  ch.size(), B, (int)ok);
+        if (ok) {
+          last_B_ = B;
+          return;
+        }
+      }
+      last_B_ = -1;
+    }
+    if (dbg) fprintf(stderr, "[poa] m=%d nodes=%zu UNBANDED\n", m, ch.size());
+    if (b16)
+      align_impl<int16_t>(seq, m, aln, dp16_, pmax16_, -1);
     else
-      align_impl<int32_t>(seq, m, aln, dp_, pmax_);
+      align_impl<int32_t>(seq, m, aln, dp_, pmax_, -1);
   }
 
+  // band < 0: full DP (always succeeds).  band >= 0: rows restricted to
+  // j in [i - band, i + band]; returns false (aln untouched) unless the
+  // best sink score proves global optimality (see align()).
   template <typename S>
-  void align_impl(const char* seq, int m, std::vector<int>& aln,
-                  std::vector<S>& dp, std::vector<S>& pmax_vec) {
+  bool align_impl(const char* seq, int m, std::vector<int>& aln,
+                  std::vector<S>& dp, std::vector<S>& pmax_vec,
+                  long band) {
     const S NEG_S = (S)(sizeof(S) == 2 ? -30000L : NEG);
     std::vector<int> order = topo();
     int n = (int)order.size();
     std::vector<int> pos_in_order(ch.size());
     for (int i = 0; i < n; i++) pos_in_order[order[i]] = i;
+    // shortest/longest #nodes consumed on any source->row path (row 0 =
+    // the virtual start row); band windows anchor on these — NOT on the
+    // topo index, which ring/bubble alternates displace arbitrarily
+    std::vector<int> mind, maxd;
+    if (band >= 0) {
+      mind.assign(n + 1, 0);
+      maxd.assign(n + 1, 0);
+      for (int i = 1; i <= n; i++) {
+        int v = order[i - 1];
+        if (in_e[v].empty()) {
+          mind[i] = maxd[i] = 1;
+          continue;
+        }
+        int lo = 1 << 30, hi = 0;
+        for (auto& e : in_e[v]) {
+          int p = pos_in_order[e.first] + 1;
+          if (mind[p] < lo) lo = mind[p];
+          if (maxd[p] > hi) hi = maxd[p];
+        }
+        mind[i] = lo + 1;
+        maxd[i] = hi + 1;
+      }
+      // a banded pass only pays off when the windows are actually
+      // narrow; indel-heavy graphs accumulate mind/maxd skew (every
+      // insertion branch widens downstream windows), and running a
+      // near-full-width "band" just adds window bookkeeping on top of
+      // the full DP.  Bail out cheaply and let align() fall through to
+      // the unbanded pass.
+      long area = 0;
+      for (int i = 1; i <= n; i++) {
+        long lo = (long)mind[i] - band > 0 ? (long)mind[i] - band : 0;
+        long hi = (long)maxd[i] + band < (long)m ? (long)maxd[i] + band
+                                                 : (long)m;
+        area += hi - lo + 1;
+      }
+      if (area * 2 >= (long)n * (long)(m + 1))
+        return false;
+    }
+    // traceback rows are stored at WINDOW width, not full width: the
+    // (n+1) x (m+1) bt matrices were the dominant memory traffic of a
+    // banded align (tens of MB of allocation + page faults per read
+    // while the windowed DP itself touches only ~n*band cells)
+    size_t wmax = (size_t)m + 1;
+    if (band >= 0) {
+      wmax = 1;
+      for (int i = 1; i <= n; i++) {
+        long lo = (long)mind[i] - band > 0 ? (long)mind[i] - band : 0;
+        long hi = (long)maxd[i] + band < (long)m ? (long)maxd[i] + band
+                                                 : (long)m;
+        if ((size_t)(hi - lo + 1) > wmax) wmax = (size_t)(hi - lo + 1);
+      }
+    }
+    std::vector<int> row_jlo(n + 1, 0);
     size_t W = (size_t)m + 1;
     // narrow DP: unit scores bounded by +-(n+m), identical results to
     // wider types whenever they fit (the dispatcher guarantees it)
@@ -681,7 +785,7 @@ struct Graph {
     // and this DP is DRAM-bound).  endcol keeps each row's dp[i][m] for
     // the sink scan.  bt_node is only WRITTEN on multi-predecessor rows
     // (row_pred_ holds the row-constant predecessor otherwise).
-    size_t need = (size_t)(n + 1) * W;
+    size_t need = (size_t)(n + 1) * wmax;
     if (bt_node.size() < need) {
       bt_node.resize(need);
       bt_type.resize(need);
@@ -720,20 +824,31 @@ struct Graph {
     }
     if (dp.size() < (size_t)max_live * W) dp.resize((size_t)max_live * W);
     std::vector<int> slot_of(n + 1, -1), free_slots;
+    // Banded discipline: a slot only ever holds its row's window
+    // [slot_lo, slot_hi]; READERS clip against the producer's recorded
+    // window instead of relying on sentinel fills (fills cost
+    // max_live * W writes, which explodes on ring-heavy graphs whose
+    // long row lifetimes inflate the pool).  Out-of-window reads are
+    // treated as NEG_S by segmenting the consumer loops.
+    std::vector<long> slot_lo(max_live, 0), slot_hi(max_live, -1);
     int n_slots = 0;
-    auto alloc_slot = [&]() {
+    auto alloc_slot = [&](long jlo, long jhi) {
+      int s;
       if (!free_slots.empty()) {
-        int s = free_slots.back();
+        s = free_slots.back();
         free_slots.pop_back();
-        return s;
+      } else {
+        s = n_slots++;
       }
-      return n_slots++;
+      slot_lo[s] = jlo;
+      slot_hi[s] = jhi;
+      return s;
     };
     auto free_after = [&](int i) {
       for (int r = end_head[i]; r >= 0; r = end_next[r])
         free_slots.push_back(slot_of[r]);
     };
-    slot_of[0] = alloc_slot();
+    slot_of[0] = alloc_slot(0, m);  // boundary row: exact over all columns
     {
       S* r0 = &dp[(size_t)slot_of[0] * W];
       for (int j = 0; j <= m; j++) r0[j] = (S)(j * GAP);
@@ -746,6 +861,13 @@ struct Graph {
     S* __restrict__ pmax = pmax_vec.data();
     for (int i = 1; i <= n; i++) {
       int v = order[i - 1];
+      // band window for this row ([0, m] when unbanded)
+      long jlo = band < 0 ? 0
+          : ((long)mind[i] - band > 0 ? (long)mind[i] - band : 0);
+      long jhi = band < 0 ? (long)m
+          : ((long)maxd[i] + band < (long)m ? (long)maxd[i] + band
+                                            : (long)m);
+      long jfrom = jlo > 0 ? jlo - 1 : 0;  // value loop reads up[jlo - 1]
       // predecessor rows (insertion order; first strict improvement wins).
       // best_diag[j] == best_up[j] for j < W-1 under strict-improvement
       // scanning in the same predecessor order, so one row serves both.
@@ -760,54 +882,123 @@ struct Graph {
         up_p = pos_in_order[in_e[v][0].first] + 1;
         up = &dp[(size_t)slot_of[up_p] * W];
       } else {
-        for (size_t j = 0; j < W; j++) { best_up[j] = NEG_S; best_up_p[j] = -1; }
+        for (long j = jfrom; j <= jhi; j++) {
+          best_up[j] = NEG_S;
+          best_up_p[j] = -1;
+        }
         for (auto& e : in_e[v]) {
           int p = pos_in_order[e.first] + 1;
           const S* d = &dp[(size_t)slot_of[p] * W];
-          for (size_t j = 0; j < W; j++)
+          // clip to the predecessor's recorded window: cells outside it
+          // hold a previous tenant's garbage, and band semantics treat
+          // them as -inf anyway
+          long glo = jfrom > slot_lo[slot_of[p]] ? jfrom
+                                                 : slot_lo[slot_of[p]];
+          long ghi = jhi < slot_hi[slot_of[p]] ? jhi
+                                               : slot_hi[slot_of[p]];
+          for (long j = glo; j <= ghi; j++)
             if (d[j] > best_up[j]) { best_up[j] = d[j]; best_up_p[j] = p; }
         }
         up = best_up.data();
       }
       row_pred_[i] = up_p;
-      slot_of[i] = alloc_slot();
+      slot_of[i] = alloc_slot(jlo, jhi);
       char base = ch[v];
       // __restrict__: rows/arrays never overlap (dst is row i's fresh
       // slot; up is a live earlier row's slot or the best_up scratch) —
       // lets the compiler vectorize without alias-version checks
       S* __restrict__ dst = &dp[(size_t)slot_of[i] * W];
-      int32_t* __restrict__ bn = &bt_node[(size_t)i * W];
-      signed char* __restrict__ bt = &bt_type[(size_t)i * W];
+      row_jlo[i] = (int)jlo;
+      // windowed traceback rows: bt[j]/bn[j] index with the row's jlo
+      // offset folded into the base pointer (valid for j in the window)
+      int32_t* __restrict__ bn = &bt_node[(size_t)i * wmax] - jlo;
+      signed char* __restrict__ bt = &bt_type[(size_t)i * wmax] - jlo;
       const S* __restrict__ upr = up;
       const int32_t* __restrict__ bup = best_up_p.data();
       const char* __restrict__ sq = seq;
+      // columns where upr holds DEFINED values: the producer row's
+      // recorded window (the best_up scratch is defined over the full
+      // [jfrom, jhi] it was just filled on).  Reads outside [plo, phi]
+      // are band-semantics -inf and the consumer loop is segmented so
+      // the hot interior runs with no per-element clipping.
+      long plo, phi;
+      if (up_p == -2) {
+        plo = jfrom;
+        phi = jhi;
+      } else {
+        plo = slot_lo[slot_of[up_p]];
+        phi = slot_hi[slot_of[up_p]];
+      }
       // fused pass: up, then strictly-better diag (same result order as
       // separate passes); the left-gap pass follows in closed form
-      dst[0] = upr[0] + GAP;
-      bt[0] = 1;
+      if (jlo == 0) {
+        S v0 = plo == 0 ? (S)(upr[0] + GAP) : NEG_S;
+        if (v0 < NEG_S) v0 = NEG_S;
+        dst[0] = v0;
+        bt[0] = 1;
+      }
+      long j1 = jlo > 1 ? jlo : 1;
+      // left sentinel prefix: both up and diag sources undefined
+      for (long j = j1; j <= jhi && j < plo; j++) {
+        dst[j] = NEG_S;
+        bt[j] = 1;
+      }
+      // boundary j == plo: up source defined, diag source (plo-1) not
+      if (plo >= j1 && plo <= jhi) {
+        S val = (S)(upr[plo] + GAP);
+        if (val < NEG_S) val = NEG_S;
+        dst[plo] = val;
+        bt[plo] = 1;
+      }
+      long hot_lo = j1 > plo + 1 ? j1 : plo + 1;
+      long hot_hi = jhi < phi ? jhi : phi;
       if (up_p >= -1) {
-        for (size_t j = 1; j < W; j++) {
+        for (long j = hot_lo; j <= hot_hi; j++) {
           S val = (S)(upr[j] + GAP);
           signed char t = 1;
           S diag = (S)(upr[j - 1] +
                        ((sq[j - 1] == base) ? MATCH : MISMATCH));
           if (diag > val) { val = diag; t = 0; }
+          // sentinel floor: real cells are always > NEG_S (bounded by
+          // -(i+j) > -28000), so this is a no-op for them; it stops
+          // banded sentinel-VALUED cells from sinking below NEG_S, which
+          // would underflow the int16 pmax arithmetic below
+          if (val < NEG_S) val = NEG_S;
           dst[j] = val; bt[j] = t;
         }
       } else {
         // split into a value pass (identical to the single-pred loop, so
         // it vectorizes — the fused variant tripped gcc's alias-check
         // budget with 6 live pointers) and a tiny bn gather keyed on bt
-        for (size_t j = 1; j < W; j++) {
+        for (long j = hot_lo; j <= hot_hi; j++) {
           S val = (S)(upr[j] + GAP);
           signed char t = 1;
           S diag = (S)(upr[j - 1] +
                        ((sq[j - 1] == base) ? MATCH : MISMATCH));
           if (diag > val) { val = diag; t = 0; }
+          if (val < NEG_S) val = NEG_S;
           dst[j] = val; bt[j] = t;
         }
-        bn[0] = bup[0];
-        for (size_t j = 1; j < W; j++)
+      }
+      // boundary j == phi + 1: up source undefined, diag source defined
+      if (phi + 1 >= j1 && phi + 1 <= jhi) {
+        long j = phi + 1;
+        S val = NEG_S;
+        signed char t = 1;
+        S diag = (S)(upr[j - 1] +
+                     ((sq[j - 1] == base) ? MATCH : MISMATCH));
+        if (diag > val) { val = diag; t = 0; }
+        if (val < NEG_S) val = NEG_S;
+        dst[j] = val; bt[j] = t;
+      }
+      // right sentinel tail: both sources undefined
+      for (long j = (phi + 2 > j1 ? phi + 2 : j1); j <= jhi; j++) {
+        dst[j] = NEG_S;
+        bt[j] = 1;
+      }
+      if (up_p == -2) {
+        if (jlo == 0) bn[0] = bup[0];
+        for (long j = j1; j <= jhi; j++)
           bn[j] = bup[j - (bt[j] == 0)];
       }
       // left-gap pass in closed form: the cascade
@@ -822,15 +1013,21 @@ struct Graph {
       // scalar loop).  (t==2 traceback only decrements j, so bn is
       // never read there.)
       static_assert(GAP == -1, "closed-form left pass assumes GAP == -1");
-      {
-        for (size_t j = 0; j < W; j++) pmax[j] = (S)(dst[j] + (S)j);
-        prefix_max_inplace(pmax, W);
-        for (size_t j = 1; j < W; j++) {
-          S nd = (S)(pmax[j] - (S)j);
+      if (jlo <= jhi) {
+        // banded: the cascade cannot enter from outside the window (those
+        // cells are NEG_S sentinels), so the prefix max runs window-only
+        for (long j = jlo; j <= jhi; j++) pmax[j] = (S)(dst[j] + (S)j);
+        prefix_max_inplace(pmax + jlo, (size_t)(jhi - jlo + 1));
+        for (long j = j1; j <= jhi; j++) {
+          // widen before subtracting: sentinel-region pmax minus a large
+          // j would underflow int16; the clamp keeps sentinel semantics
+          long ndw = (long)pmax[j] - j;
+          S nd = ndw < (long)NEG_S ? NEG_S : (S)ndw;
           if (nd > dst[j]) { dst[j] = nd; bt[j] = 2; }
         }
       }
-      endcol[i] = dst[m];
+      endcol[i] = (jlo <= jhi && jhi == (long)m) ? (int32_t)dst[m]
+                                                 : (int32_t)NEG;
       free_after(i);
     }
     // endpoint: best sink (max over sinks of dp[i][m]; first max wins to
@@ -849,18 +1046,25 @@ struct Graph {
       for (int i2 = 0; i2 <= n; i2++)
         if (endcol[i2] > best_v) { best_v = endcol[i2]; best_i = i2; }
     }
+    // banded exactness verification (see align()): any path exiting the
+    // band scores <= m - band - 1, so best_v >= m - band proves the full
+    // DP would find the same score AND the same tie-broken traceback.
+    if (band >= 0 && best_v < (long)m - band)
+      return false;
     int i = best_i, j = m;
     while (i != 0 || j != 0) {
       if (i == 0) { j--; continue; }
-      signed char t = bt_type[(size_t)i * W + j];
+      signed char t = bt_type[(size_t)i * wmax + (j - row_jlo[i])];
       if (t == 2) { j--; continue; }
       // predecessor row: row-constant unless this row had multiple
       // predecessors (row_pred_ == -2), in which case bt_node holds it
       int pred = row_pred_[i] >= -1 ? row_pred_[i]
-                                    : bt_node[(size_t)i * W + j];
+                                    : bt_node[(size_t)i * wmax
+                                               + (j - row_jlo[i])];
       if (t == 0) { aln[j - 1] = order[i - 1]; i = pred; j--; }
       else { i = pred; }
     }
+    return true;
   }
 
   void fuse(const char* seq, int m, const std::vector<int>& aln) {
@@ -1183,6 +1387,7 @@ extern "C" long ltr_poa_consensus(const char* seqs, const long* lens,
 
 #include <cmath>
 #include <cstdlib>
+#include <chrono>
 #include <cstring>
 
 namespace phmm {

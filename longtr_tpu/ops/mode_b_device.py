@@ -39,15 +39,19 @@ from longtr_tpu.utils.mathops import LOG_THRESH
 
 
 @partial(jax.jit, static_argnames=("n_d",))
-def mode_b_cols(codes, blw, blc, prefix, last, hapchar, kind, stut_ord,
-                A, bl, d0, dstep, params, *, n_d):
+def mode_b_cols(codes, quals, lw_tab, lc_tab, prefix, last, hapchar, kind,
+                stut_ord, A, bl, d0, dstep, params, *, n_d):
     """Last-column match vectors for a batch of mode-B alignments.
 
-    codes/blw/blc/prefix: (B, L) read codes, per-base log-wrong/correct and
-      the host-computed sequential prefix = [0, cumsum(blc)[:-1]].
+    codes/quals: (B, L) uint8 read base codes and qual BYTES; the per-base
+      log-wrong/correct values are gathered on device from the 256-entry
+      lw_tab/lc_tab (same clamped table base_quality.py reads on host, so
+      the gathered values are bitwise identical) — byte wire formats
+      because the host->device transfer dominates dispatch cost.
+    prefix: (B, L) host-computed sequential prefix = [0, cumsum(blc)[:-1]].
     last: (B,) index of the final valid column (segment length - 1).
-    hapchar/kind/stut_ord: (B, R) per-row char code, row kind, stutter
-      ordinal (which slice of ``A`` a kind-2 row uses).
+    hapchar/kind/stut_ord: (B, R) uint8 per-row char code, row kind,
+      stutter ordinal (which slice of ``A`` a kind-2 row uses).
     A: (B, S, n_d, L) host-precomputed artifact scores
        log_prob_pcr_artifact(opt, D) + StutterAligner.align(...), IMPOSSIBLE
        where base_len < 0, -inf in d-padding (dropped by the LSE threshold).
@@ -58,6 +62,13 @@ def mode_b_cols(codes, blw, blc, prefix, last, hapchar, kind, stut_ord,
     Returns (B, R) M[row, last-column] in the input dtype.
     """
     B, L = codes.shape
+    codes = codes.astype(jnp.int32)
+    hapchar = hapchar.astype(jnp.int32)
+    kind = kind.astype(jnp.int32)
+    stut_ord = stut_ord.astype(jnp.int32)
+    qi = quals.astype(jnp.int32)
+    blw = lw_tab[qi]
+    blc = lc_tab[qi]
     dtype = blc.dtype
     i2i, i2m, d2d, d2m, m2m, m2i, m2d = [params[i] for i in range(7)]
     jj = jnp.arange(L, dtype=dtype)

@@ -446,47 +446,60 @@ class ModeBAligner:
             quals = aln.base_qualities
             blw = np.array([log_prob_error(q) for q in quals])
             blc = np.array([log_prob_correct(q) for q in quals])
-            segs.append((aln.sequence, blw, blc))
+            segs.append((aln.sequence, blw, blc, quals))
         L_max = _pad_to(max(max(s, len(segs[p][0]) - s - 1)
                             for p, s in enumerate(seeds)), 8)
 
         def seg_arrays(p, side):
-            seq, blw, blc = segs[p]
+            seq, blw, blc, quals = segs[p]
             s = seeds[p]
             if side == 0:
                 sseq, sw, sc = seq[:s], blw[:s], blc[:s]
+                squal = quals[:s]
             else:
                 sseq = seq[s + 1:][::-1]
                 sw = blw[s + 1:][::-1]
                 sc = blc[s + 1:][::-1]
+                squal = quals[s + 1:][::-1]
             L = len(sseq)
-            codes = np.zeros(L_max, dtype=np.int32)
+            codes = np.zeros(L_max, dtype=np.uint8)
             codes[:L] = np.frombuffer(sseq.encode(), dtype=np.uint8)
-            w = np.zeros(L_max)
-            c = np.zeros(L_max)
-            w[:L] = sw
-            c[:L] = sc
+            # qual BYTES ship to the device; the kernel gathers the f32/f64
+            # log-prob values from 256-entry tables (bitwise-equal to the
+            # host lookup — log_prob_* is itself a clamped table,
+            # base_quality.py).  Pad bytes land on arbitrary table entries;
+            # columns past `last` never feed a valid column (the DP only
+            # reads left-to-right along j), so pad values are don't-cares.
+            qb = np.zeros(L_max, dtype=np.uint8)
+            qb[:L] = np.frombuffer(squal.encode("latin1"), dtype=np.uint8)
             cs = np.cumsum(sc)
             pre = np.zeros(L_max)
             pre[1:L] = cs[:-1]
             lp = float(cs[-1]) if L else 0.0
-            return sseq, sw, sc, codes, w, c, pre, lp, L
+            return sseq, sw, sc, codes, qb, pre, lp, L
 
         B = P * K * 2
         B_pad = _pad_to(B, 32)
         # The batched device inputs are allocated in the final device dtype:
         # assignment casts each f64 row exactly as a whole-array astype would
         # at dispatch, and the deferred-dispatch scheduler pins these arrays
-        # from build to window dispatch — half the resident bytes (f32 mode)
-        # and no cast copy at dispatch time.
-        codes = np.zeros((B_pad, L_max), dtype=np.int32)
-        blw_a = np.zeros((B_pad, L_max), dtype=dtype)
-        blc_a = np.zeros((B_pad, L_max), dtype=dtype)
+        # from build to window dispatch — no cast copy at dispatch time.
+        # Narrow integer/byte wire formats (uint8 codes/quals/row tables, the
+        # per-base log-probs as 256-entry gather tables): the tunnel
+        # transfer is the dominant dispatch cost (BENCH mode_b_phase_*
+        # breakdown), and every one of these is exact — the kernel casts
+        # to int32 / gathers the identical dtype values on device.
+        codes = np.zeros((B_pad, L_max), dtype=np.uint8)
+        quals_a = np.zeros((B_pad, L_max), dtype=np.uint8)
+        lw_tab = np.array([log_prob_error(chr(i)) for i in range(256)],
+                          dtype=dtype)
+        lc_tab = np.array([log_prob_correct(chr(i)) for i in range(256)],
+                          dtype=dtype)
         pre_a = np.zeros((B_pad, L_max), dtype=dtype)
         last = np.zeros(B_pad, dtype=np.int32)
-        hapchar = np.zeros((B_pad, R_max), dtype=np.int32)
-        kind = np.full((B_pad, R_max), 3, dtype=np.int32)
-        stut_ord = np.zeros((B_pad, R_max), dtype=np.int32)
+        hapchar = np.zeros((B_pad, R_max), dtype=np.uint8)
+        kind = np.full((B_pad, R_max), 3, dtype=np.uint8)
+        stut_ord = np.zeros((B_pad, R_max), dtype=np.uint8)
         A = np.full((B_pad, S_max, n_d, L_max), -np.inf, dtype=dtype)
         bl_a = np.ones((B_pad, S_max), dtype=np.int32)
         d0_a = np.zeros((B_pad, S_max), dtype=np.int32)
@@ -527,10 +540,9 @@ class ModeBAligner:
                     rows = fw if side == 0 else rv
                     blocks = self.fw_blocks if side == 0 else self.rev_blocks
                     saln = self._fw_stutter if side == 0 else self._rev_stutter
-                    (sseq, sw, sc, cod, w, c, pre, lp, L) = seg_cache[(p, side)]
+                    (sseq, sw, sc, cod, qb, pre, lp, L) = seg_cache[(p, side)]
                     codes[b] = cod
-                    blw_a[b] = w
-                    blc_a[b] = c
+                    quals_a[b] = qb
                     pre_a[b] = pre
                     last[b] = max(L - 1, 0)
                     hc, kd, so, sinfo, hs = rows
@@ -549,7 +561,8 @@ class ModeBAligner:
 
         params = np.array([self.i2i, self.i2m, self.d2d, self.d2m,
                            self.m2m, self.m2i, self.m2d], dtype=dtype)
-        return dict(codes=codes, blw_a=blw_a, blc_a=blc_a, pre_a=pre_a,
+        return dict(codes=codes, quals_a=quals_a, lw_tab=lw_tab,
+                    lc_tab=lc_tab, pre_a=pre_a,
                     last=last, hapchar=hapchar, kind=kind,
                     stut_ord=stut_ord, A=A, bl_a=bl_a, d0_a=d0_a,
                     dstep_a=dstep_a, params=params, n_d=n_d, dtype=dtype,
@@ -572,7 +585,8 @@ class ModeBAligner:
 
         def dispatch():
             return np.asarray(mode_b_cols(
-                prep["codes"], prep["blw_a"], prep["blc_a"], prep["pre_a"],
+                prep["codes"], prep["quals_a"], prep["lw_tab"],
+                prep["lc_tab"], prep["pre_a"],
                 prep["last"], prep["hapchar"], prep["kind"],
                 prep["stut_ord"], prep["A"], prep["bl_a"],
                 prep["d0_a"], prep["dstep_a"], prep["params"],
@@ -595,7 +609,7 @@ class ModeBAligner:
         out = np.empty((prep["P"], prep["K"]))
         for p, aln in enumerate(alns):
             seq = aln.sequence
-            _, blw, blc = segs[p]
+            _, blw, blc, _quals = segs[p]
             s = seeds[p]
             for k, config in enumerate(configs):
                 fw_seqs = sides[k][2]
