@@ -446,7 +446,7 @@ def _e2e_measurements():
         ("trio", "real_data_smoke.py",
          ["40", "--repeat", "3"], ["40", "--cpu", "--repeat", "2"], 900),
         ("vntr", "loci_throughput.py",
-         ["12", "--vntr", "--repeat", "2"], ["6", "--vntr", "--cpu"], 700),
+         ["24", "--vntr", "--repeat", "2"], ["6", "--vntr", "--cpu"], 700),
         ("short_str", "loci_throughput.py",
          ["300", "--repeat", "2"], ["100", "--cpu", "--repeat", "2"], 420),
     ]
