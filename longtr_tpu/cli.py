@@ -8,6 +8,7 @@ and the always-on default stutter model (see longtr_tpu.config).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from longtr_tpu.config import Config
@@ -183,6 +184,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args) -> Config:
     cfg = Config()
+    # dispatch-window override (loci fused per device call): smaller
+    # windows pipeline haplotype builds against device scoring at the
+    # cost of more tunnel round trips; the default suits catalog scale
+    if os.environ.get("LONGTR_LOCUS_BATCH"):
+        cfg.locus_batch = int(os.environ["LONGTR_LOCUS_BATCH"])
     cfg.min_sum_qual_log_prob = args.min_mean_qual
     cfg.min_mapq = args.min_mapq
     cfg.switch_old_align_len = args.stutter_align_len
@@ -202,6 +208,14 @@ def config_from_args(args) -> Config:
     cfg.min_total_reads = args.min_reads
     cfg.max_total_reads = args.max_reads
     cfg.max_str_length = args.max_tr_len
+    # long-TR catalogs (VNTR/HiFi: --max-tr-len raised above the 1000
+    # default) build haplotypes slowly enough that pipelining moderate
+    # windows against device scoring beats maximal dispatch fusion
+    # (hardware sweep: 22.3 loci/s at 256 -> 24.1 at 16 / 23.5 at 32 on
+    # a 60-locus VNTR catalog, VCF byte-identical); short-STR catalogs
+    # keep the big fused windows.  LONGTR_LOCUS_BATCH always wins.
+    if args.max_tr_len > 2000 and not os.environ.get("LONGTR_LOCUS_BATCH"):
+        cfg.locus_batch = 32
     cfg.max_mate_dist = args.max_mate_dist
     cfg.skip_assembly = not args.skip_assembly  # inverted, like the reference
     cfg.stutter_in = args.stutter_in
