@@ -194,3 +194,59 @@ def test_two_way_tie_is_deterministic_and_plausible():
         assert got_py == got_nat, trial
         # every column of the consensus is drawn from one of the reads
         assert all(c in BASES for c in got_py)
+
+
+def test_native_banded_matches_python_at_band_scale():
+    """Regression net for the round-5 BANDED native POA (exactness-proof
+    band, windows on min/max source-path depth — longtr_native.cc
+    align()).  Sizes here engage the band (m > 129 so 2B+1 < m at the
+    initial B), across the regimes that matter:
+
+    * low-error clusters (the band verifies on the first attempt),
+    * indel clusters (band + skewed depth windows),
+    * DIFFERENT large insertions per read — the exact mode that exposed
+      the unsound topo-index windows during development (ring/bubble
+      alternates displace topo positions arbitrarily; a 400bp-insert
+      case produced a divergent consensus before the depth-window fix),
+    * heavy noise (verification fails; ladder + unbanded fallback), and
+    * band-memory reuse across a cluster (homogeneous reads after a
+      divergent first pair).
+    """
+    rng = np.random.default_rng(20260820)
+    for trial in range(16):
+        mode = trial % 4
+        L = int(rng.integers(200, 1800))
+        base = rand_seq(L, rng)
+        k = int(rng.integers(2, 8))
+        seqs = []
+        for _ in range(k):
+            s = list(base)
+            if mode == 0:      # low error: first-band accept path
+                for i in range(len(s)):
+                    if rng.random() < 0.004:
+                        s[i] = str(rng.choice(BASES))
+            elif mode == 1:    # scattered indels: depth-window skew
+                out = []
+                for ch in s:
+                    r = rng.random()
+                    if r < 0.005:
+                        continue
+                    out.append(ch)
+                    if r > 0.995:
+                        out.append(str(rng.choice(BASES)))
+                s = out
+            elif mode == 2:    # per-read large insert: the bug-catcher
+                ins = rand_seq(int(rng.integers(50, 400)), rng)
+                p = int(rng.integers(0, len(s)))
+                s = s[:p] + list(ins) + s[p:]
+                for i in range(len(s)):
+                    if rng.random() < 0.005:
+                        s[i] = str(rng.choice(BASES))
+            else:              # heavy noise: verification-failure path
+                for i in range(len(s)):
+                    if rng.random() < 0.15:
+                        s[i] = str(rng.choice(BASES))
+            seqs.append("".join(s))
+        want = python_consensus(seqs)
+        got = native_consensus(seqs)
+        assert got == want, (trial, mode, L, k)
