@@ -344,8 +344,14 @@ class GenotyperPipeline:
         # Mode B's device dispatch is deferred to _dispatch_pending (main
         # thread) so its table building parallelizes too; ref_vcf mode
         # shares a stateful VCF reader — keep that serial.
+        # ...but for SHORT loci the pool loses: per-locus build work is
+        # tens of microseconds and the submit/lock/GIL round trip costs
+        # more than it hides (measured: 144 -> 192 loci/s on a 300-locus
+        # short-STR catalog when building inline).  Span <= 150bp is
+        # firmly in that regime; longer loci keep the pool.
         import os as _os
-        if self.ref_vcf is None \
+        span = max((r.stop - r.start for r in group.regions), default=0)
+        if self.ref_vcf is None and span > 150 \
                 and _os.environ.get("LONGTR_SERIAL_BUILD") != "1":
             self._pending.append((self._build_pool().submit(_build), group))
         else:
