@@ -19,6 +19,36 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 TEST_DATA = "/root/reference/test_data"
 
+# the reference's own job.sh option set for the bundled trio — the ONE
+# definition shared by the smoke run, the golden-VCF generator
+# (tests/golden/regen_trio.py) and the compiled-reference baseline
+# (benchmarks/ref_cpp_baseline.py): the ref-vs-ours comparisons are only
+# meaningful if every consumer runs the identical configuration
+TRIO_ARGS = ["--bam-samps", "HG002,HG003,HG004",
+             "--bam-libs", "HG002,HG003,HG004",
+             "--max-tr-len", "10000", "--skip-assembly", "--phased-bam"]
+
+
+def build_trio_fixture(outdir, n_loci=40):
+    """Bundled-trio fixture: BAM paths, a pileup-estimated reference over
+    the first ``n_loci`` BED windows, and the sliced BED.  Returns
+    (bams, fasta, bed)."""
+    from longtr_tpu.io.fasta import write_fasta
+
+    bams = [os.path.join(TEST_DATA, f"HG00{i}_sample_reads.bam")
+            for i in (2, 3, 4)]
+    bed_in = os.path.join(TEST_DATA, "test_regions_hg38.bed")
+    with open(bed_in) as fh:
+        lines = fh.readlines()[:n_loci]
+    loci = [(f[0], int(f[1]), int(f[2])) for f in (l.split() for l in lines)]
+    genome = reconstruct_reference(bams, loci, None)
+    fasta = os.path.join(outdir, "est_ref.fa")
+    write_fasta(fasta, genome)
+    bed = os.path.join(outdir, "regions.bed")
+    with open(bed, "w") as fh:
+        fh.writelines(lines)
+    return bams, fasta, bed
+
 
 def reconstruct_reference(bams, bed_loci, chrom_len, pad=700):
     """Majority-vote reference estimate over each catalog window."""
@@ -95,31 +125,12 @@ def main():
     from longtr_tpu.ops.pairhmm import enable_compile_cache
     enable_compile_cache()
 
-    bams = [os.path.join(TEST_DATA, f"HG00{i}_sample_reads.bam")
-            for i in (2, 3, 4)]
-    bed_in = os.path.join(TEST_DATA, "test_regions_hg38.bed")
-    loci = []
-    with open(bed_in) as fh:
-        for ln in fh:
-            f = ln.split()
-            loci.append((f[0], int(f[1]), int(f[2])))
-    loci = loci[:n_loci]
-
     tmp = os.environ.get("SMOKE_OUT_DIR") or tempfile.mkdtemp()
     os.makedirs(tmp, exist_ok=True)
-    print(f"reconstructing reference over {len(loci)} windows...", flush=True)
-    genome = reconstruct_reference(bams, loci, None)
-    fasta = os.path.join(tmp, "est_ref.fa")
-    from longtr_tpu.io.fasta import write_fasta
-    write_fasta(fasta, genome)
-
-    bed = os.path.join(tmp, "regions.bed")
-    with open(bed, "w") as fh:
-        with open(bed_in) as src:
-            for i, ln in enumerate(src):
-                if i >= n_loci:
-                    break
-                fh.write(ln)
+    print(f"reconstructing reference over {n_loci} windows...", flush=True)
+    bams, fasta, bed = build_trio_fixture(tmp, n_loci)
+    with open(bed) as fh:
+        loci = [ln for ln in fh]
 
     from longtr_tpu.cli import main as cli_main
     # --repeat N: best pass of N (pass 1 pays one-time remote-compile /
@@ -141,10 +152,7 @@ def main():
         t0 = time.time()
         rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
                        "--regions", bed, "--tr-vcf", out,
-                       "--bam-samps", "HG002,HG003,HG004",
-                       "--bam-libs", "HG002,HG003,HG004",
-                       "--min-reads", "5", "--max-tr-len", "10000",
-                       "--skip-assembly", "--phased-bam", "--quiet"])
+                       "--min-reads", "5", "--quiet"] + TRIO_ARGS)
         dt_r = time.time() - t0
         assert rc == 0
         if repeat > 1:

@@ -148,28 +148,13 @@ def main():
     enable_compile_cache()
 
     if workload == "trio":
-        from real_data_smoke import TEST_DATA, reconstruct_reference
-
-        from longtr_tpu.io.fasta import write_fasta
+        # fixture + option set come from the ONE shared definition so the
+        # ref-vs-ours comparison always runs the identical configuration
+        from real_data_smoke import TRIO_ARGS, build_trio_fixture
         n_loci = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-        bams = [os.path.join(TEST_DATA, f"HG00{i}_sample_reads.bam")
-                for i in (2, 3, 4)]
-        bed_in = os.path.join(TEST_DATA, "test_regions_hg38.bed")
-        with open(bed_in) as fh:
-            lines = fh.readlines()[:n_loci]
-        loci = [(f[0], int(f[1]), int(f[2]))
-                for f in (l.split() for l in lines)]
-        genome = reconstruct_reference(bams, loci, None)
         tmp = tempfile.mkdtemp()
-        fasta = os.path.join(tmp, "est_ref.fa")
-        write_fasta(fasta, genome)
-        bed = os.path.join(tmp, "regions.bed")
-        with open(bed, "w") as fh:
-            fh.writelines(lines)
-        extra = ["--bam-samps", "HG002,HG003,HG004",
-                 "--bam-libs", "HG002,HG003,HG004",
-                 "--max-tr-len", "10000", "--skip-assembly",
-                 "--phased-bam"]
+        bams, fasta, bed = build_trio_fixture(tmp, n_loci)
+        extra = list(TRIO_ARGS)
     else:
         from loci_throughput import build_catalog
         n_loci = int(sys.argv[2]) if len(sys.argv) > 2 else (

@@ -687,7 +687,9 @@ struct Graph {
     long start_B = 64 + diff;
     if (last_B_ > start_B) start_B = last_B_;
     if (last_B_ >= 0 && !no_band) {
+      bool attempted = false;
       for (long B = start_B; 2 * B + 1 < m; B = 4 * B + 64) {
+        attempted = true;
         bool ok = b16
             ? align_impl<int16_t>(seq, m, aln, dp16_, pmax16_, B)
             : align_impl<int32_t>(seq, m, aln, dp_, pmax_, B);
@@ -699,7 +701,11 @@ struct Graph {
           return;
         }
       }
-      last_B_ = -1;
+      // only a banded attempt that RAN and failed verification is an
+      // unbanded verdict for the cluster; a ladder whose first rung
+      // already exceeded this read's m (large |nodes-m| skew, short
+      // read) says nothing about the next read's bandability
+      if (attempted) last_B_ = -1;
     }
     if (dbg) fprintf(stderr, "[poa] m=%d nodes=%zu UNBANDED\n", m, ch.size());
     if (b16)

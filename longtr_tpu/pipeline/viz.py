@@ -69,14 +69,21 @@ def overlay_alignments(alignments):
         chunks = []
         pos = min_start
         ii = 0
-        # left pad with SPACE over both regular and insertion columns
-        while pos <= aln.start:
+        # left pad with SPACE over both regular and insertion columns; the
+        # loop must EXIT with pos == aln.start (the reference pads with a
+        # separate index and keeps `position` at the read start,
+        # AlignmentViz.cpp:70-79) — advancing pos past the start shifted
+        # every later insertion/deletion column check one base early
+        while pos < aln.start:
             if ii < len(ins_positions) and pos == ins_positions[ii]:
                 chunks.append(SPACE_CHAR * ins[ins_positions[ii]])
                 ii += 1
-            if pos != aln.start:
-                chunks.append(SPACE_CHAR)
+            chunks.append(SPACE_CHAR)
             pos += 1
+        # an insertion column exactly at the read start pads before it
+        if ii < len(ins_positions) and pos == ins_positions[ii]:
+            chunks.append(SPACE_CHAR * ins[ins_positions[ii]])
+            ii += 1
         nuc = 0
         seq = aln.sequence
         cigar = list(aln.cigar)

@@ -47,34 +47,21 @@ def normalize(lines):
 
 def generate_trio_fidelity_vcf(tmpdir):
     """Run the production CLI (fidelity mode, job.sh option set) on the
-    bundled trio; returns the normalized decompressed VCF text."""
+    bundled trio; returns the normalized decompressed VCF text.  The
+    fixture and option set come from the ONE shared definition
+    (benchmarks/real_data_smoke.py: build_trio_fixture + TRIO_ARGS)."""
     sys.path.insert(0, os.path.join(REPO, "benchmarks"))
-    from real_data_smoke import TEST_DATA, reconstruct_reference
+    from real_data_smoke import TRIO_ARGS, build_trio_fixture
 
     from longtr_tpu.cli import main as cli_main
     from longtr_tpu.io.bgzf import bgzf_open_text
-    from longtr_tpu.io.fasta import write_fasta
 
-    bams = [os.path.join(TEST_DATA, f"HG00{i}_sample_reads.bam")
-            for i in (2, 3, 4)]
-    bed_in = os.path.join(TEST_DATA, "test_regions_hg38.bed")
-    with open(bed_in) as fh:
-        lines = fh.readlines()
-    loci = [(f[0], int(f[1]), int(f[2])) for f in (l.split() for l in lines)]
-    genome = reconstruct_reference(bams, loci, None)
-    fasta = os.path.join(tmpdir, "est_ref.fa")
-    write_fasta(fasta, genome)
-    bed = os.path.join(tmpdir, "regions.bed")
-    with open(bed, "w") as fh:
-        fh.writelines(lines)
+    bams, fasta, bed = build_trio_fixture(tmpdir)
     out = os.path.join(tmpdir, "trio_fid.vcf.gz")
     rc = cli_main(["--bams", ",".join(bams), "--fasta", fasta,
                    "--regions", bed, "--tr-vcf", out,
-                   "--min-reads", "5", "--quiet", "--ref-fidelity",
-                   "--bam-samps", "HG002,HG003,HG004",
-                   "--bam-libs", "HG002,HG003,HG004",
-                   "--max-tr-len", "10000", "--skip-assembly",
-                   "--phased-bam"])
+                   "--min-reads", "5", "--quiet", "--ref-fidelity"]
+                  + TRIO_ARGS)
     assert rc == 0, f"CLI failed rc={rc}"
     return "".join(normalize(list(bgzf_open_text(out))))
 

@@ -44,9 +44,11 @@ def _try(fn, *args):
 def _check_frame(data: bytes):
     """Feed one frame to both decoders; assert the agreement contract."""
     if len(data) < 9:
-        # no complete header: python path may IndexError, native returns None
+        # no complete header: python path may IndexError cleanly; the
+        # native decoder must REJECT (None) — any byte payload it invented
+        # for a frame with no header would be garbage presented as data
         _try(_python_decode, data, 16)
-        assert native.rans_decode(data, 16) in (None, b"\0" * 16) or True
+        assert native.rans_decode(data, 16) is None, data
         return "short"
     out_sz = int.from_bytes(data[5:9], "little")
     # cap the claimed output size so a lying header can't allocate GBs or

@@ -141,3 +141,48 @@ def test_reference_renderer_consumes_our_viz_file(tmp_path):
             assert ours == theirs, (kind, ours[:20], theirs[:20])
             checked_reads += 1
     assert checked_reads > 10
+
+
+def test_overlay_columns_are_exact():
+    """Column-exact overlay regression (review finding, round 5): the
+    left-pad loop must leave the position at the read start — advancing
+    past it shifted every later insertion/deletion column check one base
+    early, so a reference-identical read rendered with a false insertion
+    pad and an inserting read overran the reference row.  The multiset
+    comparison in the cross-tooling test above cannot see this; these
+    asserts are per-column."""
+    from longtr_tpu.pipeline.viz import (arrange_reference_string,
+                                         encode_read_row,
+                                         overlay_alignments)
+
+    class A:
+        def __init__(self, start, stop, seq, cigar):
+            self.start, self.stop = start, stop
+            self.sequence, self.cigar = seq, cigar
+
+    chrom = "N" * 10 + "ACGTACGTAC" + "N" * 5
+    perfect = A(10, 19, "ACGTACGTAC", [("M", 10)])
+    inserting = A(10, 19, "ACGTAGGCGTAC", [("M", 5), ("I", 2), ("M", 5)])
+    deleting = A(10, 19, "ACGTCGTAC", [("M", 4), ("D", 1), ("M", 5)])
+    offset = A(12, 19, "GTACGTAC", [("M", 8)])          # starts mid-stack
+    mn, mx, ins, rows = overlay_alignments(
+        [perfect, inserting, deleting, offset])
+    ref = arrange_reference_string(chrom, ins, mn, mx)
+    assert ref == "ACGTA**CGTAC"
+    # a reference-identical read renders identical columns (the foreign
+    # insertion shows as NOT_APP pads, never as its own insertion)
+    assert rows[0] == ref
+    # the inserting read's extra bases sit EXACTLY on the pad columns
+    ipos = ref.index("*")
+    assert len(rows[1]) == len(ref)
+    assert rows[1][ipos: ipos + 2] == "GG"
+    # the deletion lands on the deleted reference base's column
+    assert rows[2][4] == "-" and len(rows[2]) == len(ref)
+    # a late-starting read left-pads with spaces up to its start column
+    assert rows[3] == "  " + ref[2:]
+    # HTML encoding: the perfect read emits no SNP codes or lowercase,
+    # the inserting read lowercases exactly the pad-column bases
+    enc0 = encode_read_row(ref, rows[0])
+    assert enc0 == "0 " + ref
+    enc1 = encode_read_row(ref, rows[1])
+    assert enc1 == "0 ACGTAggCGTAC"
